@@ -1,0 +1,118 @@
+"""Lakehouse IO: schema-validated reads, idempotent partitioned writes.
+
+Replaces the reference's three side channels (MinIO object store,
+MySQL datamart, SQL Server report DB — reference assets/bronze.py:34-45,
+gold.py:36-54, platinum.py:31-59) with Parquet tables under a single
+warehouse directory. JDBC remains available through the optional
+``jdbc_read``/``jdbc_write`` wrappers (the driver JAR is not shipped in
+this environment — they raise a clear error without it).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from nyc_etl_pipeline_spark import schemas
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table with its declared schema.
+
+    Passing an explicit schema (a) skips footer-merge schema inference
+    across thousands of files at scale and (b) fails fast on drift.
+    Column pruning/pushdown still reach the parquet scan.
+    """
+    schema = schemas.TESTDATA.get(name)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Header CSV scan with explicit schema (no inferSchema job).
+
+    Reference: pandas ``read_csv`` of taxi_zone.csv (raw.py:85-87).
+    """
+    return spark.read.option("header", True).schema(schema).csv(path)
+
+
+class Warehouse:
+    """Parquet lakehouse rooted at one directory; one subdir per table.
+
+    Writes partitioned by the given columns use dynamic partition
+    overwrite (session conf ``partitionOverwriteMode=dynamic``), so
+    re-running a month is idempotent — fixing reference quirk Q6
+    (append-only JDBC sinks, duplicated rows on re-run).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        # local-fs check is fine for tests; on HDFS/S3 use the catalog.
+        return os.path.isdir(self.path(table))
+
+    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self.path(table))
+
+    def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(table))
+
+    def overwrite_partitions(self, df: DataFrame, table: str, partition_by: list[str]) -> None:
+        """Replace only the partitions present in ``df`` (idempotent
+        incremental load). Requires the table to already exist."""
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.path(table))
+        )
+
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(table))
+
+
+def jdbc_read(spark: SparkSession, url: str, table: str, properties: dict[str, str]) -> DataFrame:
+    """Optional JDBC source (reference gold.py:36-44 read MySQL dims).
+
+    Kept behind a thin wrapper: the core pipeline never requires an
+    RDBMS. Partitioned reads (numPartitions/partitionColumn) should be
+    set by callers for any non-tiny table — the reference read
+    single-partition (SURVEY §3.2).
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in properties.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def jdbc_write(df: DataFrame, url: str, table: str, properties: dict[str, str], mode: str = "append") -> None:
+    """Optional JDBC sink (reference gold.py:46-54, platinum.py:31-59)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in properties.items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -1,0 +1,167 @@
+"""Platinum layer: monthly/weekly denormalized report marts.
+
+Reference: assets/platinum.py:69-154 (monthly), :166-252 (weekly);
+output DDL Databases/create_report.sql. A star-join + group-by —
+pure Catalyst territory: every dimension is broadcast, aggregation is
+partial (map-side) + final hash agg, so the only shuffle is on the
+grouping keys.
+
+Q1 fix: avg/total_trip_duration are true MINUTES
+(``trip_duration``-seconds / 60.0). The reference divided its seconds
+by 1000*60 (platinum.py:101-102), producing kilo-minutes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (column, aggregate-output stem) pairs — platinum.py:88-112.
+_MEASURES = [
+    "passenger_count",
+    "trip_distance",
+    "trip_duration",
+    "tip_amount",
+    "tolls_amount",
+    "total_amount",
+    "fare_amount",
+]
+
+
+def _aggregates() -> list:
+    aggs = []
+    for m in _MEASURES:
+        col = (F.col(m) / 60.0) if m == "trip_duration" else F.col(m)
+        aggs.append(F.round(F.avg(col), 3).alias(f"avg_{m}"))
+        aggs.append(F.round(F.sum(col), 3).alias(f"total_{m}"))
+    aggs.append(F.count(F.lit(1)).alias("total_trips"))  # count('ID') == count(*) (Q7)
+    return aggs
+
+
+def _decorate(
+    grouped: DataFrame,
+    zone: DataFrame,
+    dim_type: DataFrame,
+    dim_vendor: DataFrame,
+    dim_payment: DataFrame,
+    dim_rate: DataFrame,
+    lead_cols: list[str],
+) -> DataFrame:
+    """Join the 6 decorating dims (all broadcast) and order columns
+    per create_report.sql."""
+    pu_zone = F.broadcast(
+        zone.select(
+            F.col("LocationID").alias("PULocationID"),
+            F.col("Borough").alias("PU_Borough"),
+            F.col("Zone").alias("PU_Zone"),
+            F.col("service_zone").alias("PU_service_zone"),
+        )
+    )
+    do_zone = F.broadcast(
+        zone.select(
+            F.col("LocationID").alias("DOLocationID"),
+            F.col("Borough").alias("DO_Borough"),
+            F.col("Zone").alias("DO_Zone"),
+            F.col("service_zone").alias("DO_service_zone"),
+        )
+    )
+    df = (
+        grouped.join(pu_zone, on="PULocationID", how="inner")
+        .join(do_zone, on="DOLocationID", how="inner")
+        .join(F.broadcast(dim_type), on="typeID", how="inner")
+        .join(F.broadcast(dim_vendor), on="VendorID", how="inner")
+        .join(F.broadcast(dim_payment), on="paymentID", how="inner")
+        .join(F.broadcast(dim_rate), on="RatecodeID", how="inner")
+    )
+    out_cols = (
+        lead_cols
+        + [
+            "PU_Borough",
+            "PU_Zone",
+            "PU_service_zone",
+            "DO_Borough",
+            "DO_Zone",
+            "DO_service_zone",
+            "typeName",
+            "VendorName",
+            "payment_type",
+            "RatecodeName",
+        ]
+        + [f"avg_{m}" for m in _MEASURES]
+        + [f"total_{m}" for m in _MEASURES]
+        + ["total_trips"]
+    )
+    return df.select(*out_cols)
+
+
+def monthly_report(
+    fact: DataFrame,
+    dim_date: DataFrame,
+    zone: DataFrame,
+    dim_type: DataFrame,
+    dim_vendor: DataFrame,
+    dim_payment: DataFrame,
+    dim_rate: DataFrame,
+) -> DataFrame:
+    """platinum.py:69-154 — group by 7 keys incl. pickup month."""
+    dd = F.broadcast(
+        dim_date.select(F.col("dateID").alias("date_puID"), F.col("month").alias("month_pu"))
+    )
+    grouped = (
+        fact.join(dd, on="date_puID", how="inner")
+        .groupBy(
+            "PULocationID",
+            "DOLocationID",
+            "typeID",
+            "VendorID",
+            "month_pu",
+            "RatecodeID",
+            "paymentID",
+        )
+        .agg(*_aggregates())
+    )
+    return _decorate(
+        grouped, zone, dim_type, dim_vendor, dim_payment, dim_rate, ["month_pu"]
+    )
+
+
+def weekly_report(
+    fact: DataFrame,
+    dim_date: DataFrame,
+    zone: DataFrame,
+    dim_type: DataFrame,
+    dim_vendor: DataFrame,
+    dim_payment: DataFrame,
+    dim_rate: DataFrame,
+) -> DataFrame:
+    """platinum.py:166-252 — keys swap month for dayOfWeek+weekOfYear."""
+    dd = F.broadcast(
+        dim_date.select(
+            F.col("dateID").alias("date_puID"),
+            F.col("dayOfWeek").alias("dayOfWeek_pu"),
+            F.col("weekOfYear").alias("weekOfYear_pu"),
+        )
+    )
+    grouped = (
+        fact.join(dd, on="date_puID", how="inner")
+        .groupBy(
+            "PULocationID",
+            "DOLocationID",
+            "typeID",
+            "VendorID",
+            "dayOfWeek_pu",
+            "weekOfYear_pu",
+            "RatecodeID",
+            "paymentID",
+        )
+        .agg(*_aggregates())
+    )
+    return _decorate(
+        grouped,
+        zone,
+        dim_type,
+        dim_vendor,
+        dim_payment,
+        dim_rate,
+        ["dayOfWeek_pu", "weekOfYear_pu"],
+    )
