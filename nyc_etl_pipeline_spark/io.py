@@ -25,11 +25,36 @@ def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     across thousands of files at scale and (b) fails fast on drift.
     Column pruning/pushdown still reach the parquet scan.
     """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot
+        # read natively; with spark.sql.legacy.parquet.nanosAsLong it
+        # arrives as a ns-since-epoch long. Integer `div` (not `/`,
+        # which would round through double and lose precision above
+        # 2^53 ns) truncates to microseconds — matching how DuckDB
+        # reads the same column.
+        phys = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.schema(phys)
+            .parquet(path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
     schema = schemas.TESTDATA.get(name)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return reader.parquet(path)
 
 
 def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:

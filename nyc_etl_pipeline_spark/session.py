@@ -57,6 +57,10 @@ def get_spark(
         # Idempotent partition-level overwrite for lakehouse writes
         # (fixes reference quirk Q6: append-only non-idempotent sinks).
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Read parquet TIMESTAMP(NANOS) columns as raw nanosecond longs
+        # (Spark has no ns timestamp type); io.read_testdata converts
+        # to microsecond timestamps with integer division.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     if master:

@@ -1,0 +1,181 @@
+"""Event-stream operator suite: time windows, sessionization, JSON
+extraction over the `events` table.
+
+Batch implementations here (window()/Window functions); the
+structured-streaming variants (readStream + watermark, same results
+via Trigger.AvailableNow) live in nyc_etl_pipeline_spark/streaming and
+are exercised in tests — the driver's oracle gate runs these batch
+forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.functions import round_half_up as R
+from nyc_etl_pipeline_spark.suite import QuerySpec
+
+
+def q13_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling windows. window() is a projection (no UDF);
+    the aggregation is a partial+final hash agg on (window, type)."""
+    e = read_testdata(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), R(F.sum("value"), 3).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_Q13_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       floor((CAST(sum(value) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q14_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes — each event lands in
+    exactly 4 windows. Spark expands via the window() generator; the
+    oracle replicates with an explicit 0..3 unnest."""
+    e = read_testdata(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), R(F.sum("value"), 3).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_Q14_SQL = """
+WITH base AS (
+  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS floor15,
+         event_type, value
+  FROM events
+),
+expanded AS (
+  SELECT floor15 - (k * INTERVAL 15 MINUTE) AS window_start, event_type, value
+  FROM base, range(4) r(k)
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       floor((CAST(sum(value) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
+def q15_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum of session-start flags. One shuffle on user_id; within each
+    user the window sort is local. (Streaming equivalent:
+    session_window(ts, '30 minutes') — see streaming module.)"""
+    e = read_testdata(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = e.withColumn(
+        "__new_session",
+        F.when(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))) > gap_us,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0)),
+    ).withColumn(
+        "__session_idx",
+        F.sum("__new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("user_id", "__session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            R(F.sum("value"), 3).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("__session_idx").cast("int").alias("session_id"),
+            "session_start",
+            "session_end",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_Q15_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_idx AS INTEGER) AS session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       floor((CAST(sum(value) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value
+FROM sessions
+GROUP BY 1, 2
+"""
+
+
+def q16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: pull a JSON field out of the string
+    props column (get_json_object is JVM-side, no UDF)."""
+    e = read_testdata(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            R(F.avg("__k"), 3).alias("avg_k"),
+            F.max("__k").cast("int").alias("max_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_Q16_SQL = """
+SELECT event_type,
+       floor((avg(CAST(json_extract_string(props, '$.k') AS INTEGER))) * 1000.0 + 0.5) / 1000.0 AS avg_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+SPECS = [
+    QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
+              "hourly tumbling window aggregation"),
+    QuerySpec("q14_events_sliding", q14_events_sliding, _Q14_SQL,
+              "1h/15m sliding window aggregation"),
+    QuerySpec("q15_sessionize", q15_sessionize, _Q15_SQL,
+              "gap-based sessionization (lag + cumulative flag)"),
+    QuerySpec("q16_json_extract", q16_json_extract, _Q16_SQL,
+              "JSON field extraction + aggregation"),
+]

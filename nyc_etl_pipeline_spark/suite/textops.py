@@ -1,0 +1,257 @@
+"""Text-analysis / dedup operator suite over `documents`, with DuckDB
+oracles generated from the SAME constants as the Spark operators
+(operators/text.py, operators/dedup.py) so the two can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.operators import dedup as D
+from nyc_etl_pipeline_spark.operators import text as TX
+from nyc_etl_pipeline_spark.functions import round_half_up as R
+from nyc_etl_pipeline_spark.suite import QuerySpec
+
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.5
+
+# DuckDB expression fragments mirroring operators/text.py ------------------
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_SHINGLES = (
+    "list_distinct(list_transform(range(greatest(len({t}) - 2, 0)), "
+    "i -> {t}[i+1] || ' ' || {t}[i+2] || ' ' || {t}[i+3]))"
+).format(t="t")
+
+
+def _sql_in_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# --------------------------------------------------------------------------
+# q17 — exact dedup (hash group-by on md5 digest)
+# --------------------------------------------------------------------------
+
+def q17_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(read_testdata(spark, sf_dir, "documents"))
+
+
+_Q17_SQL = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q18 — n-gram Jaccard near-dup pairs (exact, inverted shingle index)
+# --------------------------------------------------------------------------
+
+def q18_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        read_testdata(spark, sf_dir, "documents"),
+        n=NGRAM_N,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+_Q18_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+ov AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ov
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       floor((ov * 1.0 / (sa.n + sb.n - ov)) * 1000.0 + 0.5) / 1000.0 AS jaccard
+FROM ov
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+WHERE ov * 1.0 / (sa.n + sb.n - ov) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# q19 — text quality features (tokens, bpe tokens, ratios, score)
+# --------------------------------------------------------------------------
+
+def q19_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tok = TX.whitespace_token_count(text)
+    sw_ratio = F.when(n_tok > 0, TX.stopword_count(text).cast("double") / n_tok).otherwise(0.0)
+    p_ratio = F.when(
+        F.length(text) > 0, TX.punct_count(text).cast("double") / F.length(text)
+    ).otherwise(0.0)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        TX.bpe_token_count(text).alias("n_bpe_tokens"),
+        R(TX.avg_token_len(text), 4).alias("avg_token_len"),
+        R(sw_ratio, 4).alias("stopword_ratio"),
+        R(p_ratio, 4).alias("punct_ratio"),
+        TX.quality_score(text).alias("quality_score"),
+    )
+
+
+_Q19_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         len({_TOKS}) AS n_tok,
+         len(regexp_extract_all(text, '{TX.PUNCT_REGEX}')) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{TX.BPE_REGEX}')) AS BIGINT) AS n_bpe_tokens,
+       floor((CASE WHEN n_tok > 0
+             THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / n_tok
+             ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+       floor((CASE WHEN n_tok > 0
+             THEN CAST(len(list_filter(toks, x -> list_contains({_sql_in_list(TX.STOPWORDS_EN)}, lower(x)))) AS DOUBLE) / n_tok
+             ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+       floor((CASE WHEN length(text) > 0
+             THEN CAST(n_punct AS DOUBLE) / length(text) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+       floor((0.4 * (CASE WHEN n_tok > 0
+                    THEN CAST(len(list_filter(toks, x -> list_contains({_sql_in_list(TX.STOPWORDS_EN)}, lower(x)))) AS DOUBLE) / n_tok
+                    ELSE 0.0 END)
+           + 0.3 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+                           THEN CAST(n_punct AS DOUBLE) / length(text) ELSE 0.0 END))) * 10000.0 + 0.5) / 10000.0
+             AS quality_score
+FROM base
+"""
+
+
+# --------------------------------------------------------------------------
+# q20 — language ID (marker argmax, deterministic precedence)
+# --------------------------------------------------------------------------
+
+def q20_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+def _lang_id_sql() -> str:
+    counts = {
+        lang: f"len(list_filter(toks, x -> list_contains({_sql_in_list(m)}, lower(x))))"
+        for lang, m in TX.LANG_MARKERS.items()
+    }
+    greatest = "greatest(" + ", ".join(f"c_{lang}" for lang in TX.LANG_MARKERS) + ")"
+    chain = "CASE "
+    for lang in TX.LANG_MARKERS:  # precedence: declaration order
+        chain += f"WHEN c_{lang} = best AND best > 0 THEN '{lang}' "
+    chain += "ELSE 'und' END"
+    selects = ", ".join(f"{expr} AS c_{lang}" for lang, expr in counts.items())
+    return f"""
+WITH base AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+cnt AS (SELECT doc_id, lang, {selects} FROM base),
+scored AS (SELECT doc_id, lang, {greatest} AS best, * FROM cnt)
+SELECT doc_id, lang AS lang_declared, {chain} AS lang_pred FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# q21 — document fingerprints (rolling hash + md5)
+# --------------------------------------------------------------------------
+
+def q21_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_testdata(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.fingerprint_rolling(F.col("text")).alias("fp_rolling"),
+        TX.fingerprint_md5(F.col("text")).alias("fp_md5"),
+    )
+
+
+_Q21_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(regexp_extract_all(text, '.'),
+                                     c -> CAST(ascii(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % {TX.FINGERPRINT_MOD}) AS fp_rolling,
+       md5(text) AS fp_md5
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q22 — multimodal plumbing: opaque binary column + typed metadata
+# --------------------------------------------------------------------------
+
+def q22_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat the text payload as an opaque binary asset (the pattern
+    for image/audio blobs): byte length + content digest, computed
+    without leaving the JVM. Decode/feature-extraction UDF plumbing is
+    in operators/multimodal.py (stubbed — no codec libs here)."""
+    d = read_testdata(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).cast("bigint").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.col("source").alias("source"),
+    )
+
+
+_Q22_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256_hex,
+       source
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q23 / q24 — probabilistic near-dup (MinHash LSH / SimHash). No SQL
+# oracle: candidate recall depends on banding, not expressible as a
+# deterministic DuckDB query. Precision is exact (verified Jaccard /
+# bit_count); recall is asserted against q18's exact output in pytest.
+# --------------------------------------------------------------------------
+
+def q23_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        read_testdata(spark, sf_dir, "documents"),
+        n=NGRAM_N,
+        num_hashes=128,
+        bands=32,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def q24_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(
+        read_testdata(spark, sf_dir, "documents"), max_hamming=7, n_blocks=8
+    )
+
+
+SPECS = [
+    QuerySpec("q17_exact_dedup", q17_exact_dedup, _Q17_SQL,
+              "exact dedup via md5 digest group-by"),
+    QuerySpec("q18_ngram_jaccard_pairs", q18_ngram_jaccard_pairs, _Q18_SQL,
+              "exact n-gram Jaccard near-dup pairs (inverted shingle index)"),
+    QuerySpec("q19_text_quality", q19_text_quality, _Q19_SQL,
+              "text quality features + score"),
+    QuerySpec("q20_lang_id", q20_lang_id, _lang_id_sql(),
+              "marker-based language ID"),
+    QuerySpec("q21_doc_fingerprint", q21_doc_fingerprint, _Q21_SQL,
+              "rolling-hash + md5 fingerprints"),
+    QuerySpec("q22_multimodal_bytes", q22_multimodal_bytes, _Q22_SQL,
+              "binary column plumbing: byte length + sha256"),
+    QuerySpec("q23_minhash_lsh_pairs", q23_minhash_lsh_pairs, None,
+              "MinHash+LSH near-dup (verified candidates; recall tested vs q18)"),
+    QuerySpec("q24_simhash_near_pairs", q24_simhash_near_pairs, None,
+              "SimHash near-dup (block trick + hamming verify)"),
+]

@@ -1,0 +1,104 @@
+"""Extension operators: dedup / similarity / text analysis.
+
+The probabilistic operators (MinHash-LSH, SimHash, vector LSH) have no
+SQL oracle; these tests pin their contract instead: exact precision
+(every returned pair truly exceeds the threshold) and recall measured
+against the exact oracle-checked counterpart.
+"""
+
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.operators import dedup as D
+from nyc_etl_pipeline_spark.operators import similarity as SIM
+
+
+def _docs(spark, sf_dir):
+    return read_testdata(spark, sf_dir, "documents")
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    exact = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(
+            _docs(spark, sf_dir), num_hashes=128, bands=32, threshold=0.5
+        ).collect()
+    }
+    # precision is exact by construction (candidates re-verified):
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert j == exact[pair]
+    # recall at j>=0.7 should be ~1 with 32 bands of 4 rows
+    high = {p for p, j in exact.items() if j >= 0.7}
+    assert high <= set(lsh), f"missed high-jaccard pairs: {high - set(lsh)}"
+
+
+def test_simhash_finds_planted_neardups(spark, sf_dir):
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.9).collect()
+    }
+    sim = {
+        (r["a_id"], r["b_id"])
+        for r in D.simhash_near_pairs(
+            _docs(spark, sf_dir), max_hamming=7, n_blocks=8
+        ).collect()
+    }
+    # the fixture docs are short (~40 tokens, tiny vocab), so a 1-token
+    # edit flips up to ~7 signature bits; jaccard>=0.9 pairs must land
+    # within hamming 7 (guaranteed candidates with 8 blocks)
+    assert exact <= sim, f"simhash missed: {exact - sim}"
+
+
+def test_simhash_block_guarantee_guard(spark, sf_dir):
+    import pytest
+
+    with pytest.raises(ValueError):
+        D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8, n_blocks=4)
+
+
+def test_simhash_signature_is_deterministic(spark, sf_dir):
+    a = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(_docs(spark, sf_dir)).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(_docs(spark, sf_dir)).collect()}
+    assert a == b and len(a) == _docs(spark, sf_dir).count()
+
+
+def test_vector_lsh_is_subset_of_exact(spark, sf_dir):
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    exact = {
+        (r["a_id"], r["b_id"]): r["cosine"]
+        for r in SIM.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"]): r["cosine"]
+        for r in SIM.lsh_bucketed_pairs(emb, threshold=0.4, n_planes=6).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, c in lsh.items():
+        assert c == exact[pair]
+
+
+def test_cosine_topk_self_is_excluded_and_ranked(spark, sf_dir):
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    out = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=4).collect()
+    by_q = {}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == [1, 2, 3, 4]
+        cosines = [r[1] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_exact_dedup_counts(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = D.exact_dedup(d)
+    total = out.agg(F.sum("n_copies")).first()[0]
+    assert total == d.count()
+    assert out.count() == d.select("text").distinct().count()
