@@ -1,0 +1,115 @@
+"""Streaming event-window operators over a parquet event source.
+
+Each builder takes a streaming DataFrame (readStream) and returns the
+windowed aggregation; `run_available_now` drives any of them to
+completion over the currently-available files (the batch-parity mode:
+one incremental pass, checkpointed, then stop). On a real cluster the
+same code runs continuously against a Kafka/file source — watermarks
+bound the state store size; without them an unbounded-key streaming agg
+would grow state forever at 100 TB/day rates.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Physical schema of the events parquet (ts stored as TIMESTAMP(NANOS),
+# surfaced as a ns long via spark.sql.legacy.parquet.nanosAsLong).
+_EVENTS_PHYS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with ns->us conversion
+    (same semantics as io.read_testdata's batch read)."""
+    # FileStreamSource requires a directory; filter to the events file.
+    return (
+        spark.readStream.schema(_EVENTS_PHYS)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def stream_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Hourly tumbling windows with a late-data watermark. The
+    watermark lets Spark drop window state once event time passes
+    window_end + 1h — bounded state at any input rate."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native streaming sessionization: session_window merges events
+    within `gap` into one growing window per user — the streaming
+    equivalent of suite/events.py q15 (lag+cumsum batch form)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(
+    agg: DataFrame, query_name: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Execute a streaming aggregation over all currently-available
+    input (Trigger.AvailableNow), collect results via the memory sink,
+    and stop. 'complete' output mode emits every window — parity with
+    the batch forms; 'append' would withhold windows newer than the
+    watermark at end-of-input."""
+    spark = agg.sparkSession
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="spark_ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

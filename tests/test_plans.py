@@ -1,0 +1,83 @@
+"""Scale-posture assertions on physical plans (SURVEY §4): pushdown,
+pruning, broadcast, codegen, bounded shuffle counts."""
+
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark import plans as P
+from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.suite.relational import (
+    q01_monthly_sales_report,
+    q03_clean_project,
+    q08_top_customers,
+)
+
+
+def test_filter_pushes_into_parquet_scan(spark, sf_dir):
+    df = (
+        read_testdata(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = P.explain_str(df)
+    pushed = P.pushed_filters(plan)
+    assert any("l_quantity" in p and "GreaterThan" in p for p in pushed), plan
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    df = read_testdata(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = P.scan_read_schemas(P.explain_str(df))
+    assert schemas and all(
+        "l_extendedprice" not in s and "l_orderkey" in s for s in schemas
+    ), schemas
+
+
+def test_flagship_broadcasts_dims_and_prunes(spark, sf_dir):
+    df = q01_monthly_sales_report(spark, sf_dir)
+    plan = P.explain_str(df)
+    assert P.has_broadcast_join(plan), plan
+    # lineitem scan must not read the unused columns
+    li_schemas = [s for s in P.scan_read_schemas(plan) if "l_orderkey" in s]
+    assert li_schemas and all("l_shipdate" not in s and "l_tax" not in s for s in li_schemas)
+    assert P.has_wholestage_codegen(df)
+
+
+def test_flagship_shuffle_budget(spark, sf_dir):
+    """Star join + agg needs at most: lineitem<->orders exchange pair,
+    customer join exchanges, and the final group-by exchange. More
+    means a dim stopped broadcasting or AQE regressed."""
+    plan = P.explain_str(q01_monthly_sales_report(spark, sf_dir), "simple")
+    assert P.count_exchanges(plan) <= 5, plan
+
+
+def test_clean_project_single_exchange(spark, sf_dir):
+    """The silver chain's only exchange is the dedup; scalar derive
+    work must stay in one codegen stage."""
+    df = q03_clean_project(spark, sf_dir)
+    plan = P.explain_str(df, "simple")
+    assert P.count_exchanges(plan) == 1, plan
+    assert P.has_wholestage_codegen(df)
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
+    partition top-k + k-row merge), not a global sort."""
+    plan = P.explain_str(q08_top_customers(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_partition_pruning_on_warehouse_table(spark, tmp_path, sf_dir):
+    """month-partitioned lakehouse table: a month filter must prune
+    partitions at the scan (the engine's replacement for the
+    reference's file-per-month manual pruning, SURVEY §4)."""
+    from nyc_etl_pipeline_spark.io import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    orders = read_testdata(spark, sf_dir, "orders").withColumn(
+        "month", F.month("o_orderdate")
+    )
+    wh.overwrite(orders, "orders_part", partition_by=["month"])
+    df = wh.read("orders_part").filter(F.col("month") == 3)
+    plan = P.explain_str(df)
+    assert "PartitionFilters" in plan and "month" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    # pruned scan reads ~1/12 of the files
+    assert df.count() == orders.filter(F.month("o_orderdate") == 3).count()
