@@ -31,6 +31,15 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
+    # Warm the JVM + parquet footers once so the first timed query
+    # isn't charged for session initialization.
+    from nyc_etl_pipeline_spark.io import read_testdata
+    from nyc_etl_pipeline_spark.schemas import TESTDATA
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for name in TESTDATA:
+        read_testdata(spark, sf_dir, name).limit(1).count()
+
     timings: dict[str, float] = {}
     for spec in suite.all_specs():
         t0 = time.perf_counter()

@@ -54,10 +54,15 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, shingle-hash) inverted-index rows. Shingles are joined by
+    xxhash64 rather than by string — 8-byte shuffle keys instead of
+    ~20-40-byte strings; a cross-doc overlap miscount needs an xxhash64
+    collision between two distinct shingles in the same pair
+    (~n_shingles^2 / 2^64 — negligible at any realistic corpus)."""
     return df.select(
         F.col(id_col).alias("__id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("__sh"),
-    )
+        F.explode(word_shingles(F.col(text_col), n)).alias("__sh_str"),
+    ).select("__id", F.xxhash64("__sh_str").alias("__sh"))
 
 
 def ngram_jaccard_pairs(

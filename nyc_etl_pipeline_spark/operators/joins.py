@@ -1,0 +1,63 @@
+"""Join operators Spark lacks natively: as-of join and small-dim range
+join, composed from built-in DataFrame ops (SURVEY §7 custom-operator
+preference: composition first, Pandas UDF only if semantics require).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    right.ts <= left.ts within the same `by` group (backward, inclusive
+    — pandas merge_asof / DuckDB ASOF JOIN semantics).
+
+    Implementation: tag and union both sides, one window pass per `by`
+    group carrying the last-seen right values forward, keep left rows.
+    ONE shuffle on `by` total — versus a naive approach (per-left-row
+    subquery or right-side re-join) that shuffles both inputs twice.
+    Right rows sort before left rows at equal ts so ties are inclusive.
+    """
+    tagged_r = right.select(
+        F.col(by),
+        F.col(ts),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        F.col(ts).alias("__r_ts"),
+    )
+    tagged_l = left.withColumn("__is_left", F.lit(1))
+    u = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    w = (
+        W.partitionBy(by)
+        .orderBy(F.col(ts), F.col("__is_left"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = [F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in right_value_cols]
+    carried.append(F.last("__r_ts", ignorenulls=True).over(w).alias("__m_ts"))
+    out = u.select("*", *carried).filter(F.col("__is_left") == 1)
+    keep = [c for c in left.columns]
+    return out.select(
+        *keep,
+        F.col("__m_ts").alias(f"asof_{ts}"),
+        *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in right_value_cols],
+    )
+
+
+def range_join_small(facts: DataFrame, ranges: DataFrame, value_col: str) -> DataFrame:
+    """Join fact rows into [lo, hi) buckets from a SMALL range table.
+    Non-equi joins have no hash strategy; broadcasting the range side
+    turns this into a BroadcastNestedLoopJoin — linear in the fact
+    side, fine for bounded range tables. For large range tables,
+    bucketize both sides first (equi-join on bucket + residual filter).
+    """
+    cond = (F.col(value_col) >= ranges["lo"]) & (F.col(value_col) < ranges["hi"])
+    return facts.join(F.broadcast(ranges), cond, "inner")

@@ -47,6 +47,31 @@ _FINAL_COLUMNS = [
 ]
 
 
+def read_raw_normalized(spark, paths: list[str], schema) -> DataFrame:
+    """Read raw trip parquet files whose physical schemas drift across
+    months (real TLC data: e.g. RatecodeID is DOUBLE in 2023-01 but
+    INT64 in 2023-03) and normalize every file to the declared schema:
+    cast matching columns, null-fill missing ones, union by name.
+
+    Per-file-group normalization is the schema-evolution pattern that
+    survives at scale — a single forced-schema scan aborts on the first
+    drifted file, and parquet mergeSchema rejects type conflicts.
+    """
+    from pyspark.sql import functions as F
+
+    out = None
+    for p in paths:
+        df = spark.read.parquet(p)
+        have = {f.name for f in df.schema.fields}
+        cols = [
+            (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in schema.fields
+        ]
+        part = df.select(*cols)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def clean_trips(raw: DataFrame, taxi_type: str) -> DataFrame:
     """Raw green/yellow trips -> unified silver schema (TRIPS_SILVER).
 

@@ -1,0 +1,217 @@
+"""Advanced operator suite: as-of join, range join, cube, unpivot,
+set ops, distinct & approximate aggregates (beyond the reference
+surface — SURVEY §7 M4 breadth)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.functions import round_half_up as R
+from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.operators.joins import asof_join_backward, range_join_small
+from nyc_etl_pipeline_spark.suite import QuerySpec
+
+# --------------------------------------------------------------------------
+# q28 — as-of join (backward, inclusive): purchase <- latest prior click
+# --------------------------------------------------------------------------
+
+def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_testdata(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join_backward(purchases, clicks, by="user_id", ts="ts", right_value_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("click_ts"),
+        F.col("asof_value").alias("click_value"),
+    )
+
+
+_Q28_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS click_ts, c.value AS click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# q29 — range join into value tiers (non-equi, broadcast small side)
+# --------------------------------------------------------------------------
+
+_TIERS = [("T0", 0.0, 5.0), ("T1", 5.0, 10.0), ("T2", 10.0, 20.0), ("T3", 20.0, 1e9)]
+
+
+def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_testdata(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    joined = range_join_small(e, tiers, "value")
+    return (
+        joined.groupBy("tier", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            R(F.sum("value"), 3).alias("total_value"),
+        )
+    )
+
+
+_Q29_SQL = f"""
+WITH tiers(tier, lo, hi) AS (
+  VALUES {", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in _TIERS)}
+)
+SELECT tier, event_type,
+       count(*) AS n_events,
+       floor((CAST(sum(value) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value
+FROM events JOIN tiers ON value >= lo AND value < hi
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q30 — cube (all grouping-set combinations)
+# --------------------------------------------------------------------------
+
+def q30_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            R(F.sum("l_quantity"), 3).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+            "total_qty",
+            "n_items",
+        )
+    )
+
+
+_Q30_SQL = """
+SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       floor((CAST(sum(l_quantity) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_qty,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# q31 — unpivot (wide measures -> long key/value)
+# --------------------------------------------------------------------------
+
+def q31_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        R(F.sum("l_quantity"), 3).alias("qty"),
+        R(F.sum("l_extendedprice"), 3).alias("price"),
+        R(F.sum("l_discount"), 3).alias("discount"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "discount"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    ).select(F.col("l_returnflag").alias("returnflag"), "measure", "amount")
+
+
+_Q31_SQL = """
+WITH wide AS (
+  SELECT l_returnflag AS returnflag,
+         floor((CAST(sum(l_quantity) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS qty,
+         floor((CAST(sum(l_extendedprice) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS price,
+         floor((CAST(sum(l_discount) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS discount
+  FROM lineitem GROUP BY 1
+)
+SELECT returnflag, measure, amount
+FROM wide UNPIVOT (amount FOR measure IN (qty, price, discount))
+"""
+
+
+# --------------------------------------------------------------------------
+# q32 — set operations: INTERSECT / EXCEPT (distinct semantics)
+# --------------------------------------------------------------------------
+
+def q32_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_testdata(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    y97f = (
+        o.filter((F.year("o_orderdate") == 1997) & (F.col("o_orderstatus") == "F"))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return y95.intersect(y96).exceptAll(y97f.distinct())
+
+
+_Q32_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997 AND o_orderstatus = 'F'
+"""
+
+
+# --------------------------------------------------------------------------
+# q33 — distinct aggregates
+# --------------------------------------------------------------------------
+
+def q33_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        R(F.sum_distinct(F.col("l_quantity")), 3).alias("sum_distinct_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q33_SQL = """
+SELECT l_returnflag AS returnflag,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       floor((CAST(sum(DISTINCT l_quantity) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS sum_distinct_qty,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q34 — approximate aggregates (HLL / quantile sketch). No SQL oracle:
+# sketch algorithms differ across engines; pytest bounds the error vs
+# the exact q33 instead.
+# --------------------------------------------------------------------------
+
+def q34_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    )
+
+
+SPECS = [
+    QuerySpec("q28_asof_join", q28_asof_join, _Q28_SQL,
+              "as-of join (backward inclusive) via tagged-union window"),
+    QuerySpec("q29_range_join", q29_range_join, _Q29_SQL,
+              "non-equi range join, broadcast small side"),
+    QuerySpec("q30_cube", q30_cube, _Q30_SQL, "cube grouping sets"),
+    QuerySpec("q31_unpivot", q31_unpivot, _Q31_SQL, "unpivot wide->long"),
+    QuerySpec("q32_set_ops", q32_set_ops, _Q32_SQL, "intersect + except"),
+    QuerySpec("q33_distinct_aggs", q33_distinct_aggs, _Q33_SQL,
+              "multiple distinct aggregates"),
+    QuerySpec("q34_approx_aggs", q34_approx_aggs, None,
+              "HLL distinct + quantile sketches (error-bounded vs q33 in pytest)"),
+]

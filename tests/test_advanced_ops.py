@@ -1,0 +1,65 @@
+"""Advanced-op contracts not covered by the SQL oracle."""
+
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.operators.joins import asof_join_backward
+from nyc_etl_pipeline_spark.suite.advanced import q33_distinct_aggs, q34_approx_aggs
+
+
+def test_approx_aggs_within_tolerance(spark, sf_dir):
+    exact = {r["returnflag"]: r for r in q33_distinct_aggs(spark, sf_dir).collect()}
+    approx = {r["returnflag"]: r for r in q34_approx_aggs(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        rel = abs(a["approx_orders"] - e["n_orders"]) / e["n_orders"]
+        assert rel < 0.05, f"{flag}: HLL error {rel:.3f}"
+        assert a["approx_median_price"] > 0
+        assert a["approx_p99_price"] >= a["approx_median_price"]
+
+
+def test_asof_join_matches_bruteforce(spark, sf_dir):
+    """Window-union as-of join vs a brute-force non-equi join +
+    greatest-ts reduction on a small slice."""
+    e = read_testdata(spark, sf_dir, "events")
+    purchases = e.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 10)).select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter((F.col("event_type") == "click") & (F.col("user_id") < 10)).select(
+        "user_id", "ts", "value"
+    )
+    got = {
+        r["event_id"]: r["asof_ts"]
+        for r in asof_join_backward(
+            purchases, clicks, by="user_id", ts="ts", right_value_cols=["value"]
+        ).collect()
+    }
+    brute = (
+        purchases.alias("p")
+        .join(
+            clicks.alias("c"),
+            (F.col("p.user_id") == F.col("c.user_id")) & (F.col("c.ts") <= F.col("p.ts")),
+            "left",
+        )
+        .groupBy("p.event_id")
+        .agg(F.max("c.ts").alias("best_ts"))
+    )
+    want = {r["event_id"]: r["best_ts"] for r in brute.collect()}
+    assert got == want
+
+
+def test_asof_join_tie_is_inclusive(spark):
+    left = spark.createDataFrame([(1, 100, 10.0)], "id long, k long, ts double")
+    right = spark.createDataFrame(
+        [(100, 10.0, "same"), (100, 9.0, "before"), (100, 11.0, "after")],
+        "k long, ts double, tag string",
+    )
+    out = asof_join_backward(
+        left.select("id", "k", "ts"),
+        right,
+        by="k",
+        ts="ts",
+        right_value_cols=["tag"],
+    ).collect()
+    assert len(out) == 1 and out[0]["asof_tag"] == "same"

@@ -19,6 +19,8 @@ def test_queries_and_oracles_are_wired():
     os_ = entry.oracle_sql()
     assert len(qs) >= 27
     assert set(os_) <= set(qs)
-    # probabilistic ops are the only ones allowed to skip the oracle
+    # probabilistic/sketch ops are the only ones allowed to skip the oracle
     no_oracle = set(qs) - set(os_)
-    assert all("lsh" in n or "simhash" in n for n in no_oracle), no_oracle
+    assert all(
+        "lsh" in n or "simhash" in n or "approx" in n for n in no_oracle
+    ), no_oracle
