@@ -1,0 +1,227 @@
+"""Engine runner: the reference's Dagster asset graph as one
+SparkSession + four idempotent layer runs over a Parquet lakehouse.
+
+Reference lifecycle (SURVEY §3): Dagster daemon -> per-asset
+SparkSession -> pandas hop -> Spark -> MinIO/MySQL/SQL Server.
+Here: `Engine(spark, warehouse).run_all(green_dir=...)` — each layer a
+pure transform between warehouse tables:
+
+  silver   raw monthly parquet -> trips_silver        (month-partitioned)
+  dims     date dim + seeded dims + upserts           (small tables)
+  fact     watermark-incremental star fact            (month-partitioned,
+                                                       partition overwrite
+                                                       = idempotent re-runs)
+  reports  monthly_report / weekly_report             (full rebuild)
+
+CLI:  python -m nyc_etl_pipeline_spark.engine \
+          --warehouse /tmp/wh --green-dir .../green_data \
+          --zone-csv .../taxi_zone.csv [--layer all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.io import Warehouse
+from nyc_etl_pipeline_spark.pipeline import (
+    build_date_dim,
+    build_fact,
+    clean_trips,
+    latest_pickup_watermark,
+    monthly_report,
+    seed_payment_dim,
+    seed_rate_dim,
+    seed_type_dim,
+    seed_vendor_dim,
+    upsert_dim,
+    weekly_report,
+    zone_dim,
+)
+from nyc_etl_pipeline_spark.pipeline.dims import dim_candidates
+from nyc_etl_pipeline_spark.pipeline.silver import read_raw_normalized
+from nyc_etl_pipeline_spark.schemas import GREEN_RAW, YELLOW_RAW
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, warehouse_root: str, year: int = 2023):
+        self.spark = spark
+        self.wh = Warehouse(spark, warehouse_root)
+        self.year = year
+
+    # ---- silver ----------------------------------------------------------
+
+    def run_silver(self, green_dir: str | None = None, yellow_dir: str | None = None) -> None:
+        """Clean+unify all available raw files into month-partitioned
+        trips_silver (by-name union fixes reference Q2/Q3)."""
+        parts: list[DataFrame] = []
+        for d, schema, color in ((green_dir, GREEN_RAW, "Green"), (yellow_dir, YELLOW_RAW, "Yellow")):
+            if not d:
+                continue
+            paths = sorted(
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            )
+            raw = read_raw_normalized(self.spark, paths, schema)
+            parts.append(clean_trips(raw, color))
+        if not parts:
+            raise ValueError("no raw inputs given")
+        silver = parts[0]
+        for p in parts[1:]:
+            silver = silver.unionByName(p)
+        silver = silver.withColumn("month", F.month("pickup_datetime"))
+        self.wh.overwrite_partitions(silver, "trips_silver", ["month"])
+
+    # ---- dims ------------------------------------------------------------
+
+    def run_dims(self, zone_csv: str | None = None) -> None:
+        spark = self.spark
+        silver = self.wh.read("trips_silver")
+        self.wh.overwrite(
+            build_date_dim(spark, f"{self.year}-01-01", f"{self.year}-12-31"), "dim_date"
+        )
+        vendors = upsert_dim(
+            self._existing("dim_vendor", seed_vendor_dim(spark)),
+            dim_candidates([silver], "VendorID"),
+            "VendorID",
+            "VendorName",
+            "Unknown Vendor",
+        )
+        self.wh.overwrite(vendors, "dim_vendor")
+        rates = upsert_dim(
+            self._existing("dim_rate", seed_rate_dim(spark)),
+            dim_candidates([silver.withColumnRenamed("RatecodeID", "RatecodeID")], "RatecodeID"),
+            "RatecodeID",
+            "RatecodeName",
+            "Unknown Ratecode",
+        )
+        self.wh.overwrite(rates, "dim_rate")
+        payments = upsert_dim(
+            self._existing("dim_payment", seed_payment_dim(spark)),
+            silver.select(F.col("payment_type").alias("paymentID")).dropDuplicates(),
+            "paymentID",
+            "payment_type",
+            "Unknown Payment Method",
+            drop_sentinel=False,  # 0 is the seeded 'Flex Fare trip' key (Q4)
+        )
+        self.wh.overwrite(payments, "dim_payment")
+        self.wh.overwrite(seed_type_dim(spark), "dim_type")
+        if zone_csv:
+            self.wh.overwrite(zone_dim(spark, zone_csv), "dim_zone")
+
+    def _existing(self, table: str, seed: DataFrame) -> DataFrame:
+        # Q5 semantics: existing dim rows are never updated; seeds are
+        # the initial state on first run. The existing dim is
+        # materialized (dims are small by definition) so the upsert's
+        # output can overwrite the same path it was derived from —
+        # lazy lineage over the original files would read deleted
+        # parquet mid-write.
+        if self.wh.exists(table):
+            df = self.wh.read(table)
+            return self.spark.createDataFrame(df.collect(), df.schema)
+        return seed
+
+    # ---- fact ------------------------------------------------------------
+
+    def run_fact(self, incremental: bool = True) -> None:
+        """Incremental load, idempotent per month (fixes reference Q6).
+
+        The watermark only *detects* which months have new data; those
+        months are then rebuilt COMPLETELY from silver and swapped in
+        with partition overwrite. (Appending just the post-watermark
+        rows would be cheaper but re-runs after partial failures would
+        duplicate; overwriting a partition with only the new rows would
+        drop the month's earlier rows. Rebuild-and-swap is the design
+        that stays correct under retries and late data — the engine is
+        single-year scoped like the reference's date dim, so `month`
+        alone identifies a partition.)
+        """
+        silver = self.wh.read("trips_silver")
+        dd = self.wh.read("dim_date")
+        dtype = self.wh.read("dim_type")
+        if incremental and self.wh.exists("fact_nyc"):
+            wm = latest_pickup_watermark(self.wh.read("fact_nyc"), dd)
+            affected = [
+                r["m"]
+                for r in silver.filter(F.col("pickup_datetime") > F.lit(wm))
+                .select(F.month("pickup_datetime").alias("m"))
+                .distinct()
+                .collect()
+            ]
+            if not affected:
+                return
+            silver = silver.filter(F.month("pickup_datetime").isin(affected))
+        fact = build_fact(silver, dd, dtype)
+        month_of = F.broadcast(
+            dd.select(F.col("dateID").alias("date_puID"), F.col("month").alias("month"))
+        )
+        fact = fact.join(month_of, on="date_puID", how="inner")
+        self.wh.overwrite_partitions(fact, "fact_nyc", ["month"])
+
+    # ---- reports ---------------------------------------------------------
+
+    def run_reports(self) -> None:
+        fact = self.wh.read("fact_nyc").drop("month")
+        args = (
+            fact,
+            self.wh.read("dim_date"),
+            self.wh.read("dim_zone"),
+            self.wh.read("dim_type"),
+            self.wh.read("dim_vendor"),
+            self.wh.read("dim_payment"),
+            self.wh.read("dim_rate"),
+        )
+        self.wh.overwrite(monthly_report(*args), "monthly_report")
+        self.wh.overwrite(weekly_report(*args), "weekly_report")
+
+    def run_all(
+        self,
+        green_dir: str | None = None,
+        yellow_dir: str | None = None,
+        zone_csv: str | None = None,
+        incremental: bool = True,
+    ) -> None:
+        self.run_silver(green_dir, yellow_dir)
+        self.run_dims(zone_csv)
+        self.run_fact(incremental=incremental)
+        self.run_reports()
+
+
+def main() -> None:
+    from nyc_etl_pipeline_spark import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--green-dir")
+    ap.add_argument("--yellow-dir")
+    ap.add_argument("--zone-csv")
+    ap.add_argument("--year", type=int, default=2023)
+    ap.add_argument(
+        "--layer", default="all", choices=["all", "silver", "dims", "fact", "reports"]
+    )
+    ap.add_argument("--full-refresh", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="nyc-etl-pipeline-engine")
+    eng = Engine(spark, args.warehouse, year=args.year)
+    if args.layer == "all":
+        eng.run_all(
+            args.green_dir, args.yellow_dir, args.zone_csv, incremental=not args.full_refresh
+        )
+    elif args.layer == "silver":
+        eng.run_silver(args.green_dir, args.yellow_dir)
+    elif args.layer == "dims":
+        eng.run_dims(args.zone_csv)
+    elif args.layer == "fact":
+        eng.run_fact(incremental=not args.full_refresh)
+    elif args.layer == "reports":
+        eng.run_reports()
+    for t in ("trips_silver", "fact_nyc", "monthly_report", "weekly_report"):
+        if eng.wh.exists(t):
+            print(f"{t}: {eng.wh.read(t).count()} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""End-to-end Engine runs over real green data into a tmp warehouse:
+full run, incremental no-op, incremental month arrival, idempotent
+re-run."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.engine import Engine
+
+GREEN_DIR = "/root/reference/data/green_data"
+ZONE_CSV = "/root/reference/data/taxi_zone.csv"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(GREEN_DIR), reason="reference green data not present"
+)
+
+
+@pytest.fixture()
+def two_month_dir(tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    for f in ("2023-01.parquet", "2023-02.parquet"):
+        shutil.copy(os.path.join(GREEN_DIR, f), d / f)
+    return str(d)
+
+
+def test_engine_full_then_incremental(spark, tmp_path, two_month_dir):
+    wh_root = str(tmp_path / "wh")
+    eng = Engine(spark, wh_root)
+    eng.run_all(green_dir=two_month_dir, zone_csv=ZONE_CSV)
+
+    n_fact_1 = eng.wh.read("fact_nyc").count()
+    n_monthly_1 = eng.wh.read("monthly_report").count()
+    assert n_fact_1 > 100_000
+    assert n_monthly_1 > 0
+    months_1 = {
+        r["month"]: r["n"]
+        for r in eng.wh.read("fact_nyc").groupBy("month").agg(F.count("*").alias("n")).collect()
+    }
+    # real TLC files carry strays: the Feb file holds one 2023-03-01
+    # trip (kept — in-dim-year), plus 2008/2009/2022 strays (dropped by
+    # the date-dim inner join, Q10)
+    assert set(months_1) == {1, 2, 3}
+
+    # incremental re-run with no new data: fact unchanged
+    eng.run_fact(incremental=True)
+    assert eng.wh.read("fact_nyc").count() == n_fact_1
+
+    # a new month arrives -> its month is rebuilt; earlier months intact
+    shutil.copy(os.path.join(GREEN_DIR, "2023-03.parquet"), two_month_dir + "/2023-03.parquet")
+    eng.run_silver(green_dir=two_month_dir)
+    eng.run_fact(incremental=True)
+    fact = eng.wh.read("fact_nyc")
+    months = {r["month"]: r["n"] for r in fact.groupBy("month").agg(F.count("*").alias("n")).collect()}
+    assert set(months) >= {1, 2, 3}
+    assert months[1] == months_1[1]  # untouched partitions preserved
+    assert months[2] == months_1[2]
+    assert months[3] > months_1[3]  # March rebuilt with the full file
+
+    # full re-run of everything is idempotent (Q6 fixed)
+    n_total = fact.count()
+    eng.run_all(green_dir=two_month_dir, zone_csv=ZONE_CSV)
+    assert eng.wh.read("fact_nyc").count() == n_total
+
+
+def test_engine_dim_upsert_keeps_existing_names(spark, tmp_path, two_month_dir):
+    eng = Engine(spark, str(tmp_path / "wh2"))
+    eng.run_silver(green_dir=two_month_dir)
+    eng.run_dims(zone_csv=ZONE_CSV)
+    vend = {r["VendorID"]: r["VendorName"] for r in eng.wh.read("dim_vendor").collect()}
+    assert vend[1] == "Creative Mobile Technologies, LLC"
+    assert vend[2] == "VeriFone Inc."
+    rates = {r["RatecodeID"]: r["RatecodeName"] for r in eng.wh.read("dim_rate").collect()}
+    assert rates[99] == "Unknown"
+    assert 0 not in rates  # sentinel dropped (Q4)
+    pays = {r["paymentID"]: r["payment_type"] for r in eng.wh.read("dim_payment").collect()}
+    assert pays[0] == "Flex Fare trip"  # sentinel kept for payment dim
