@@ -1,0 +1,76 @@
+"""Custom stateful streaming operator via applyInPandasWithState:
+per-user running totals that survive across micro-batches through the
+checkpointed state store.
+
+This is the escape hatch for streaming semantics the built-in windowed
+aggregations can't express (per-key custom accumulators, online
+models, cross-batch counters). State is a small tuple per key — the
+state store scales with distinct keys, not events.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events_total", LongType()),
+        StructField("value_total", DoubleType()),
+        StructField("max_value_seen", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("mx", DoubleType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n, total, mx = state.get
+    else:
+        n, total, mx = 0, 0.0, float("-inf")
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events_total": [n],
+            "value_total": [total],
+            "max_value_seen": [mx],
+        }
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """events (streaming) -> one updated row per user per micro-batch
+    with running totals accumulated in the state store."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,83 @@
+"""applyInPandasWithState: state must accumulate across micro-batches
+(separate AvailableNow runs over a growing directory, shared
+checkpoint) and converge to the batch ground truth."""
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nyc_etl_pipeline_spark.streaming.stateful import running_user_totals
+
+_PHYS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _run_once(spark, src_dir, ckpt, name):
+    stream = (
+        spark.readStream.schema(_PHYS)
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    rows = []
+
+    # memory sink can't recover from a checkpoint; foreachBatch can
+    def collect_batch(df, _epoch):
+        rows.extend(df.collect())
+
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(collect_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
+def test_state_accumulates_across_batches(spark, sf_dir, tmp_path):
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # split the fixture into two arrival batches by event_id parity
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    half1.write.parquet(str(src / "batch1"))
+
+    # batch 1: totals reflect half the data
+    out1 = _run_once(spark, f"{str(src)}/*", ckpt, "s_tot1")
+    got1 = {r["user_id"]: r["n_events_total"] for r in out1}
+    want1 = {
+        r["user_id"]: r["n"]
+        for r in half1.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got1 == want1
+
+    # batch 2 arrives: per-user totals must now cover ALL events,
+    # proving state survived the restart via the checkpoint
+    half2.write.parquet(str(src / "batch2"))
+    out2 = _run_once(spark, f"{str(src)}/*", ckpt, "s_tot2")
+    got2 = {r["user_id"]: (r["n_events_total"], round(r["value_total"], 6)) for r in out2}
+    want2 = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    # users with no batch-2 events emit nothing in run 2; check the rest
+    assert got2
+    for uid, (n, t) in got2.items():
+        assert (n, t) == want2[uid], uid
