@@ -89,6 +89,11 @@ def ngram_jaccard_pairs(
         sh = sh.join(freq.filter(F.col("__df") <= max_doc_freq), on="__sh", how="inner").select(
             "__id", "__sh"
         )
+    # The shingle table feeds three subtrees (sizes + both join sides);
+    # without persist Spark re-runs the explode+distinct generation 3x
+    # (measured: 3x the query's total join cost). The ContextCleaner
+    # drops the blocks once the result DataFrame is unreferenced.
+    sh = sh.persist()
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
 
     a = sh.select(F.col("__id").alias("a_id"), "__sh")
@@ -152,7 +157,11 @@ def minhash_lsh_pairs(
     against true n-gram Jaccard. Returns (a_id, b_id, jaccard).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # shared by the signature build and the exact-verification join
+    sh_cached = _shingle_table(df, id_col, text_col, n).persist()
+    sig = sh_cached.groupBy(F.col("__id").alias(id_col)).agg(
+        *_minhash_signature_cols(num_hashes)
+    )
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
         for b in range(bands)
@@ -178,7 +187,7 @@ def minhash_lsh_pairs(
     )
 
     # exact verification: recompute Jaccard only for candidate pairs
-    sh = _shingle_table(df, id_col, text_col, n)
+    sh = sh_cached
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     ov = (
         cands.join(sh.select(F.col("__id").alias("a_id"), "__sh"), on="a_id")
