@@ -6,6 +6,12 @@ Spark's round() decides halves on the exact binary expansion
 disagree on values like 263856.5595. Both helpers compute the SAME
 double expression floor(x * 10^d + 0.5) / 10^d, so engine results are
 bit-identical by construction (floor is exact on doubles).
+
+Contract bound: parity is guaranteed for |x * 10^d| < 2^53
+(hypothesis-tested in tests/test_properties.py). Beyond that, doubles
+can't hold sub-integer precision and Spark's BigDecimal floor diverges
+from C floor — but "rounding to d digits" is meaningless there anyway.
+All suite aggregates are orders of magnitude below the bound.
 """
 
 from __future__ import annotations

@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis): operator invariants that must
+hold for ANY input, not just the fixtures — the SURVEY §5 strategy's
+robustness layer.
+
+Spark session startup is expensive, so examples are batched: each
+property materializes one DataFrame per example set via
+hypothesis-generated rows.
+"""
+
+import math
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nyc_etl_pipeline_spark.functions import round_half_up, sql_round_half_up
+
+# parity contract bound: |x * 10^d| < 2^53 (see functions/__init__);
+# with digits <= 6 that caps |x| at ~9e9
+finite_doubles = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(finite_doubles, min_size=1, max_size=50), st.integers(0, 6))
+def test_round_half_up_matches_duckdb_everywhere(spark, values, digits):
+    """The cross-engine rounding contract: identical results in Spark
+    and DuckDB for arbitrary doubles (this is what makes every
+    aggregate query oracle-comparable)."""
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got = [
+        r["y"]
+        for r in df.select(round_half_up(df.x, digits).alias("y")).collect()
+    ]
+    con = duckdb.connect()
+    expr = sql_round_half_up("x", digits)
+    want = [
+        con.sql(f"SELECT {expr} AS y FROM (SELECT CAST({v!r} AS DOUBLE) AS x)").fetchone()[0]
+        for v in values
+    ]
+    for g, w in zip(got, want):
+        assert (g == w) or (math.isnan(g) and math.isnan(w)), (g, w)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10_000), st.text("ab ", max_size=8)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_asof_join_invariants(spark, rows):
+    """For random (key, ts) data: every matched right ts is <= left ts,
+    is the max such ts in the key group, and unmatched lefts have no
+    earlier right row."""
+    from nyc_etl_pipeline_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(i, k, float(t)) for i, (k, t, _) in enumerate(rows)],
+        "id long, k long, ts double",
+    )
+    right = spark.createDataFrame(
+        [(k, float(t) + 0.5, s) for (k, t, s) in rows], "k long, ts double, tag string"
+    )
+    out = asof_join_backward(left, right, by="k", ts="ts", right_value_cols=["tag"]).collect()
+    rights = {}
+    for k, t, s in [(k, t + 0.5, s) for (k, t, s) in rows]:
+        rights.setdefault(k, []).append(t)
+    assert len(out) == left.count()
+    for r in out:
+        cand = [t for t in rights.get(r["k"], []) if t <= r["ts"]]
+        if r["asof_ts"] is None:
+            assert not cand
+        else:
+            assert math.isclose(r["asof_ts"], max(cand))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text("abcd e", min_size=0, max_size=40), min_size=1, max_size=40))
+def test_fingerprint_and_tokens_total_functions(spark, texts):
+    """Text operators are total: any string (empty, whitespace-only,
+    repeated separators) produces a row, token counts are
+    non-negative, fingerprints are within the modulus."""
+    from pyspark.sql import functions as F
+
+    from nyc_etl_pipeline_spark.operators.text import (
+        FINGERPRINT_MOD,
+        fingerprint_rolling,
+        whitespace_token_count,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = df.select(
+        whitespace_token_count(F.col("text")).alias("n"),
+        fingerprint_rolling(F.col("text")).alias("fp"),
+    ).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        assert r["n"] >= 0
+        assert 0 <= r["fp"] < FINGERPRINT_MOD
