@@ -123,6 +123,80 @@ def cosine_pairs(
     return df.mapInPandas(score, schema="a_id long, b_id long, cosine double")
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a seeded KMeans coarse
+    quantizer assigns each corpus vector to one of n_lists cells; a
+    query scores only the n_probe nearest cells' vectors. Search cost
+    drops by ~n_lists/n_probe at a recall cost when true neighbors sit
+    in unprobed cells (recall vs the exact baseline is pinned in
+    pytest).
+
+    The cell assignment is the shuffle key at scale: corpus partitions
+    by cell once (write-time layout), queries broadcast. Spark ML
+    KMeans with a fixed seed keeps assignments deterministic.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    spark = corpus.sparkSession
+    feat = corpus.select(
+        F.col(id_col), array_to_vector(_as_double(F.col(vec_col))).alias("__features")
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__features", predictionCol="__cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__cell"),
+        vector_to_array("__features").alias("__cv"),
+    )
+
+    centers = model.clusterCenters()
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    # n_probe nearest cells per query, by euclidean distance to centers
+    center_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)]
+    cdf = spark.createDataFrame(center_rows, "cell int, cvec array<double>")
+    dist2 = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("__d2"), F.col("__cell"))
+    probes = (
+        q.join(F.broadcast(cdf))
+        .select("query_id", "__qv", F.col("cell").alias("__cell"), dist2.alias("__d2"))
+        .withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "__qv", "__cell")
+    )
+    scored = assigned.join(F.broadcast(probes), on="__cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        cosine(F.col("__qv"), F.col("__cv")).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cosine"),
+            F.col("__rn").cast("int").alias("rank"),
+        )
+    )
+
+
 def _hyperplane_sign(vec: Column, plane_idx: int, dim: int) -> Column:
     """Sign of <vec, r_plane> where r_plane components are deterministic
     pseudo-random +/-1 from xxhash64(plane_idx, j)."""

@@ -71,6 +71,15 @@ def q27_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_bucketed_pairs(emb, threshold=NEARDUP_COSINE, n_planes=6)
 
 
+def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (KMeans coarse quantizer, n_probe cells).
+    No oracle (clustering-dependent recall); recall vs exact q25 is
+    pinned in pytest."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    return SIM.ivf_topk(emb, queries, k=TOPK_K, n_lists=8, n_probe=3)
+
+
 SPECS = [
     QuerySpec("q25_embedding_topk", q25_embedding_topk, _Q25_SQL,
               "exact cosine top-k (broadcast queries, no corpus shuffle)"),
@@ -78,4 +87,6 @@ SPECS = [
               "exact cosine near-dup pairs"),
     QuerySpec("q27_lsh_bucketed_pairs", q27_lsh_bucketed_pairs, None,
               "LSH-bucketed near-dup (subset of q26; recall tested in pytest)"),
+    QuerySpec("q35_ivf_topk", q35_ivf_topk, None,
+              "IVF approximate top-k (recall vs exact q25 in pytest)"),
 ]

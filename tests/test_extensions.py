@@ -96,6 +96,27 @@ def test_cosine_topk_self_is_excluded_and_ranked(spark, sf_dir):
         assert cosines == sorted(cosines, reverse=True)
 
 
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {}
+    for r in SIM.cosine_topk(emb, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf = {}
+    for r in SIM.ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(ivf) == set(exact)
+    # probing 3/8 cells must still recover most true neighbors
+    hits = sum(len(ivf[q] & exact[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.6, f"IVF recall {hits}/{total}"
+    # determinism (seeded KMeans)
+    again = {}
+    for r in SIM.ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3).collect():
+        again.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert again == ivf
+
+
 def test_exact_dedup_counts(spark, sf_dir):
     d = _docs(spark, sf_dir)
     out = D.exact_dedup(d)

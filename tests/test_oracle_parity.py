@@ -22,5 +22,5 @@ def test_queries_and_oracles_are_wired():
     # probabilistic/sketch ops are the only ones allowed to skip the oracle
     no_oracle = set(qs) - set(os_)
     assert all(
-        "lsh" in n or "simhash" in n or "approx" in n for n in no_oracle
+        any(tag in n for tag in ("lsh", "simhash", "approx", "ivf")) for n in no_oracle
     ), no_oracle
