@@ -1,0 +1,60 @@
+"""Pandas-UDF operator surface: grouped-map (applyInPandas) and
+grouped-aggregate (pandas_udf) — the Arrow-batched slow path, used
+only where per-group Python semantics are genuinely wanted. Both
+examples here are deliberately SQL-expressible so the DuckDB oracle
+can verify the Arrow round-trip end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zscore_per_group(
+    df: DataFrame, group_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """Grouped-map applyInPandas: z-score of value_col within each
+    group (ddof=1). Groups arrive as whole pandas DataFrames — state
+    of the group fits in memory by contract; at scale prefer the
+    window-function formulation (same semantics, no Python) unless the
+    per-group logic can't be expressed in SQL."""
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col]
+        std = v.std(ddof=1)
+        mean = v.mean()
+        if pd.isna(std) or std == 0.0:
+            z = pd.Series([None] * len(v), dtype="float64")
+        else:
+            z = (v - mean) / std
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                group_col: pdf[group_col],
+                "zscore": np.floor(z * 10000.0 + 0.5) / 10000.0,
+            }
+        )
+
+    out_schema = f"{id_col} long, {group_col} long, zscore double"
+    return df.groupBy(group_col).applyInPandas(_z, schema=out_schema)
+
+
+def geometric_mean_agg(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Grouped-agg pandas_udf: geometric mean of positive values per
+    group — exp(mean(ln x)) computed in numpy over Arrow batches."""
+
+    @F.pandas_udf("double")
+    def _gmean(v: pd.Series) -> float:
+        arr = v.to_numpy(dtype="float64")
+        arr = arr[arr > 0]
+        if len(arr) == 0:
+            return float("nan")
+        return float(np.exp(np.log(arr).mean()))
+
+    return df.groupBy(group_col).agg(
+        _gmean(F.col(value_col)).alias("geo_mean_raw")
+    )

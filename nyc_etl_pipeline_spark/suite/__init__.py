@@ -31,10 +31,22 @@ class QuerySpec:
 
 
 def all_specs() -> list[QuerySpec]:
-    from nyc_etl_pipeline_spark.suite import advanced, events, relational, textops, vectors
+    from nyc_etl_pipeline_spark.suite import (
+        advanced,
+        events,
+        pandasops,
+        relational,
+        textops,
+        vectors,
+    )
 
     return (
-        relational.SPECS + events.SPECS + textops.SPECS + vectors.SPECS + advanced.SPECS
+        relational.SPECS
+        + events.SPECS
+        + textops.SPECS
+        + vectors.SPECS
+        + advanced.SPECS
+        + pandasops.SPECS
     )
 
 
