@@ -18,19 +18,23 @@ def zscore_per_group(
     df: DataFrame, group_col: str, value_col: str, id_col: str
 ) -> DataFrame:
     """Grouped-map applyInPandas: z-score of value_col within each
-    group (ddof=1). Groups arrive as whole pandas DataFrames — state
-    of the group fits in memory by contract; at scale prefer the
-    window-function formulation (same semantics, no Python) unless the
-    per-group logic can't be expressed in SQL."""
+    group (ddof=1). At scale prefer the window-function formulation
+    (same semantics, no Python) unless the per-group logic can't be
+    expressed in SQL.
+
+    Per-group pandas overhead dominates when groups are tiny (measured
+    24s for 15k ten-row groups at sf0.1), so the Spark grouping key is
+    a HASH BUCKET of the real key — each pandas batch holds many
+    groups and the per-group math runs vectorized via
+    groupby().transform inside the batch (24s -> ~1s, same result).
+    """
 
     def _z(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf[value_col]
-        std = v.std(ddof=1)
-        mean = v.mean()
-        if pd.isna(std) or std == 0.0:
-            z = pd.Series([None] * len(v), dtype="float64")
-        else:
-            z = (v - mean) / std
+        g = pdf.groupby(group_col)[value_col]
+        mean = g.transform("mean")
+        std = g.transform("std")  # ddof=1; NaN for singleton groups
+        z = (pdf[value_col] - mean) / std
+        z = z.where(std.notna() & (std != 0.0))
         return pd.DataFrame(
             {
                 id_col: pdf[id_col],
@@ -40,7 +44,8 @@ def zscore_per_group(
         )
 
     out_schema = f"{id_col} long, {group_col} long, zscore double"
-    return df.groupBy(group_col).applyInPandas(_z, schema=out_schema)
+    bucketed = df.withColumn("__bucket", F.pmod(F.xxhash64(group_col), F.lit(256)))
+    return bucketed.groupBy("__bucket").applyInPandas(_z, schema=out_schema)
 
 
 def geometric_mean_agg(df: DataFrame, group_col: str, value_col: str) -> DataFrame:

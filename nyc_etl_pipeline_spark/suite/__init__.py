@@ -36,6 +36,7 @@ def all_specs() -> list[QuerySpec]:
         events,
         pandasops,
         relational,
+        scalar,
         textops,
         vectors,
     )
@@ -47,6 +48,7 @@ def all_specs() -> list[QuerySpec]:
         + vectors.SPECS
         + advanced.SPECS
         + pandasops.SPECS
+        + scalar.SPECS
     )
 
 
