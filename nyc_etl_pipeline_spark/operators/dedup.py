@@ -207,6 +207,51 @@ def minhash_lsh_pairs(
     )
 
 
+def neardup_clusters(
+    nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document gets a
+    cluster representative (the minimum doc id reachable through the
+    pair graph) — the canonical-document selection step of a dedup
+    pipeline. Singletons are their own representative.
+
+    Iterative min-label propagation to fixpoint; near-dup components
+    have tiny diameters so this converges in a few rounds. Each round
+    localCheckpoints to truncate lineage (iterative plans otherwise
+    grow unboundedly). For billion-edge graphs swap in the
+    large-star/small-star formulation — same DataFrame-only shape.
+    """
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).unionByName(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    edges = edges.localCheckpoint()
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")).localCheckpoint()
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), on="node")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_rep"))
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:

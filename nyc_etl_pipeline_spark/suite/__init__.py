@@ -33,6 +33,7 @@ class QuerySpec:
 def all_specs() -> list[QuerySpec]:
     from nyc_etl_pipeline_spark.suite import (
         advanced,
+        curation,
         events,
         pandasops,
         relational,
@@ -49,6 +50,7 @@ def all_specs() -> list[QuerySpec]:
         + advanced.SPECS
         + pandasops.SPECS
         + scalar.SPECS
+        + curation.SPECS
     )
 
 

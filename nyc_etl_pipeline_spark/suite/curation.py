@@ -1,0 +1,151 @@
+"""Data-curation suite: near-dup clustering (connected components),
+exact percentiles, TPC-H Q1, data-quality profiling."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.functions import round_half_up as R
+from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.operators import dedup as D
+from nyc_etl_pipeline_spark.operators.quality import profile
+from nyc_etl_pipeline_spark.suite import QuerySpec
+from nyc_etl_pipeline_spark.suite.textops import _SHINGLES, _TOKS, JACCARD_THRESHOLD, NGRAM_N
+
+
+def q41_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: connected components over the
+    exact n-gram-Jaccard pair graph (q18), min-id representative,
+    singletons included."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    return D.neardup_clusters(docs, pairs)
+
+
+_Q41_SQL = f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+ov AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ov
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id FROM ov
+  JOIN sizes sa ON a_id = sa.doc_id
+  JOIN sizes sb ON b_id = sb.doc_id
+  WHERE ov * 1.0 / (sa.n + sb.n - ov) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT a_id AS a, b_id AS b FROM pairs UNION SELECT b_id, a_id FROM pairs),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_rep
+FROM reach GROUP BY node
+"""
+
+
+def q42_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation) — the ground truth the
+    q34 sketches approximate."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        R(F.percentile("l_extendedprice", 0.25), 3).alias("p25"),
+        R(F.percentile("l_extendedprice", 0.5), 3).alias("p50"),
+        R(F.percentile("l_extendedprice", 0.75), 3).alias("p75"),
+        R(F.percentile("l_extendedprice", 0.99), 3).alias("p99"),
+    )
+
+
+_Q42_SQL = """
+SELECT l_returnflag AS returnflag,
+       floor((quantile_cont(l_extendedprice, 0.25)) * 1000.0 + 0.5) / 1000.0 AS p25,
+       floor((quantile_cont(l_extendedprice, 0.50)) * 1000.0 + 0.5) / 1000.0 AS p50,
+       floor((quantile_cont(l_extendedprice, 0.75)) * 1000.0 + 0.5) / 1000.0 AS p75,
+       floor((quantile_cont(l_extendedprice, 0.99)) * 1000.0 + 0.5) / 1000.0 AS p99
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def q43_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — the canonical wide
+    aggregation: one scan, partial+final hash agg, filter pushed to
+    parquet."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            R(F.sum("l_quantity"), 3).alias("sum_qty"),
+            R(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
+            R(F.sum(disc_price), 3).alias("sum_disc_price"),
+            R(F.sum(charge), 3).alias("sum_charge"),
+            R(F.avg("l_quantity"), 3).alias("avg_qty"),
+            R(F.avg("l_extendedprice"), 3).alias("avg_price"),
+            R(F.avg("l_discount"), 3).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q43_SQL = """
+SELECT l_returnflag AS returnflag,
+       l_linestatus AS linestatus,
+       floor((CAST(sum(l_quantity) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS sum_qty,
+       floor((CAST(sum(l_extendedprice) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS sum_base_price,
+       floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS sum_disc_price,
+       floor((CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS sum_charge,
+       floor((avg(l_quantity)) * 1000.0 + 0.5) / 1000.0 AS avg_qty,
+       floor((avg(l_extendedprice)) * 1000.0 + 0.5) / 1000.0 AS avg_price,
+       floor((avg(l_discount)) * 1000.0 + 0.5) / 1000.0 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q44_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/distinct profile of orders — one aggregate pass
+    for all columns, reshaped to long."""
+    return profile(read_testdata(spark, sf_dir, "orders"))
+
+
+def _profile_sql() -> str:
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    parts = [
+        f"""SELECT '{c}' AS column, count(*) AS n_rows,
+            CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+            CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+            FROM orders"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+SPECS = [
+    QuerySpec("q41_neardup_clusters", q41_neardup_clusters, _Q41_SQL,
+              "connected-components canonical-doc selection over near-dup pairs"),
+    QuerySpec("q42_percentiles", q42_percentiles, _Q42_SQL,
+              "exact percentiles (linear interpolation)"),
+    QuerySpec("q43_tpch_q1", q43_tpch_q1, _Q43_SQL, "TPC-H Q1 pricing summary"),
+    QuerySpec("q44_data_profile", q44_data_profile, _profile_sql(),
+              "per-column null/distinct profile, single-pass"),
+]
