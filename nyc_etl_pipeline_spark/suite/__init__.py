@@ -33,6 +33,7 @@ class QuerySpec:
 def all_specs() -> list[QuerySpec]:
     from nyc_etl_pipeline_spark.suite import (
         advanced,
+        complextypes,
         curation,
         events,
         pandasops,
@@ -51,6 +52,7 @@ def all_specs() -> list[QuerySpec]:
         + pandasops.SPECS
         + scalar.SPECS
         + curation.SPECS
+        + complextypes.SPECS
     )
 
 
