@@ -114,6 +114,28 @@ class Warehouse:
             .parquet(self.path(table))
         )
 
+    def compact(self, table: str, target_file_mb: int = 128) -> int:
+        """Small-file compaction: rewrite a table into ~target-sized
+        files. Streaming/incremental writes accumulate small files;
+        at scale, scan cost is dominated by file-open overhead long
+        before data volume. Returns the new file count."""
+        import math
+
+        path = self.path(table)
+        size_b = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n = max(1, math.ceil(size_b / (target_file_mb * 1024 * 1024)))
+        df = self.spark.read.parquet(path)
+        # materialize (executor-side) before overwriting the same path:
+        # a lazy plan would read files the write just deleted
+        materialized = df.localCheckpoint(eager=True)
+        materialized.repartition(n).write.mode("overwrite").parquet(path)
+        return n
+
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         writer = df.write.mode("append")
         if partition_by:

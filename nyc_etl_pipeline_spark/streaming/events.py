@@ -93,6 +93,41 @@ def stream_session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFr
     )
 
 
+def stream_enrich_static(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the current
+    snapshot of a static/lakehouse dimension (re-read per batch, so a
+    dim refresh is picked up without restarting the query). The static
+    side broadcasts when under the threshold — no stream-side shuffle."""
+    return events.join(dim, on=on, how="left")
+
+
+def stream_to_warehouse(
+    agg: DataFrame,
+    warehouse,
+    table: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+):
+    """Exactly-once streaming sink into a Warehouse parquet table via
+    foreachBatch + idempotent partition overwrite: replays of a failed
+    epoch rewrite the same partitions instead of appending duplicates
+    (the streaming analogue of the engine's Q6 fix)."""
+
+    def write_batch(df: DataFrame, _epoch_id: int) -> None:
+        if partition_by:
+            warehouse.overwrite_partitions(df, table, partition_by)
+        else:
+            warehouse.overwrite(df, table)
+
+    return (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     agg: DataFrame, query_name: str, checkpoint_dir: str | None = None
 ) -> DataFrame:

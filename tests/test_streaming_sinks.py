@@ -1,0 +1,73 @@
+"""Stream-static enrichment, exactly-once warehouse sink, compaction."""
+
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.io import Warehouse, read_testdata
+from nyc_etl_pipeline_spark.streaming.events import (
+    read_event_stream,
+    stream_enrich_static,
+    stream_to_warehouse,
+)
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    tiers = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue"),
+         ("signup", "growth"), ("error", "ops")],
+        "event_type string, tier string",
+    )
+    stream = read_event_stream(spark, sf_dir)
+    enriched = stream_enrich_static(stream, tiers, on="event_type")
+    agg = enriched.groupBy("tier").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_enrich")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["tier"]: r["n"] for r in spark.table("t_enrich").collect()}
+    want = {
+        r["tier"]: r["n"]
+        for r in read_testdata(spark, sf_dir, "events")
+        .join(tiers, on="event_type", how="left")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_to_warehouse_idempotent(spark, sf_dir, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = read_event_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("total")
+    )
+    q = stream_to_warehouse(agg, wh, "event_counts", str(tmp_path / "ck1"))
+    q.awaitTermination()
+    first = {r["event_type"]: r["n"] for r in wh.read("event_counts").collect()}
+    assert len(first) == 5
+
+    # re-run over the same input with a FRESH checkpoint (simulating a
+    # replay): the overwrite sink must not duplicate rows
+    q2 = stream_to_warehouse(agg, wh, "event_counts", str(tmp_path / "ck2"))
+    q2.awaitTermination()
+    second = {r["event_type"]: r["n"] for r in wh.read("event_counts").collect()}
+    assert second == first
+
+
+def test_warehouse_compaction(spark, sf_dir, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = read_testdata(spark, sf_dir, "orders")
+    # fragment into many tiny files
+    wh.overwrite(o.repartition(40), "orders_frag")
+    import glob
+
+    n_before = len(glob.glob(wh.path("orders_frag") + "/*.parquet"))
+    assert n_before >= 40
+    wh.compact("orders_frag", target_file_mb=128)
+    n_after = len(glob.glob(wh.path("orders_frag") + "/*.parquet"))
+    assert n_after < 5
+    assert wh.read("orders_frag").count() == o.count()
