@@ -18,6 +18,23 @@ from pyspark.sql import types as T
 from nyc_etl_pipeline_spark import schemas
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs the suite's semantics depend on, applied
+    defensively: the caller may hand us a session built without the
+    engine's factory (e.g. the driver's own). UTC pins window/epoch
+    alignment to the DuckDB oracle; nanosAsLong makes TIMESTAMP(NANOS)
+    parquet readable at all."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — a locked conf is better than a crash here
+            pass
+
+
 def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table with its declared schema.
 
@@ -25,6 +42,7 @@ def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     across thousands of files at scale and (b) fails fast on drift.
     Column pruning/pushdown still reach the parquet scan.
     """
+    ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot

@@ -35,6 +35,9 @@ _EVENTS_PHYS = T.StructType(
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with ns->us conversion
     (same semantics as io.read_testdata's batch read)."""
+    from nyc_etl_pipeline_spark.io import ensure_session_confs
+
+    ensure_session_confs(spark)
     # FileStreamSource requires a directory; filter to the events file.
     return (
         spark.readStream.schema(_EVENTS_PHYS)
