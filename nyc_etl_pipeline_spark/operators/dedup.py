@@ -186,22 +186,24 @@ def minhash_lsh_pairs(
         .dropDuplicates()
     )
 
-    # exact verification: recompute Jaccard only for candidate pairs
-    sh = sh_cached
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    ov = (
-        cands.join(sh.select(F.col("__id").alias("a_id"), "__sh"), on="a_id")
-        .join(sh.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__sh_b")), on="b_id")
-        .filter(F.col("__sh") == F.col("__sh_b"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("__ov"))
+    # exact verification: recompute Jaccard only for candidate pairs.
+    # Shingle sets ride as per-doc arrays so each pair costs
+    # O(|A|+|B|) via array_intersect — a row-level shingle join here
+    # would cross |A|x|B| rows per pair and erase the LSH win.
+    doc_arrays = sh_cached.groupBy("__id").agg(
+        F.collect_set("__sh").alias("__arr"), F.count(F.lit(1)).alias("__n")
     )
-    sa = sizes.select(F.col("__id").alias("a_id"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col("__id").alias("b_id"), F.col("__n").alias("__nb"))
-    jac = F.col("__ov") / (F.col("__na") + F.col("__nb") - F.col("__ov"))
+    a_side = doc_arrays.select(
+        F.col("__id").alias("a_id"), F.col("__arr").alias("__arr_a"), F.col("__n").alias("__na")
+    )
+    b_side = doc_arrays.select(
+        F.col("__id").alias("b_id"), F.col("__arr").alias("__arr_b"), F.col("__n").alias("__nb")
+    )
+    ovc = F.size(F.array_intersect("__arr_a", "__arr_b"))
+    jac = ovc / (F.col("__na") + F.col("__nb") - ovc)
     return (
-        ov.join(sa, on="a_id")
-        .join(sb, on="b_id")
+        cands.join(a_side, on="a_id")
+        .join(b_side, on="b_id")
         .filter(jac >= threshold)
         .select("a_id", "b_id", F.round(jac, 3).alias("jaccard"))
     )
