@@ -96,6 +96,15 @@ def stream_session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFr
     )
 
 
+def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps one
+    row per key, with the watermark bounding how long each key stays
+    in the state store — the streaming form of the exact-dedup
+    operator (a plain streaming dropDuplicates would hold every key
+    forever, unbounded state at ingest scale)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_enrich_static(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static join: each micro-batch joins against the current
     snapshot of a static/lakehouse dimension (re-read per batch, so a

@@ -82,21 +82,47 @@ WHERE ov * 1.0 / (sa.n + sb.n - ov) >= {JACCARD_THRESHOLD}
 # --------------------------------------------------------------------------
 
 def q19_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization runs ONCE into an array column; every feature
+    derives from it (the naive per-feature formulation re-evaluated
+    the split ~6x — higher-order expressions are not CSE'd by
+    Catalyst; measured 2x faster single-pass)."""
     d = read_testdata(spark, sf_dir, "documents")
-    text = F.col("text")
-    n_tok = TX.whitespace_token_count(text)
-    sw_ratio = F.when(n_tok > 0, TX.stopword_count(text).cast("double") / n_tok).otherwise(0.0)
+    sw = F.array(*[F.lit(s) for s in TX.STOPWORDS_EN])
+    base = d.select(
+        "doc_id",
+        "text",
+        TX.tokens(F.col("text")).alias("__toks"),
+        F.size(F.regexp_extract_all("text", F.lit(TX.PUNCT_REGEX), F.lit(0)))
+        .cast("bigint")
+        .alias("__n_punct"),
+    ).select(
+        "doc_id",
+        "text",
+        "__toks",
+        "__n_punct",
+        F.size("__toks").cast("bigint").alias("__n_tok"),
+        F.size(F.filter("__toks", lambda t: F.array_contains(sw, F.lower(t))))
+        .cast("bigint")
+        .alias("__n_sw"),
+        F.aggregate("__toks", F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).alias(
+            "__len_sum"
+        ),
+    )
+    n_tok = F.col("__n_tok")
+    sw_ratio = F.when(n_tok > 0, F.col("__n_sw").cast("double") / n_tok).otherwise(0.0)
     p_ratio = F.when(
-        F.length(text) > 0, TX.punct_count(text).cast("double") / F.length(text)
+        F.length("text") > 0, F.col("__n_punct").cast("double") / F.length("text")
     ).otherwise(0.0)
-    return d.select(
+    len_sat = F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+    avg_len = F.when(n_tok > 0, F.col("__len_sum").cast("double") / F.col("__n_tok")).otherwise(0.0)
+    return base.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        TX.bpe_token_count(text).alias("n_bpe_tokens"),
-        R(TX.avg_token_len(text), 4).alias("avg_token_len"),
+        TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        R(avg_len, 4).alias("avg_token_len"),
         R(sw_ratio, 4).alias("stopword_ratio"),
         R(p_ratio, 4).alias("punct_ratio"),
-        TX.quality_score(text).alias("quality_score"),
+        R(0.4 * sw_ratio + 0.3 * len_sat + 0.3 * (1.0 - p_ratio), 4).alias("quality_score"),
     )
 
 
@@ -231,6 +257,44 @@ def q23_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DF_CAP = 50  # drop shingles shared by more than this many docs
+
+
+def q47_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE configuration of q18: shingles appearing in more than
+    DF_CAP documents are dropped before the self-join (hot-shingle
+    cap — bounds the quadratic blowup at web-corpus sizes). Jaccard is
+    then computed over the surviving shingle sets; the oracle
+    replicates the cap exactly, so the approximation itself is under
+    the correctness gate."""
+    return D.ngram_jaccard_pairs(
+        read_testdata(spark, sf_dir, "documents"),
+        n=NGRAM_N,
+        threshold=JACCARD_THRESHOLD,
+        max_doc_freq=DF_CAP,
+    )
+
+
+_Q47_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh_all AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
+freq AS (SELECT s, count(*) AS df FROM sh_all GROUP BY 1),
+sh AS (SELECT doc_id, s FROM sh_all JOIN freq USING (s) WHERE df <= {DF_CAP}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+ov AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ov
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       floor((ov * 1.0 / (sa.n + sb.n - ov)) * 1000.0 + 0.5) / 1000.0 AS jaccard
+FROM ov
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+WHERE ov * 1.0 / (sa.n + sb.n - ov) >= {JACCARD_THRESHOLD}
+"""
+
+
 def q24_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(
         read_testdata(spark, sf_dir, "documents"), max_hamming=7, n_blocks=8
@@ -250,6 +314,8 @@ SPECS = [
               "rolling-hash + md5 fingerprints"),
     QuerySpec("q22_multimodal_bytes", q22_multimodal_bytes, _Q22_SQL,
               "binary column plumbing: byte length + sha256"),
+    QuerySpec("q47_ngram_jaccard_capped", q47_ngram_jaccard_capped, _Q47_SQL,
+              "hot-shingle-capped Jaccard (the web-scale configuration, oracle-gated)"),
     QuerySpec("q23_minhash_lsh_pairs", q23_minhash_lsh_pairs, None,
               "MinHash+LSH near-dup (verified candidates; recall tested vs q18)"),
     QuerySpec("q24_simhash_near_pairs", q24_simhash_near_pairs, None,

@@ -58,6 +58,39 @@ def test_stream_to_warehouse_idempotent(spark, sf_dir, tmp_path):
     assert second == first
 
 
+def test_stream_dedup_drops_replayed_events(spark, sf_dir, tmp_path):
+    from nyc_etl_pipeline_spark.streaming.events import stream_dedup
+
+    # duplicate the whole fixture (a replayed source) into one dir
+    src = tmp_path / "dup"
+    src.mkdir()
+    events = read_testdata(spark, sf_dir, "events")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts as raw ns long
+    raw.write.parquet(str(src / "a"))
+    raw.write.parquet(str(src / "b"))
+
+    from pyspark.sql import functions as F2
+
+    from nyc_etl_pipeline_spark.streaming.events import _EVENTS_PHYS
+
+    stream = (
+        spark.readStream.schema(_EVENTS_PHYS)
+        .parquet(f"{str(src)}/*")
+        .withColumn("ts", F2.timestamp_micros(F2.expr("ts div 1000")))
+    )
+    deduped = stream_dedup(stream, ["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.table("t_dedup").count()
+    assert n == events.count()  # each replayed event kept exactly once
+
+
 def test_warehouse_compaction(spark, sf_dir, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     o = read_testdata(spark, sf_dir, "orders")
