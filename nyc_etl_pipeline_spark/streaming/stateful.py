@@ -74,3 +74,54 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Same operator on the NEW arbitrary-stateful API
+    (transformWithStateInPandas, Spark 4): typed value state via a
+    StatefulProcessor instead of a raw tuple — the forward-looking
+    surface for custom streaming operators.
+
+    NOTE: the TWS python worker speaks a protobuf-based state protocol
+    and needs a working `google.protobuf`; in environments without it
+    the query fails at start (the applyInPandasWithState form above
+    has no such dependency). Tested where protobuf is available;
+    skipped otherwise."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total, mx = self._state.get()
+            else:
+                n, total, mx = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events_total": [n],
+                    "value_total": [total],
+                    "max_value_seen": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

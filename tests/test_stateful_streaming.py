@@ -47,6 +47,46 @@ def _run_once(spark, src_dir, ckpt, name):
     return rows
 
 
+def test_transform_with_state_matches_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (new Spark 4 API) single-pass totals
+    equal the batch ground truth. The TWS python worker requires
+    google.protobuf (its state protocol) — absent/broken here, the
+    surface is skipped rather than stubbed."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable — transformWithState worker cannot start")
+    from nyc_etl_pipeline_spark.streaming.stateful import running_user_totals_tws
+
+    stream = (
+        spark.readStream.schema(_PHYS)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    rows = []
+    q = (
+        running_user_totals_tws(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _e: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    got = {r["user_id"]: (r["n_events_total"], round(r["value_total"], 6)) for r in rows}
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_state_accumulates_across_batches(spark, sf_dir, tmp_path):
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     # split the fixture into two arrival batches by event_id parity
