@@ -42,6 +42,32 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep only new documents whose content digest is absent from the
+    existing corpus AND unique within the batch (first-id wins) — the
+    batch-vs-corpus dedup step of an incremental ingestion pipeline
+    (the documents-table analogue of the NYC watermark pattern,
+    reference gold.py:56-65 — dedup against what's already loaded).
+
+    Both sides join on a 16-byte md5 digest: the corpus side can be a
+    stored digest index rather than the raw text (at 100 TB you never
+    re-ship document bodies through a shuffle to dedup them).
+    """
+    new_hashed = new_docs.withColumn("__h", F.md5(F.col(text_col)))
+    corpus_hashes = corpus.select(F.md5(F.col(text_col)).alias("__h")).dropDuplicates()
+    survivors = new_hashed.join(corpus_hashes, on="__h", how="left_anti")
+    first_in_batch = survivors.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return (
+        survivors.join(first_in_batch, on=["__h", id_col], how="inner")
+        .drop("__h")
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct contiguous n-grams of whitespace tokens, as strings."""
     toks = tokens(text)

@@ -470,6 +470,49 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q49 — outer-join matrix: full outer + null-safe aggregation over the
+# unmatched sides (completes the join-type coverage: inner/semi/anti/
+# asof/range/left are elsewhere)
+# --------------------------------------------------------------------------
+
+def q49_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    c_n = c.groupBy(F.col("c_nationkey").cast("int").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s_n = s.groupBy(F.col("s_nationkey").cast("int").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        c_n.join(s_n, on="nationkey", how="full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            (F.col("n_cust").isNull() | F.col("n_supp").isNull()).alias("one_sided"),
+        )
+    )
+
+
+_Q49_SQL = """
+WITH c_n AS (
+  SELECT CAST(c_nationkey AS INTEGER) AS nationkey, count(*) AS n_cust
+  FROM customer GROUP BY 1
+),
+s_n AS (
+  SELECT CAST(s_nationkey AS INTEGER) AS nationkey, count(*) AS n_supp
+  FROM supplier GROUP BY 1
+)
+SELECT coalesce(c_n.nationkey, s_n.nationkey) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp,
+       (n_cust IS NULL OR n_supp IS NULL) AS one_sided
+FROM c_n FULL OUTER JOIN s_n ON c_n.nationkey = s_n.nationkey
+"""
+
+
 SPECS = [
     QuerySpec("q01_monthly_sales_report", q01_monthly_sales_report, _Q01_SQL,
               "flagship: star join + wide group-agg (platinum monthly report shape)"),
@@ -492,4 +535,6 @@ SPECS = [
     QuerySpec("q10_rollup", q10_rollup, _Q10_SQL, "rollup grouping sets"),
     QuerySpec("q11_semi_join", q11_semi_join, _Q11_SQL, "left-semi join (EXISTS)"),
     QuerySpec("q12_pivot_linestatus", q12_pivot_linestatus, _Q12_SQL, "pivot"),
+    QuerySpec("q49_outer_joins", q49_outer_joins, _Q49_SQL,
+              "full-outer join + null-side handling"),
 ]

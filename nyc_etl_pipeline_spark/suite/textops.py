@@ -301,6 +301,28 @@ def q24_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q48_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus dedup: docs with id >= 250 are the arriving
+    batch, id < 250 the loaded corpus; survivors are batch docs whose
+    content is new to BOTH the corpus and the batch (first id wins)."""
+    d = read_testdata(spark, sf_dir, "documents")
+    new_docs = d.filter(F.col("doc_id") >= 250)
+    corpus = d.filter(F.col("doc_id") < 250)
+    return D.incremental_exact_dedup(new_docs, corpus).select("doc_id", "lang", "source")
+
+
+_Q48_SQL = """
+WITH corpus AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250),
+new_docs AS (SELECT doc_id, lang, source, md5(text) AS h FROM documents WHERE doc_id >= 250),
+survivors AS (
+  SELECT n.* FROM new_docs n LEFT JOIN corpus c USING (h) WHERE c.h IS NULL
+),
+first_ids AS (SELECT h, min(doc_id) AS doc_id FROM survivors GROUP BY 1)
+SELECT s.doc_id, s.lang, s.source
+FROM survivors s JOIN first_ids f ON s.h = f.h AND s.doc_id = f.doc_id
+"""
+
+
 SPECS = [
     QuerySpec("q17_exact_dedup", q17_exact_dedup, _Q17_SQL,
               "exact dedup via md5 digest group-by"),
@@ -316,6 +338,8 @@ SPECS = [
               "binary column plumbing: byte length + sha256"),
     QuerySpec("q47_ngram_jaccard_capped", q47_ngram_jaccard_capped, _Q47_SQL,
               "hot-shingle-capped Jaccard (the web-scale configuration, oracle-gated)"),
+    QuerySpec("q48_incremental_dedup", q48_incremental_dedup, _Q48_SQL,
+              "batch-vs-corpus incremental dedup on digest index"),
     QuerySpec("q23_minhash_lsh_pairs", q23_minhash_lsh_pairs, None,
               "MinHash+LSH near-dup (verified candidates; recall tested vs q18)"),
     QuerySpec("q24_simhash_near_pairs", q24_simhash_near_pairs, None,
