@@ -77,6 +77,52 @@ def test_asof_join_invariants(spark, rows):
             assert math.isclose(r["asof_ts"], max(cand))
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 9),                       # VendorID
+            st.one_of(st.none(), st.integers(0, 2_000_000)),  # pickup offset s (None -> null ts)
+            st.integers(0, 90_000),                  # trip duration s
+            st.one_of(st.none(), st.floats(0, 99, allow_nan=False)),  # RatecodeID
+            st.one_of(st.none(), st.floats(0, 9, allow_nan=False)),   # passenger_count
+            st.one_of(st.none(), st.floats(-50, 500, allow_nan=False)),  # fare
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_clean_trips_total_on_random_raw(spark, rows):
+    """The silver transform is total over arbitrary raw rows: output
+    schema is stable, datetimes are non-null, sentinel coercion (Q4)
+    leaves no null IDs, and trip_duration is exactly the dropoff-pickup
+    second difference."""
+    import datetime
+
+    from nyc_etl_pipeline_spark.pipeline import clean_trips
+    from nyc_etl_pipeline_spark.schemas import GREEN_RAW
+
+    base = datetime.datetime(2023, 1, 1)
+    raw = []
+    for v, off, dur, rate, pax, fare in rows:
+        pu = base + datetime.timedelta(seconds=off) if off is not None else None
+        do = (pu + datetime.timedelta(seconds=dur)) if pu is not None else None
+        raw.append(
+            (v, pu, do, "N", rate, 1, 2, pax, 1.0, fare, 0.5, 0.5, 0.0, 0.0, None,
+             1.0, 10.0, 1.0, 1.0, None)
+        )
+    df = spark.createDataFrame(raw, GREEN_RAW)
+    out = clean_trips(df, "Green").collect()
+    n_valid_ts = len({r for r in rows if r[1] is not None})
+    assert len(out) <= len(rows)
+    for r in out:
+        assert r["pickup_datetime"] is not None and r["dropoff_datetime"] is not None
+        assert r["RatecodeID"] is not None and r["passenger_count"] is not None
+        delta = (r["dropoff_datetime"] - r["pickup_datetime"]).total_seconds()
+        assert r["trip_duration"] == int(delta)
+        assert r["taxi_type"] == "Green" and r["airport_fee"] == 0.0
+
+
 @settings(max_examples=10, deadline=None)
 @given(st.lists(st.text("abcd e", min_size=0, max_size=40), min_size=1, max_size=40))
 def test_fingerprint_and_tokens_total_functions(spark, texts):
