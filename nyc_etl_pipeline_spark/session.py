@@ -38,8 +38,14 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", _DEFAULT_SHUFFLE_PARTITIONS)
         )
 
+    # In local mode the driver JVM IS the executor — its heap is the
+    # only memory knob. The 1g default dies on any serious shuffle;
+    # must be set before the JVM launches (no-op on getOrCreate reuse).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime plan re-optimization — partition coalescing,
         # skew-join splitting, sort-merge->broadcast switch. Essential
