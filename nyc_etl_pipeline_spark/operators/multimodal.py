@@ -136,6 +136,39 @@ def frame_sample(assets: DataFrame, every_n: int = 4, max_frames: int = 3) -> Da
     return assets.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
 
 
+def extract_features(assets: DataFrame, dim: int = 64) -> DataFrame:
+    """Binary payload -> unit-norm float feature vector (array<float>)
+    — the embedding step that connects the multimodal column to the
+    similarity-search operators (cosine_topk / lsh_bucketed_pairs /
+    ivf_topk take its output directly).
+
+    The 'model' is a deterministic stub: bytes are folded into `dim`
+    buckets and normalized — a real encoder (CLIP, wav2vec, ...) slots
+    into the same mapInPandas shape with identical schema/partitioning.
+    """
+    import numpy as np
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                pad = (-len(arr)) % dim
+                if pad:
+                    arr = np.concatenate([arr, np.zeros(pad)])
+                v = arr.reshape(-1, dim).sum(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    v = v / norm
+                ids.append(aid)
+                vecs.append(v.astype(np.float32).tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    return assets.mapInPandas(encode, schema="vec_id long, embedding array<float>")
+
+
 def payload_stats(assets: DataFrame) -> DataFrame:
     """JVM-side metadata over binary columns (no Python): byte length
     and digest — the cheap pre-filter before any decode fan-out."""

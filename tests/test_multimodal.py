@@ -49,6 +49,30 @@ def test_frame_sample_one_to_many(assets):
     assert max(len(v) for v in per_asset.values()) == 3
 
 
+def test_extract_features_feeds_similarity_ops(spark, sf_dir, assets):
+    """Multimodal -> ANN integration: payload embeddings flow straight
+    into cosine_topk; near-identical payloads (the corpus's planted
+    near-dup texts) surface as top neighbors."""
+    from pyspark.sql import functions as F2
+
+    from nyc_etl_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = MM.extract_features(assets)
+    rows = emb.limit(3).collect()
+    assert all(len(r["embedding"]) == 64 for r in rows)
+    # unit norm
+    for r in rows:
+        assert abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-5
+    queries = emb.filter(F2.col("vec_id") < 3)
+    topk = cosine_topk(emb, queries, k=3)
+    got = topk.collect()
+    assert len(got) == 9
+    assert all(r["cosine"] <= 1.0001 for r in got)
+    # determinism across runs
+    again = cosine_topk(MM.extract_features(assets), queries, k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
 def test_payload_stats_match_text_bytes(spark, sf_dir, assets):
     docs = read_testdata(spark, sf_dir, "documents")
     stats = MM.payload_stats(assets)
