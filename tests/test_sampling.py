@@ -1,0 +1,63 @@
+"""Deterministic sampling/splitting invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.operators import sampling as S
+
+
+def test_sample_is_deterministic_and_proportional(spark, sf_dir):
+    o = read_testdata(spark, sf_dir, "orders")
+    a = S.sample(o, ["o_orderkey"], 0.2)
+    b = S.sample(o, ["o_orderkey"], 0.2)
+    n, total = a.count(), o.count()
+    assert n == b.count()
+    assert abs(n / total - 0.2) < 0.03
+    # same keys both runs
+    assert a.select("o_orderkey").subtract(b.select("o_orderkey")).count() == 0
+
+
+def test_sample_keeps_referential_integrity(spark, sf_dir):
+    """Sampling orders and lineitem by the SAME key keeps every
+    sampled lineitem's order in the sample."""
+    o = read_testdata(spark, sf_dir, "orders")
+    li = read_testdata(spark, sf_dir, "lineitem")
+    so = S.sample(o, ["o_orderkey"], 0.1)
+    sli = S.sample(li.withColumnRenamed("l_orderkey", "o_orderkey"), ["o_orderkey"], 0.1)
+    orphans = sli.select("o_orderkey").distinct().join(
+        so.select("o_orderkey"), on="o_orderkey", how="left_anti"
+    )
+    assert orphans.count() == 0
+
+
+def test_split_is_disjoint_and_exhaustive(spark, sf_dir):
+    d = read_testdata(spark, sf_dir, "documents")
+    parts = S.split(d, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = d.count()
+    counts = {k: v.count() for k, v in parts.items()}
+    assert sum(counts.values()) == n  # exhaustive
+    # pairwise disjoint
+    tr = parts["train"].select("doc_id")
+    assert tr.intersect(parts["val"].select("doc_id")).count() == 0
+    assert tr.intersect(parts["test"].select("doc_id")).count() == 0
+    assert counts["train"] / n == pytest.approx(0.8, abs=0.05)
+
+
+def test_split_assignment_stable_under_growth(spark, sf_dir):
+    """Keys must not move between splits when the dataset grows."""
+    d = read_testdata(spark, sf_dir, "documents")
+    half = d.filter(F.col("doc_id") < 250)
+    full_parts = S.split(d, ["doc_id"], {"train": 0.5, "test": 0.5})
+    half_parts = S.split(half, ["doc_id"], {"train": 0.5, "test": 0.5})
+    full_train = {r["doc_id"] for r in full_parts["train"].select("doc_id").collect()}
+    half_train = {r["doc_id"] for r in half_parts["train"].select("doc_id").collect()}
+    assert half_train == {k for k in full_train if k < 250}
+
+
+def test_split_weight_validation(spark, sf_dir):
+    d = read_testdata(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        S.split(d, ["doc_id"], {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError):
+        S.sample(d, ["doc_id"], 1.5)
