@@ -160,12 +160,26 @@ FROM base
 # --------------------------------------------------------------------------
 
 def q20_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass: tokenize once, then the marker-count argmax chain
+    over the shared token array (same rationale as q19 — higher-order
+    expressions are not CSE'd)."""
     d = read_testdata(spark, sf_dir, "documents")
-    return d.select(
+    base = d.select(
         "doc_id",
         F.col("lang").alias("lang_declared"),
-        TX.lang_id(F.col("text")).alias("lang_pred"),
+        TX.tokens(F.col("text")).alias("__toks"),
     )
+    counts = {}
+    for lang, markers in TX.LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        counts[lang] = F.size(
+            F.filter("__toks", lambda t: F.array_contains(arr, F.lower(t)))
+        )
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    for lang in reversed(list(TX.LANG_MARKERS)):
+        expr = F.when((counts[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return base.select("doc_id", "lang_declared", expr.alias("lang_pred"))
 
 
 def _lang_id_sql() -> str:
