@@ -29,11 +29,17 @@ _MEASURES = [
 
 
 def _aggregates() -> list:
+    # round_half_up (floor-form) instead of F.round so report values
+    # are bit-reproducible against any engine computing the same
+    # double expression (see functions/__init__) — exercised by the
+    # real-data DuckDB cross-check in tests/test_nyc_oracle.py.
+    from nyc_etl_pipeline_spark.functions import round_half_up
+
     aggs = []
     for m in _MEASURES:
         col = (F.col(m) / 60.0) if m == "trip_duration" else F.col(m)
-        aggs.append(F.round(F.avg(col), 3).alias(f"avg_{m}"))
-        aggs.append(F.round(F.sum(col), 3).alias(f"total_{m}"))
+        aggs.append(round_half_up(F.avg(col), 3).alias(f"avg_{m}"))
+        aggs.append(round_half_up(F.sum(col), 3).alias(f"total_{m}"))
     aggs.append(F.count(F.lit(1)).alias("total_trips"))  # count('ID') == count(*) (Q7)
     return aggs
 
