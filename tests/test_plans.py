@@ -65,6 +65,21 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_range_join_broadcasts_nested_loop(spark, sf_dir):
+    """Non-equi joins have no hash strategy; with the small side
+    broadcast the plan must be a BroadcastNestedLoopJoin (linear in
+    the fact side), never a cartesian product."""
+    from nyc_etl_pipeline_spark.operators.joins import range_join_small
+
+    e = read_testdata(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("T0", 0.0, 10.0), ("T1", 10.0, 1e9)], "tier string, lo double, hi double"
+    )
+    plan = P.explain_str(range_join_small(e, tiers, "value"), "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_partition_pruning_on_warehouse_table(spark, tmp_path, sf_dir):
     """month-partitioned lakehouse table: a month filter must prune
     partitions at the scan (the engine's replacement for the
