@@ -22,9 +22,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nyc_etl_pipeline_spark.functions import md5_long
 from nyc_etl_pipeline_spark.operators.text import tokens
 
 MERSENNE31 = 2147483647  # 2^31 - 1
+
+
+def minhash_base_coeffs(i: int) -> tuple[int, int]:
+    """(a_i, b_i) of the i-th universal hash mh_i = (a_i*h + b_i) mod p.
+    Knuth/Fibonacci-style integer mixing of i — deterministic, and
+    exposed so oracle SQL can be generated from the SAME constants."""
+    a = (i * 2654435761 + 1) % MERSENNE31
+    b = (i * 40503 + 2654435769) % MERSENNE31
+    return a, b
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -81,14 +91,16 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(doc, shingle-hash) inverted-index rows. Shingles are joined by
-    xxhash64 rather than by string — 8-byte shuffle keys instead of
-    ~20-40-byte strings; a cross-doc overlap miscount needs an xxhash64
-    collision between two distinct shingles in the same pair
-    (~n_shingles^2 / 2^64 — negligible at any realistic corpus)."""
+    a 60-bit md5-derived hash rather than by string — 8-byte shuffle
+    keys instead of ~20-40-byte strings; a cross-doc overlap miscount
+    needs a collision between two distinct shingles in the same pair
+    (~n_shingles^2 / 2^61 — negligible at any realistic corpus). The
+    hash is `md5_long`, reproducible outside Spark, so every consumer
+    (q18/q23/q41/q47) stays DuckDB-oracle-checkable end to end."""
     return df.select(
         F.col(id_col).alias("__id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("__sh_str"),
-    ).select("__id", F.xxhash64("__sh_str").alias("__sh"))
+    ).select("__id", md5_long("__sh_str").alias("__sh"))
 
 
 def ngram_jaccard_pairs(
@@ -143,13 +155,13 @@ def ngram_jaccard_pairs(
 
 def _minhash_signature_cols(num_hashes: int) -> list[Column]:
     """k universal-hash min-aggregates over the base shingle hash h:
-    mh_i = min((a_i * h + b_i) mod p). Constants derive from splitmix-
-    style integer mixing of i — deterministic across runs/engines."""
+    mh_i = min((a_i * h + b_i) mod p). h is the non-negative md5_long
+    shingle hash, so plain `%` matches across engines; a_i*h + b_i
+    stays under 2^62 (a_i < 2^31, h mod p < 2^31) — no overflow."""
     cols = []
-    h = F.pmod(F.xxhash64("__sh"), F.lit(MERSENNE31))
+    h = F.pmod(F.col("__sh"), F.lit(MERSENNE31))
     for i in range(num_hashes):
-        a = (i * 2654435761 + 1) % MERSENNE31
-        b = (i * 40503 + 2654435769) % MERSENNE31
+        a, b = minhash_base_coeffs(i)
         cols.append(F.min(F.pmod(a * h + b, F.lit(MERSENNE31))).alias(f"mh_{i}"))
     return cols
 
@@ -188,8 +200,13 @@ def minhash_lsh_pairs(
     sig = sh_cached.groupBy(F.col("__id").alias(id_col)).agg(
         *_minhash_signature_cols(num_hashes)
     )
+    # band key = md5 of the comma-joined row values: one compact string
+    # key per band, identical in any engine that can concat + md5 (the
+    # key only needs equality semantics, so a hex string is fine).
     band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
+        F.md5(F.concat_ws(",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])).alias(
+            f"band_{b}"
+        )
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col).alias("__id"), *band_cols)
@@ -280,25 +297,45 @@ def neardup_clusters(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_rep"))
 
 
-def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+def _simhash_vote_table(
+    df: DataFrame, id_col: str, text_col: str, bits: int
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per-bit vote sum of token
-    hashes, sign -> bit. explode + groupBy with `bits` partial-agg sum
-    columns — map-side combine keeps the shuffle at one row per doc.
-    (shiftright/shiftleft take literal bit counts, hence the Python
-    loop over bit positions rather than a higher-order lambda.)"""
+    """Per-doc per-bit ±1 vote sums over token hashes: one row per doc
+    with columns __v0..__v{bits-1}. explode + groupBy with `bits`
+    partial-agg sum columns — map-side combine keeps the shuffle at one
+    row per doc. The 64 hash bits come from two NON-NEGATIVE 32-bit
+    md5_long halves (lo = hex digits 1-8, hi = 9-16), so every shift /
+    mask is on small positive ints and the whole vote computation is
+    reproducible in any engine with md5 — no engine-specific hash, no
+    signed-shift semantics to match. (shiftright takes literal bit
+    counts, hence the Python loop over bit positions.)"""
     exploded = df.select(
         F.col(id_col).alias("__id"),
         F.explode(tokens(F.col(text_col))).alias("__tok"),
-    ).withColumn("__h", F.xxhash64("__tok"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__v{j}")
-        for j in range(bits)
-    ]
-    agg = exploded.groupBy("__id").agg(*votes)
+    ).select(
+        "__id",
+        md5_long("__tok", 1, 8).alias("__h_lo"),
+        md5_long("__tok", 9, 8).alias("__h_hi"),
+    )
+    votes = []
+    for j in range(bits):
+        h = F.col("__h_lo") if j < 32 else F.col("__h_hi")
+        votes.append(
+            F.sum(
+                F.when(F.shiftright(h, j % 32).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{j}")
+        )
+    return exploded.groupBy("__id").agg(*votes)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """SimHash over whitespace tokens (bits <= 64): per-bit vote sum of
+    token hashes, sign -> bit, assembled into one bigint signature."""
+    if bits > 64:
+        raise ValueError("simhash supports at most 64 bits")
+    agg = _simhash_vote_table(df, id_col, text_col, bits)
     sig = None
     for j in range(bits):
         # two's-complement top bit: 1<<63 overflows signed 64-bit
@@ -309,6 +346,26 @@ def simhash_signatures(
         )
         sig = term if sig is None else sig.bitwiseOR(term)
     return agg.select(F.col("__id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_blocks(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_blocks: int = 8
+) -> DataFrame:
+    """64-bit SimHash represented as n_blocks block keys (block b =
+    bits [b*w, (b+1)*w), w = 64/n_blocks), each a small non-negative
+    int. Equivalent information to the packed bigint signature, but
+    every value stays in unsigned-small-int range — the form both the
+    block-trick join and an external oracle can reproduce exactly.
+    Returns (id, __blk0..__blk{n-1})."""
+    width = 64 // n_blocks
+    agg = _simhash_vote_table(df, id_col, text_col, 64)
+    block_cols = []
+    for b in range(n_blocks):
+        key = F.lit(0)
+        for i in range(width):
+            key = key + F.when(F.col(f"__v{b * width + i}") > 0, F.lit(1 << i)).otherwise(0)
+        block_cols.append(key.cast("bigint").alias(f"__blk{b}"))
+    return agg.select(F.col("__id").alias(id_col), *block_cols)
 
 
 def simhash_near_pairs(
@@ -327,29 +384,35 @@ def simhash_near_pairs(
     """
     if max_hamming > n_blocks - 1:
         raise ValueError("block trick guarantees recall only for max_hamming <= n_blocks-1")
-    width = 64 // n_blocks
-    mask = (1 << width) - 1
-    sig = simhash_signatures(df, id_col, text_col)
+    sig = simhash_blocks(df, id_col, text_col, n_blocks)
+    blk_arr = F.array(*[F.col(f"__blk{b}") for b in range(n_blocks)])
     blocks = sig.select(
         F.col(id_col).alias("__id"),
-        "simhash",
+        blk_arr.alias("__blks"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("blk_idx"),
-                    F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("blk_key"),
+                    F.col(f"__blk{b}").alias("blk_key"),
                 )
                 for b in range(n_blocks)
             ])
         ).alias("bk"),
-    ).select("__id", "simhash", "bk.blk_idx", "bk.blk_key")
-    a = blocks.select(F.col("__id").alias("a_id"), F.col("simhash").alias("__sig_a"), "blk_idx", "blk_key")
-    b = blocks.select(F.col("__id").alias("b_id"), F.col("simhash").alias("__sig_b"), "blk_idx", "blk_key")
-    hamming = F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b")))
+    ).select("__id", "__blks", "bk.blk_idx", "bk.blk_key")
+    a = blocks.select(F.col("__id").alias("a_id"), F.col("__blks").alias("__blks_a"), "blk_idx", "blk_key")
+    b = blocks.select(F.col("__id").alias("b_id"), F.col("__blks").alias("__blks_b"), "blk_idx", "blk_key")
+    # full-signature hamming = sum of per-block popcounts of the XOR —
+    # identical to bit_count on the packed 64-bit signatures, but all
+    # operands are small non-negative ints.
+    hamming = F.aggregate(
+        F.zip_with("__blks_a", "__blks_b", lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
     return (
         a.join(b, on=["blk_idx", "blk_key"], how="inner")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", hamming.alias("hamming"))
+        .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
         .dropDuplicates()
         .filter(F.col("hamming") <= max_hamming)
     )

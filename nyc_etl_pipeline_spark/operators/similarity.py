@@ -6,11 +6,12 @@
   keeps a local top-k, then a single k*|Q|-row merge. No corpus
   shuffle. Dot products are `zip_with` + `aggregate` higher-order
   expressions — JVM-side, no Python.
-- `lsh_bucketed_topk`: the scale path — sign-random-projection LSH
+- `lsh_bucketed_pairs`: the scale path — sign-random-projection LSH
   buckets shrink the candidate set; exact re-scoring inside buckets.
-  Deterministic hyperplanes derive from xxhash64(bucket_seed, dim) so
-  results are reproducible across runs (probabilistic recall vs
-  brute force).
+  Deterministic hyperplanes derive from md5(plane, component) — see
+  plane_sign_vectors — so results are reproducible across runs AND
+  replicable by an external oracle (probabilistic recall vs brute
+  force).
 """
 
 from __future__ import annotations
@@ -81,6 +82,7 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_side_rows: int = 1_000_000,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dedup).
 
@@ -89,13 +91,24 @@ def cosine_pairs(
     does a numpy matmul against it inside mapInPandas (~100x faster
     than per-pair codegen'd higher-order functions — measured 79s ->
     <1s at sf0.1). An all-pairs operator inherently needs one side
-    resident per task; when neither side fits, use lsh_bucketed_pairs
-    (the scale path) instead.
+    resident per task; that residency is BOUNDED: the corpus is
+    counted first and the call refuses above max_side_rows (default
+    1M rows ~ 512 MB at 64-dim float64) rather than silently
+    collecting an unbounded corpus to the driver. Above the bound,
+    use lsh_bucketed_pairs (the scale path) instead.
     """
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
+    n = df.count()
+    if n > max_side_rows:
+        raise ValueError(
+            f"cosine_pairs is the exact all-pairs baseline and broadcasts one full "
+            f"side: corpus has {n} rows > max_side_rows={max_side_rows}. Use "
+            f"lsh_bucketed_pairs (bucketed, scale-safe) for large corpora, or "
+            f"raise max_side_rows explicitly if the driver can hold the matrix."
+        )
     side = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).toPandas()
     ids = side["__id"].to_numpy()
     m = np.stack([np.asarray(v, dtype=np.float64) for v in side["__v"]])
@@ -123,6 +136,54 @@ def cosine_pairs(
     return df.mapInPandas(score, schema="a_id long, b_id long, cosine double")
 
 
+#: centroids cached per caller-supplied key — an IVF index's quantizer
+#: is fit ONCE at index-build time and reused by every search; refitting
+#: per query was the single most expensive item in the round-1 bench
+#: (93 s charged to one query). Keyed explicitly (e.g. by corpus path +
+#: n_lists) because a DataFrame has no stable content identity.
+_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    cache_key: str | None = None,
+) -> list[list[float]]:
+    """Fit (or fetch cached) the KMeans coarse quantizer's centers."""
+    key = (cache_key, n_lists, seed)
+    if cache_key is not None and key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(array_to_vector(_as_double(F.col(vec_col))).alias("__features"))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__features", predictionCol="__cell")
+    centers = [[float(x) for x in c] for c in km.fit(feat).clusterCenters()]
+    if cache_key is not None:
+        _CENTROID_CACHE[key] = centers
+    return centers
+
+
+def _nearest_cell(vec: Column, centers: list[list[float]]) -> Column:
+    """argmin over squared euclidean distance to literal centers —
+    per-row JVM expression, no shuffle, no ML model round-trip. Ties
+    break to the lowest cell index (same rule as the probe ranking)."""
+    dists = []
+    for c in centers:
+        cv = F.array(*[F.lit(x) for x in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with(vec, cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    darr = F.array(*dists)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -132,6 +193,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a seeded KMeans coarse
     quantizer assigns each corpus vector to one of n_lists cells; a
@@ -142,29 +204,23 @@ def ivf_topk(
 
     The cell assignment is the shuffle key at scale: corpus partitions
     by cell once (write-time layout), queries broadcast. Spark ML
-    KMeans with a fixed seed keeps assignments deterministic.
+    KMeans with a fixed seed keeps assignments deterministic; pass
+    cache_key (e.g. the corpus path) to fit the quantizer once per
+    session instead of per call — at scale, centroids live with the
+    index, not the query.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
-
     spark = corpus.sparkSession
-    feat = corpus.select(
-        F.col(id_col), array_to_vector(_as_double(F.col(vec_col))).alias("__features")
-    )
-    km = KMeans(k=n_lists, seed=seed, featuresCol="__features", predictionCol="__cell")
-    model = km.fit(feat)
-    assigned = model.transform(feat).select(
+    centers = ivf_centroids(corpus, n_lists, vec_col, seed, cache_key)
+    assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col("__cell"),
-        vector_to_array("__features").alias("__cv"),
-    )
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cell", _nearest_cell(F.col("__cv"), centers))
 
-    centers = model.clusterCenters()
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     )
     # n_probe nearest cells per query, by euclidean distance to centers
-    center_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)]
+    center_rows = [(int(i), list(c)) for i, c in enumerate(centers)]
     cdf = spark.createDataFrame(center_rows, "cell int, cvec array<double>")
     dist2 = F.aggregate(
         F.zip_with(F.col("__qv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
@@ -197,27 +253,54 @@ def ivf_topk(
     )
 
 
-def _hyperplane_sign(vec: Column, plane_idx: int, dim: int) -> Column:
-    """Sign of <vec, r_plane> where r_plane components are deterministic
-    pseudo-random +/-1 from xxhash64(plane_idx, j)."""
-    signs = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.when(
-            F.xxhash64(F.lit(plane_idx), j).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-        ).otherwise(F.lit(-1.0)),
-    )
-    proj = F.aggregate(
-        F.zip_with(vec, signs, lambda x, s: x * s), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+def plane_sign_vectors(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane components: component (p, j) is +1
+    iff the first hex digit of md5(f"{p}_{j}") is odd. Computed
+    driver-side ONCE and embedded as literals — the alternative
+    (hashing (p, j) per row inside a higher-order function) re-derives
+    the same n_planes*dim constants for every corpus row. Any engine
+    (or plain Python) with md5 reproduces the planes exactly, so
+    LSH bucket assignments are oracle-checkable."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[0], 16) % 2 else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
 
 
 def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
     """Sign-random-projection bucket id (n_planes-bit integer)."""
     out = F.lit(0).cast("bigint")
-    for p in range(n_planes):
-        out = out + F.shiftleft(_hyperplane_sign(vec, p, dim).cast("bigint"), p)
+    for p, signs in enumerate(plane_sign_vectors(n_planes, dim)):
+        sv = F.array(*[F.lit(s) for s in signs])
+        proj = F.aggregate(
+            F.zip_with(vec, sv, lambda x, s: x * s), F.lit(0.0), lambda acc, x: acc + x
+        )
+        sign = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+        out = out + F.shiftleft(sign.cast("bigint"), p)
     return out
+
+
+def _probe_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Resolve/validate the embedding dimensionality with a cheap
+    single-row probe. A caller-supplied dim that mismatches the data
+    would otherwise make zip_with null-pad every projection and
+    silently collapse all vectors into bucket 0 (degrading the
+    bucketed join to O(n^2)) — fail fast instead."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        return dim or 0
+    actual = row["d"]
+    if dim is not None and dim != actual:
+        raise ValueError(
+            f"dim={dim} does not match the data's embedding length {actual} "
+            f"(column {vec_col!r})"
+        )
+    return actual
 
 
 def lsh_bucketed_pairs(
@@ -226,11 +309,13 @@ def lsh_bucketed_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via LSH bucketing + exact in-bucket rescoring.
     Join cost drops from n^2 to sum(|bucket|^2); recall is
-    probabilistic (pairs split across buckets are missed)."""
+    probabilistic (pairs split across buckets are missed). dim=None
+    derives the embedding length from the data (one-row probe)."""
+    dim = _probe_dim(df, vec_col, dim)
     v = df.select(
         F.col(id_col).alias("__id"),
         _as_double(F.col(vec_col)).alias("__v"),

@@ -188,18 +188,56 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
-# q34 — approximate aggregates (HLL / quantile sketch). No SQL oracle:
-# sketch algorithms differ across engines; pytest bounds the error vs
-# the exact q33 instead.
+# q34 — approximate aggregates (HLL / quantile sketch). Sketch
+# algorithms differ across engines, so the raw estimates have no
+# engine-independent oracle. The gate output is a VERIFIABLE CONTRACT
+# instead: exact values (oracle-computable) plus booleans asserting the
+# sketches landed within declared error bounds; the oracle computes the
+# exact side and the same literal TRUEs. A sketch regression flips a
+# boolean and fails the gate. pytest keeps the tighter quantitative pin
+# vs exact q33.
 # --------------------------------------------------------------------------
+
+HLL_RSD = 0.02
+HLL_TOL = 0.10       # 5x the declared rsd — deterministic sketch, wide margin
+PCTL_TOL = 0.05      # relative tolerance for approx percentile vs exact
+
 
 def q34_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_testdata(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("approx_p99_price"),
+    g = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.approx_count_distinct("l_orderkey", rsd=HLL_RSD).alias("__approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("__ap50"),
+        F.percentile("l_extendedprice", 0.5).alias("__ep50"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("__ap99"),
+        F.percentile("l_extendedprice", 0.99).alias("__ep99"),
     )
+    within = lambda approx, exact, tol: (  # noqa: E731
+        F.abs(F.col(approx).cast("double") - F.col(exact)) <= tol * F.abs(F.col(exact))
+    )
+    return g.select(
+        "returnflag",
+        "exact_orders",
+        R(F.col("__ep50"), 3).alias("p50_price"),
+        R(F.col("__ep99"), 3).alias("p99_price"),
+        within("__approx_orders", "exact_orders", HLL_TOL).alias("orders_within_tol"),
+        within("__ap50", "__ep50", PCTL_TOL).alias("p50_within_tol"),
+        within("__ap99", "__ep99", PCTL_TOL).alias("p99_within_tol"),
+    )
+
+
+_Q34_SQL = """
+SELECT l_returnflag AS returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       floor((quantile_cont(l_extendedprice, 0.50)) * 1000.0 + 0.5) / 1000.0 AS p50_price,
+       floor((quantile_cont(l_extendedprice, 0.99)) * 1000.0 + 0.5) / 1000.0 AS p99_price,
+       TRUE AS orders_within_tol,
+       TRUE AS p50_within_tol,
+       TRUE AS p99_within_tol
+FROM lineitem
+GROUP BY 1
+"""
 
 
 SPECS = [
@@ -212,6 +250,6 @@ SPECS = [
     QuerySpec("q32_set_ops", q32_set_ops, _Q32_SQL, "intersect + except"),
     QuerySpec("q33_distinct_aggs", q33_distinct_aggs, _Q33_SQL,
               "multiple distinct aggregates"),
-    QuerySpec("q34_approx_aggs", q34_approx_aggs, None,
-              "HLL distinct + quantile sketches (error-bounded vs q33 in pytest)"),
+    QuerySpec("q34_approx_aggs", q34_approx_aggs, _Q34_SQL,
+              "HLL distinct + quantile sketches (error-bound contract, oracle-checked)"),
 ]

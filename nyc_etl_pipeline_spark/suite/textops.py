@@ -12,6 +12,7 @@ from nyc_etl_pipeline_spark.io import read_testdata
 from nyc_etl_pipeline_spark.operators import dedup as D
 from nyc_etl_pipeline_spark.operators import text as TX
 from nyc_etl_pipeline_spark.functions import round_half_up as R
+from nyc_etl_pipeline_spark.functions import sql_md5_long
 from nyc_etl_pipeline_spark.suite import QuerySpec
 
 NGRAM_N = 3
@@ -255,20 +256,74 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
-# q23 / q24 — probabilistic near-dup (MinHash LSH / SimHash). No SQL
-# oracle: candidate recall depends on banding, not expressible as a
-# deterministic DuckDB query. Precision is exact (verified Jaccard /
-# bit_count); recall is asserted against q18's exact output in pytest.
+# q23 / q24 — probabilistic near-dup (MinHash LSH / SimHash). Every
+# hash in the chain (shingle key, MinHash bases, band key, SimHash token
+# bits) is md5-derived (functions.md5_long), so the DuckDB oracle
+# regenerates the IDENTICAL signatures, bands, and candidate sets — the
+# banding recall itself is under the correctness gate, not just the
+# verified precision. Recall is additionally asserted against q18's
+# exact output in pytest.
 # --------------------------------------------------------------------------
+
+MINHASH_NUM = 128
+MINHASH_BANDS = 32
+
 
 def q23_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
         read_testdata(spark, sf_dir, "documents"),
         n=NGRAM_N,
-        num_hashes=128,
-        bands=32,
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
         threshold=JACCARD_THRESHOLD,
     )
+
+
+def _q23_sql() -> str:
+    """DuckDB replica of minhash_lsh_pairs: same shingle hash, same
+    (a_i, b_i) minhash constants (imported from operators/dedup so the
+    two can't drift), same band keys, same exact-Jaccard verification
+    over hashed shingle sets."""
+    p = D.MERSENNE31
+    rows = MINHASH_NUM // MINHASH_BANDS
+    mh_exprs = []
+    for i in range(MINHASH_NUM):
+        a, b = D.minhash_base_coeffs(i)
+        mh_exprs.append(f"min(({a} * hm + {b}) % {p}) AS mh_{i}")
+    band_rows = "\nUNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({cat}) AS band_key FROM sig".format(
+            b=b, cat=" || ',' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
+sh AS (SELECT doc_id, {sql_md5_long("s")} AS h FROM sh0),
+hm_t AS (SELECT doc_id, h, h % {p} AS hm FROM sh),
+sig AS (SELECT doc_id, {", ".join(mh_exprs)} FROM hm_t GROUP BY doc_id),
+bands_t AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands_t a
+  JOIN bands_t b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+ov AS (
+  SELECT c.a_id, c.b_id, count(*) AS ov
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.a_id
+  JOIN sh b ON b.doc_id = c.b_id AND a.h = b.h
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       floor((ov * 1.0 / (sa.n + sb.n - ov)) * 1000.0 + 0.5) / 1000.0 AS jaccard
+FROM ov
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+WHERE ov * 1.0 / (sa.n + sb.n - ov) >= {JACCARD_THRESHOLD}
+"""
 
 
 DF_CAP = 50  # drop shingles shared by more than this many docs
@@ -309,10 +364,59 @@ WHERE ov * 1.0 / (sa.n + sb.n - ov) >= {JACCARD_THRESHOLD}
 """
 
 
+SIMHASH_MAX_HAMMING = 7
+SIMHASH_BLOCKS = 8
+
+
 def q24_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(
-        read_testdata(spark, sf_dir, "documents"), max_hamming=7, n_blocks=8
+        read_testdata(spark, sf_dir, "documents"),
+        max_hamming=SIMHASH_MAX_HAMMING,
+        n_blocks=SIMHASH_BLOCKS,
     )
+
+
+def _q24_sql() -> str:
+    """DuckDB replica of simhash_near_pairs: identical token-bit votes
+    (md5 lo/hi 32-bit halves), identical block keys, identical
+    XOR-popcount hamming verification."""
+    width = 64 // SIMHASH_BLOCKS
+    votes = ",\n       ".join(
+        "sum(CASE WHEN (({h} >> {s}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}".format(
+            h="h_lo" if j < 32 else "h_hi", s=j % 32, j=j
+        )
+        for j in range(64)
+    )
+    blks = ",\n       ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN v{b * width + i} > 0 THEN {1 << i} ELSE 0 END" for i in range(width)
+        )
+        + f") AS blk{b}"
+        for b in range(SIMHASH_BLOCKS)
+    )
+    all_blks = ", ".join(f"blk{x}" for x in range(SIMHASH_BLOCKS))
+    unions = "\nUNION ALL ".join(
+        f"SELECT doc_id, {b} AS blk_idx, blk{b} AS blk_key, {all_blks} FROM sig"
+        for b in range(SIMHASH_BLOCKS)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(CAST(a.blk{b} AS BIGINT), CAST(b.blk{b} AS BIGINT)))"
+        for b in range(SIMHASH_BLOCKS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+h AS (SELECT doc_id, {sql_md5_long("tk", 1, 8)} AS h_lo, {sql_md5_long("tk", 9, 8)} AS h_hi FROM tok),
+votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {blks} FROM votes),
+blocks AS ({unions})
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST({hamming} AS INTEGER) AS hamming
+FROM blocks a
+JOIN blocks b ON a.blk_idx = b.blk_idx AND a.blk_key = b.blk_key AND a.doc_id < b.doc_id
+WHERE {hamming} <= {SIMHASH_MAX_HAMMING}
+"""
 
 
 def q48_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,8 +458,8 @@ SPECS = [
               "hot-shingle-capped Jaccard (the web-scale configuration, oracle-gated)"),
     QuerySpec("q48_incremental_dedup", q48_incremental_dedup, _Q48_SQL,
               "batch-vs-corpus incremental dedup on digest index"),
-    QuerySpec("q23_minhash_lsh_pairs", q23_minhash_lsh_pairs, None,
-              "MinHash+LSH near-dup (verified candidates; recall tested vs q18)"),
-    QuerySpec("q24_simhash_near_pairs", q24_simhash_near_pairs, None,
-              "SimHash near-dup (block trick + hamming verify)"),
+    QuerySpec("q23_minhash_lsh_pairs", q23_minhash_lsh_pairs, _q23_sql(),
+              "MinHash+LSH near-dup (md5-derived chain; oracle rebuilds bands)"),
+    QuerySpec("q24_simhash_near_pairs", q24_simhash_near_pairs, _q24_sql(),
+              "SimHash near-dup (block trick + hamming verify, oracle-replicated)"),
 ]

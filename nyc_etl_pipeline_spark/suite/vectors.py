@@ -63,21 +63,96 @@ WHERE {_COS_SQL.format(a="a.e", b="b.e")} >= {NEARDUP_COSINE}
 """
 
 
+LSH_PLANES = 6
+EMB_DIM = 64  # embeddings fixture dimensionality (asserted by probe)
+
+
 def q27_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: sign-random-projection buckets + exact in-bucket
-    rescoring. No oracle (probabilistic recall); precision asserted vs
-    q26 in pytest."""
+    rescoring. The hyperplanes are md5-derived (plane_sign_vectors),
+    so the DuckDB oracle rebuilds the SAME buckets from literal ±1
+    vectors and the candidate set matches exactly — the probabilistic
+    recall is now itself under the correctness gate. Recall vs exact
+    q26 additionally pinned in pytest."""
     emb = read_testdata(spark, sf_dir, "embeddings")
-    return SIM.lsh_bucketed_pairs(emb, threshold=NEARDUP_COSINE, n_planes=6)
+    return SIM.lsh_bucketed_pairs(emb, threshold=NEARDUP_COSINE, n_planes=LSH_PLANES)
+
+
+def _q27_sql() -> str:
+    planes = SIM.plane_sign_vectors(LSH_PLANES, EMB_DIM)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {planes[p]}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(LSH_PLANES)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bk AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v)
+SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+       floor(({_COS_SQL.format(a="a.e", b="b.e")}) * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a="a.e", b="b.e")} >= {NEARDUP_COSINE}
+"""
+
+
+# q35: the IVF search itself is clustering-dependent (KMeans cells), so
+# its raw neighbor list has no engine-independent oracle. The gate
+# output is therefore a VERIFIABLE CONTRACT instead: at every rank
+# r <= k, the cosine of the IVF-returned neighbor must be within
+# IVF_GAP_TOL of the EXACT rank-r cosine (quality-at-rank — IDs may
+# differ when neighbors sit in unprobed cells, but the returned scores
+# must stay near-optimal). Spark computes both sides (IVF + exact brute
+# force) and emits the boolean per (query, rank); the oracle computes
+# the exact side and emits the same literal TRUEs. A search-quality
+# regression flips a boolean (or drops a row) and fails the gate.
+# Measured max gap at n_probe=4: 0.066 (sf0.01), 0.031 (sf0.001) —
+# tolerance 0.15 gives >2x margin while still bounding quality.
+# The tighter quantitative pin (hit-based recall) stays in pytest.
+IVF_GAP_TOL = 0.15
+IVF_N_LISTS = 8
+IVF_N_PROBE = 4
 
 
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (KMeans coarse quantizer, n_probe cells).
-    No oracle (clustering-dependent recall); recall vs exact q25 is
-    pinned in pytest."""
     emb = read_testdata(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
-    return SIM.ivf_topk(emb, queries, k=TOPK_K, n_lists=8, n_probe=3)
+    ivf = SIM.ivf_topk(
+        emb, queries, k=TOPK_K, n_lists=IVF_N_LISTS, n_probe=IVF_N_PROBE,
+        cache_key=f"{sf_dir}/embeddings",
+    )
+    exact = SIM.cosine_topk(emb, queries, k=TOPK_K)
+    gap = F.col("__ec") - F.col("__ic")
+    return (
+        exact.select("query_id", "rank", F.col("cosine").alias("__ec"))
+        .join(
+            ivf.select("query_id", "rank", F.col("cosine").alias("__ic")),
+            on=["query_id", "rank"],
+            how="left",
+        )
+        .select(
+            "query_id",
+            "rank",
+            F.coalesce(gap <= IVF_GAP_TOL, F.lit(False)).alias("cos_gap_ok"),
+        )
+    )
+
+
+_Q35_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < {TOPK_QUERIES}),
+scored AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="qv", b="v.e")} AS cos
+  FROM q, v
+  WHERE v.vec_id != query_id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, CAST(rn AS INTEGER) AS rank, TRUE AS cos_gap_ok
+FROM ranked WHERE rn <= {TOPK_K}
+"""
 
 
 SPECS = [
@@ -85,8 +160,8 @@ SPECS = [
               "exact cosine top-k (broadcast queries, no corpus shuffle)"),
     QuerySpec("q26_embedding_neardup", q26_embedding_neardup, _Q26_SQL,
               "exact cosine near-dup pairs"),
-    QuerySpec("q27_lsh_bucketed_pairs", q27_lsh_bucketed_pairs, None,
-              "LSH-bucketed near-dup (subset of q26; recall tested in pytest)"),
-    QuerySpec("q35_ivf_topk", q35_ivf_topk, None,
-              "IVF approximate top-k (recall vs exact q25 in pytest)"),
+    QuerySpec("q27_lsh_bucketed_pairs", q27_lsh_bucketed_pairs, _q27_sql(),
+              "LSH-bucketed near-dup (md5-derived planes; oracle rebuilds buckets)"),
+    QuerySpec("q35_ivf_topk", q35_ivf_topk, _Q35_SQL,
+              "IVF approximate top-k (quality-at-rank contract, oracle-checked)"),
 ]

@@ -48,10 +48,26 @@ def test_simhash_finds_planted_neardups(spark, sf_dir):
             _docs(spark, sf_dir), max_hamming=7, n_blocks=8
         ).collect()
     }
-    # the fixture docs are short (~40 tokens, tiny vocab), so a 1-token
-    # edit flips up to ~7 signature bits; jaccard>=0.9 pairs must land
-    # within hamming 7 (guaranteed candidates with 8 blocks)
-    assert exact <= sim, f"simhash missed: {exact - sim}"
+    # ground-truth hamming from the signatures themselves (independent
+    # of the block-trick join path)
+    blocks = {
+        r["doc_id"]: [r[f"__blk{b}"] for b in range(8)]
+        for r in D.simhash_blocks(_docs(spark, sf_dir)).collect()
+    }
+    def hamming(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(blocks[a], blocks[b]))
+
+    # 1) pigeonhole recall GUARANTEE: every high-jaccard pair whose true
+    # hamming is <= max_hamming must be returned (8 blocks, <=7 flips ->
+    # at least one block agrees exactly)
+    within = {p for p in exact if hamming(*p) <= 7}
+    assert within <= sim, f"block trick missed guaranteed pairs: {within - sim}"
+    # 2) hash quality: near-identical docs (~40 tokens, 1-token edits)
+    # should mostly land within hamming 7 — a weaker, data-dependent
+    # property of the vote hash, so bounded not exact
+    assert len(within) >= 0.9 * len(exact), (
+        f"only {len(within)}/{len(exact)} jaccard>=0.9 pairs within hamming 7"
+    )
 
 
 def test_simhash_block_guarantee_guard(spark, sf_dir):

@@ -146,3 +146,41 @@ def test_fingerprint_and_tokens_total_functions(spark, texts):
     for r in out:
         assert r["n"] >= 0
         assert 0 <= r["fp"] < FINGERPRINT_MOD
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_md5_long_matches_duckdb_and_python(spark, texts):
+    """The oracle-expressible hash contract: md5_long is bit-identical
+    in Spark, DuckDB, and plain Python for arbitrary unicode strings —
+    this is what makes the MinHash/SimHash/LSH chains (q23/q24/q27)
+    replicable by the DuckDB oracle."""
+    from nyc_etl_pipeline_spark.functions import md5_long, py_md5_long, sql_md5_long
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = [
+        (r["h15"], r["lo"], r["hi"])
+        for r in df.select(
+            md5_long("s").alias("h15"),
+            md5_long("s", 1, 8).alias("lo"),
+            md5_long("s", 9, 8).alias("hi"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+    duck = con.execute(
+        f"SELECT {sql_md5_long('s')}, {sql_md5_long('s', 1, 8)}, {sql_md5_long('s', 9, 8)} FROM t"
+    ).fetchall()
+    py = [(py_md5_long(t), py_md5_long(t, 1, 8), py_md5_long(t, 9, 8)) for t in texts]
+    assert got == [tuple(r) for r in duck] == py
+    for h15, _, _ in got:
+        assert 0 <= h15 < 1 << 60
