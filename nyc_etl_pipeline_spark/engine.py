@@ -31,7 +31,6 @@ from nyc_etl_pipeline_spark.pipeline import (
     build_date_dim,
     build_fact,
     clean_trips,
-    latest_pickup_watermark,
     monthly_report,
     seed_payment_dim,
     seed_rate_dim,
@@ -125,40 +124,72 @@ class Engine:
 
     # ---- fact ------------------------------------------------------------
 
+    def _silver_month_state(self, silver: DataFrame) -> DataFrame:
+        """(month, n_rows, digest): an order-independent per-month
+        fingerprint of silver — count plus bit_xor of a full-row hash.
+        One map-side-combinable pass, 12-row shuffle. XOR never
+        overflows (relevant under ANSI mode) and is order/partition
+        independent; identical-row pairs cancel in the XOR but change
+        the count, so a content change always moves at least one of
+        the two. At larger-than-rebuild scale, maintain this state
+        incrementally at silver-write time instead of rescanning."""
+        data_cols = [c for c in silver.columns if c != "month"]
+        return silver.groupBy("month").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(F.xxhash64(*data_cols)).alias("digest"),
+        )
+
     def run_fact(self, incremental: bool = True) -> None:
         """Incremental load, idempotent per month (fixes reference Q6).
 
-        The watermark only *detects* which months have new data; those
-        months are then rebuilt COMPLETELY from silver and swapped in
-        with partition overwrite. (Appending just the post-watermark
-        rows would be cheaper but re-runs after partial failures would
-        duplicate; overwriting a partition with only the new rows would
-        drop the month's earlier rows. Rebuild-and-swap is the design
-        that stays correct under retries and late data — the engine is
-        single-year scoped like the reference's date dim, so `month`
-        alone identifies a partition.)
+        Change detection compares each month's silver fingerprint
+        (row count + content digest, `_silver_month_state`) against the
+        state recorded at the previous fact build — NOT a pickup-time
+        watermark. A watermark misses batches consisting solely of
+        late rows (e.g. a re-delivered earlier month's file whose
+        timestamps all precede the max already loaded); a content
+        digest catches any change. The reference's watermark operator
+        (gold.py:56-65) is still provided as
+        `pipeline.latest_pickup_watermark` (gate query q05).
+
+        Affected months are rebuilt COMPLETELY from silver and swapped
+        in with partition overwrite. (Appending just the new rows would
+        be cheaper but re-runs after partial failures would duplicate;
+        overwriting a partition with only the new rows would drop the
+        month's earlier rows. Rebuild-and-swap stays correct under
+        retries and late data — the engine is single-year scoped like
+        the reference's date dim, so `month` alone identifies a
+        partition.) A month deleted from silver entirely keeps its last
+        fact partition — removal requires incremental=False.
         """
         silver = self.wh.read("trips_silver")
         dd = self.wh.read("dim_date")
         dtype = self.wh.read("dim_type")
-        if incremental and self.wh.exists("fact_nyc"):
-            wm = latest_pickup_watermark(self.wh.read("fact_nyc"), dd)
-            affected = [
-                r["m"]
-                for r in silver.filter(F.col("pickup_datetime") > F.lit(wm))
-                .select(F.month("pickup_datetime").alias("m"))
-                .distinct()
-                .collect()
-            ]
+        state = self._silver_month_state(silver)
+        if incremental and self.wh.exists("fact_nyc") and self.wh.exists("_fact_state"):
+            prev = self.wh.read("_fact_state")
+            changed = (
+                state.alias("cur")
+                .join(prev.alias("old"), on="month", how="left")
+                .filter(
+                    F.col("old.n_rows").isNull()
+                    | (F.col("cur.n_rows") != F.col("old.n_rows"))
+                    | (F.col("cur.digest") != F.col("old.digest"))
+                )
+            )
+            affected = [r["month"] for r in changed.select("month").collect()]
             if not affected:
                 return
-            silver = silver.filter(F.month("pickup_datetime").isin(affected))
+            silver = silver.filter(F.col("month").isin(affected))
         fact = build_fact(silver, dd, dtype)
         month_of = F.broadcast(
             dd.select(F.col("dateID").alias("date_puID"), F.col("month").alias("month"))
         )
         fact = fact.join(month_of, on="date_puID", how="inner")
         self.wh.overwrite_partitions(fact, "fact_nyc", ["month"])
+        # record the silver state this build consumed (after the fact
+        # write — a crash in between just re-detects the months next run)
+        self.wh.overwrite(state, "_fact_state")
 
     # ---- reports ---------------------------------------------------------
 

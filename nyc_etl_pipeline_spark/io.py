@@ -117,9 +117,17 @@ class Warehouse:
         return reader.parquet(self.path(table))
 
     def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        """FULL-table overwrite. With partition_by, partitionOverwriteMode
+        is forced to static here — the session default is dynamic (for
+        overwrite_partitions), which would silently keep partitions
+        absent from ``df`` and make the two methods behave identically
+        despite their contracts differing (e.g. a full rebuild after an
+        upstream month was deleted must drop that month)."""
         writer = df.write.mode("overwrite")
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
+            writer = writer.partitionBy(*partition_by).option(
+                "partitionOverwriteMode", "static"
+            )
         writer.parquet(self.path(table))
 
     def overwrite_partitions(self, df: DataFrame, table: str, partition_by: list[str]) -> None:
@@ -136,7 +144,19 @@ class Warehouse:
         """Small-file compaction: rewrite a table into ~target-sized
         files. Streaming/incremental writes accumulate small files;
         at scale, scan cost is dominated by file-open overhead long
-        before data volume. Returns the new file count."""
+        before data volume. Returns the new file count.
+
+        Durability: the compacted copy is fully written to a temporary
+        sibling directory FIRST, then swapped over the table path with
+        filesystem renames. At no point is the only copy of the data a
+        set of non-fault-tolerant in-memory blocks (an earlier revision
+        localCheckpoint'ed then overwrote in place — an executor loss
+        mid-write would have lost the table permanently). If the
+        process dies mid-swap, the data survives in either the table,
+        the ``.compact-tmp`` or the ``.compact-old`` directory. Renames
+        are atomic on HDFS/local FS; on object stores use a
+        table-format commit (Iceberg/Delta) instead.
+        """
         import math
 
         path = self.path(table)
@@ -147,11 +167,21 @@ class Warehouse:
             if f.endswith(".parquet")
         )
         n = max(1, math.ceil(size_b / (target_file_mb * 1024 * 1024)))
-        df = self.spark.read.parquet(path)
-        # materialize (executor-side) before overwriting the same path:
-        # a lazy plan would read files the write just deleted
-        materialized = df.localCheckpoint(eager=True)
-        materialized.repartition(n).write.mode("overwrite").parquet(path)
+        tmp, old = f"{path}.compact-tmp", f"{path}.compact-old"
+        # URI-agnostic filesystem ops via the Hadoop FS API
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        for stale in (tmp, old):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(stale), True)
+        self.spark.read.parquet(path).repartition(n).write.parquet(tmp)
+        if not fs.rename(hpath, jvm.org.apache.hadoop.fs.Path(old)):
+            raise IOError(f"compact: could not move {path} aside")
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+            # put the original back — the failed swap must not lose it
+            fs.rename(jvm.org.apache.hadoop.fs.Path(old), hpath)
+            raise IOError(f"compact: could not swap compacted data into {path}")
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
         return n
 
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:

@@ -39,9 +39,13 @@ def get_spark(
         )
 
     # In local mode the driver JVM IS the executor — its heap is the
-    # only memory knob. The 1g default dies on any serious shuffle;
-    # must be set before the JVM launches (no-op on getOrCreate reuse).
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # only memory knob. Spark's 1g default dies on any serious shuffle,
+    # but a huge default would fail to launch (or invite the OOM
+    # killer) on modest hosts/memory-capped containers — so default to
+    # a safe 4g and let big local runs opt in via SPARK_GRAFT_DRIVER_MEM
+    # (the 100k-doc stress runs used 48g). Must be set before the JVM
+    # launches (no-op on getOrCreate reuse).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -205,25 +205,35 @@ PCTL_TOL = 0.05      # relative tolerance for approx percentile vs exact
 
 def q34_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_testdata(spark, sf_dir, "lineitem")
-    g = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+    qs = F.array(F.lit(0.5), F.lit(0.99))
+    # one non-distinct pass for every sketch + exact percentile: mixing
+    # countDistinct with object-typed sketch aggregates forces an
+    # Expand plan that re-feeds every row to every aggregate (measured
+    # 12.5s -> <1s at sf0.01 after splitting)
+    sketches = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         F.approx_count_distinct("l_orderkey", rsd=HLL_RSD).alias("__approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("__ap50"),
-        F.percentile("l_extendedprice", 0.5).alias("__ep50"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("__ap99"),
-        F.percentile("l_extendedprice", 0.99).alias("__ep99"),
+        F.percentile_approx("l_extendedprice", qs).alias("__ap"),
+        F.percentile("l_extendedprice", qs).alias("__ep"),
     )
-    within = lambda approx, exact, tol: (  # noqa: E731
-        F.abs(F.col(approx).cast("double") - F.col(exact)) <= tol * F.abs(F.col(exact))
+    # exact distinct via pre-aggregated pairs (two cheap hash aggs —
+    # the map-side-combinable formulation of countDistinct)
+    exact = (
+        li.select(F.col("l_returnflag").alias("returnflag"), "l_orderkey")
+        .distinct()
+        .groupBy("returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
     )
-    return g.select(
+    within = lambda approx, ex, tol: F.abs(approx - ex) <= tol * F.abs(ex)  # noqa: E731
+    return sketches.join(exact, on="returnflag").select(
         "returnflag",
         "exact_orders",
-        R(F.col("__ep50"), 3).alias("p50_price"),
-        R(F.col("__ep99"), 3).alias("p99_price"),
-        within("__approx_orders", "exact_orders", HLL_TOL).alias("orders_within_tol"),
-        within("__ap50", "__ep50", PCTL_TOL).alias("p50_within_tol"),
-        within("__ap99", "__ep99", PCTL_TOL).alias("p99_within_tol"),
+        R(F.col("__ep")[0], 3).alias("p50_price"),
+        R(F.col("__ep")[1], 3).alias("p99_price"),
+        within(
+            F.col("__approx_orders").cast("double"), F.col("exact_orders"), HLL_TOL
+        ).alias("orders_within_tol"),
+        within(F.col("__ap")[0], F.col("__ep")[0], PCTL_TOL).alias("p50_within_tol"),
+        within(F.col("__ap")[1], F.col("__ep")[1], PCTL_TOL).alias("p99_within_tol"),
     )
 
 
