@@ -70,6 +70,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # methodology markers: per-query time is best of
+                # `runs` executions. Numbers are NOT comparable to a
+                # single-shot harness (run 2 benefits from JIT/page
+                # cache) — measure any baseline with identical settings.
+                "runs": max(1, BENCH_RUNS),
+                "timing": "best_of_n",
             }
         )
     )

@@ -160,12 +160,15 @@ class Engine:
         retries and late data — the engine is single-year scoped like
         the reference's date dim, so `month` alone identifies a
         partition.) A month deleted from silver entirely keeps its last
-        fact partition — removal requires incremental=False.
+        fact partition — removal requires incremental=False, which
+        writes with a STATIC full-table overwrite so stale partitions
+        absent from the rebuilt fact are actually dropped.
         """
         silver = self.wh.read("trips_silver")
         dd = self.wh.read("dim_date")
         dtype = self.wh.read("dim_type")
         state = self._silver_month_state(silver)
+        full_rebuild = not incremental
         if incremental and self.wh.exists("fact_nyc") and self.wh.exists("_fact_state"):
             prev = self.wh.read("_fact_state")
             changed = (
@@ -186,7 +189,12 @@ class Engine:
             dd.select(F.col("dateID").alias("date_puID"), F.col("month").alias("month"))
         )
         fact = fact.join(month_of, on="date_puID", how="inner")
-        self.wh.overwrite_partitions(fact, "fact_nyc", ["month"])
+        if full_rebuild:
+            # static overwrite: a month deleted upstream must not leave
+            # a stale fact partition behind (dynamic mode would keep it)
+            self.wh.overwrite(fact, "fact_nyc", ["month"])
+        else:
+            self.wh.overwrite_partitions(fact, "fact_nyc", ["month"])
         # record the silver state this build consumed (after the fact
         # write — a crash in between just re-detects the months next run)
         self.wh.overwrite(state, "_fact_state")

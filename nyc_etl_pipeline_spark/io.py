@@ -3,9 +3,11 @@
 Replaces the reference's three side channels (MinIO object store,
 MySQL datamart, SQL Server report DB — reference assets/bronze.py:34-45,
 gold.py:36-54, platinum.py:31-59) with Parquet tables under a single
-warehouse directory. JDBC remains available through the optional
-``jdbc_read``/``jdbc_write`` wrappers (the driver JAR is not shipped in
-this environment — they raise a clear error without it).
+warehouse directory. JDBC remains available through the
+``jdbc_read``/``jdbc_write`` wrappers — exercised end-to-end in
+tests/test_jdbc.py against embedded Apache Derby (whose driver ships
+inside the Spark distribution); for MySQL/SQL Server only the URL and
+driver option change.
 """
 
 from __future__ import annotations

@@ -201,7 +201,14 @@ def minhash_lsh_pairs(
     against true n-gram Jaccard. Returns (a_id, b_id, jaccard).
     """
     rows = num_hashes // bands
-    # shared by the signature build and the exact-verification join
+    # Shared by the signature build and the exact-verification join.
+    # DELIBERATE leak-until-eviction: the result DataFrame is lazy, so
+    # this function cannot unpersist (that would cancel the cache before
+    # the caller materializes). Blocks are MEMORY_AND_DISK, freed by the
+    # ContextCleaner once the result's lineage is garbage-collected, or
+    # evicted LRU under memory pressure. Long-lived sessions issuing
+    # many of these should call spark.catalog.clearCache() between
+    # corpus-scale dedup passes.
     sh_cached = _shingle_table(df, id_col, text_col, n).persist()
     sig = sh_cached.groupBy(F.col("__id").alias(id_col)).agg(
         *_minhash_signature_cols(num_hashes)
@@ -390,8 +397,11 @@ def simhash_near_pairs(
     """
     if max_hamming > n_blocks - 1:
         raise ValueError("block trick guarantees recall only for max_hamming <= n_blocks-1")
-    # both join sides derive from sig; without persist the 64-column
-    # vote aggregation runs twice (measured ~2x the query cost)
+    # Both join sides derive from sig; without persist the 64-column
+    # vote aggregation runs twice (measured ~2x the query cost).
+    # DELIBERATE leak-until-eviction — same contract as
+    # minhash_lsh_pairs' sh_cached: lazy result, so no in-function
+    # unpersist; ContextCleaner/LRU reclaims the blocks.
     sig = simhash_blocks(df, id_col, text_col, n_blocks).persist()
     blk_arr = F.array(*[F.col(f"__blk{b}") for b in range(n_blocks)])
     blocks = sig.select(

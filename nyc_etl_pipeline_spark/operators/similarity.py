@@ -151,8 +151,16 @@ def ivf_centroids(
     seed: int = 42,
     cache_key: str | None = None,
 ) -> list[list[float]]:
-    """Fit (or fetch cached) the KMeans coarse quantizer's centers."""
-    key = (cache_key, n_lists, seed)
+    """Fit (or fetch cached) the KMeans coarse quantizer's centers.
+
+    The cache key is (cache_key, vec_col, n_lists, seed). ``cache_key``
+    identifies the CORPUS CONTENT, not just its location — callers must
+    change it when the data at a path changes (e.g. key by path +
+    snapshot/version, or path + mtime). A stale key silently reuses
+    centroids fit on the old corpus, shifting cell assignments and
+    therefore IVF results.
+    """
+    key = (cache_key, vec_col, n_lists, seed)
     if cache_key is not None and key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
     from pyspark.ml.clustering import KMeans
@@ -286,15 +294,26 @@ def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
 
 
 def _probe_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
-    """Resolve/validate the embedding dimensionality with a cheap
-    single-row probe. A caller-supplied dim that mismatches the data
-    would otherwise make zip_with null-pad every projection and
-    silently collapse all vectors into bucket 0 (degrading the
-    bucketed join to O(n^2)) — fail fast instead."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if row is None:
+    """Resolve/validate the embedding dimensionality with ONE aggregate
+    over the corpus (min(size) == max(size)). A mismatched or ragged
+    corpus would otherwise make zip_with null-pad some projections and
+    silently collapse those vectors into bucket 0 (degrading the
+    bucketed join toward O(n^2)) — fail fast instead. The agg is a
+    single map-side-combinable pass over an int per row; at index-build
+    scale that cost is noise next to the bucketing pass itself."""
+    row = df.select(
+        F.min(F.size(F.col(vec_col))).alias("dmin"),
+        F.max(F.size(F.col(vec_col))).alias("dmax"),
+    ).first()
+    if row is None or row["dmin"] is None:
         return dim or 0
-    actual = row["d"]
+    if row["dmin"] != row["dmax"]:
+        raise ValueError(
+            f"ragged embedding column {vec_col!r}: lengths range "
+            f"{row['dmin']}..{row['dmax']} — only uniform-length corpora are "
+            f"supported (null-padded zip_with would silently mis-bucket rows)"
+        )
+    actual = row["dmax"]
     if dim is not None and dim != actual:
         raise ValueError(
             f"dim={dim} does not match the data's embedding length {actual} "

@@ -92,6 +92,31 @@ def test_engine_dim_upsert_keeps_existing_names(spark, tmp_path, two_month_dir):
     assert pays[0] == "Flex Fare trip"  # sentinel kept for payment dim
 
 
+def test_engine_full_rebuild_drops_deleted_month(spark, tmp_path, two_month_dir):
+    """A month removed from silver must disappear from the fact on a
+    full rebuild (incremental=False uses STATIC overwrite). Dynamic
+    partition overwrite would silently keep the stale partition —
+    run_fact's documented contract requires it gone."""
+    eng = Engine(spark, str(tmp_path / "wh_del"))
+    eng.run_all(green_dir=two_month_dir, zone_csv=ZONE_CSV)
+    months_before = {
+        r["month"] for r in eng.wh.read("fact_nyc").select("month").distinct().collect()
+    }
+    assert 2 in months_before
+    # delete February upstream and rewrite silver without it (staged
+    # through a scratch path: overwriting the path being read would
+    # delete parquet mid-scan)
+    staging = str(tmp_path / "silver_staging")
+    eng.wh.read("trips_silver").filter(F.col("month") != 2).write.parquet(staging)
+    eng.wh.overwrite(spark.read.parquet(staging), "trips_silver", ["month"])
+    eng.run_fact(incremental=False)
+    months_after = {
+        r["month"] for r in eng.wh.read("fact_nyc").select("month").distinct().collect()
+    }
+    assert 2 not in months_after, "stale fact partition survived a full rebuild"
+    assert 1 in months_after
+
+
 def test_engine_incremental_detects_late_only_batch(spark, tmp_path, two_month_dir):
     """A re-delivered batch whose pickup timestamps ALL precede the
     loaded maximum must still be loaded. Digest-based change detection
