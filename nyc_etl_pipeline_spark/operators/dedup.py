@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nyc_etl_pipeline_spark.functions import md5_long
+from nyc_etl_pipeline_spark.functions import md5_long, round_half_up
 from nyc_etl_pipeline_spark.operators.text import tokens
 
 MERSENNE31 = 2147483647  # 2^31 - 1
@@ -308,6 +308,136 @@ def neardup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_rep"))
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: for every candidate training document,
+    the fraction of its distinct word n-grams that appear ANYWHERE in
+    the benchmark corpus — the standard n-gram-overlap contamination
+    check run before training on scraped data (a doc that substantially
+    contains an eval set must be dropped, not trained on).
+
+    Returns (id, n_shingles, n_hit, contamination rounded to 3,
+    is_contaminated). Docs too short to produce an n-gram score 0.
+
+    Scale shape: the benchmark side is distinct-shingle-hashed and
+    BROADCAST (eval sets are tiny by definition — that asymmetry is the
+    whole design); the corpus side streams through one hash-join probe
+    + one groupBy on doc id. No corpus self-join, no shuffle of the
+    benchmark, corpus cost is one shingle pass — O(corpus tokens).
+    """
+    doc_sh = _shingle_table(docs, id_col, text_col, n)
+    bench_sh = (
+        _shingle_table(benchmark, id_col, text_col, n).select("__sh").dropDuplicates()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), on="__sh", how="left_semi")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__hit"))
+    )
+    sizes = doc_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    rate = F.coalesce(F.col("__hit"), F.lit(0)) / F.col("__n")
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(sizes, on="__id", how="left")
+        .join(hits, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("__n", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("__hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.when(F.col("__n").isNull(), F.lit(0.0))
+            .otherwise(round_half_up(rate, 3))
+            .alias("contamination"),
+            F.when(F.col("__n").isNull(), F.lit(False))
+            .otherwise(rate >= threshold)
+            .alias("is_contaminated"),
+        )
+    )
+
+
+def neardup_clusters_twophase(
+    nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_rounds: int = 50
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the billion-edge scale path promised by `neardup_clusters`'
+    docstring, produced here with the same output contract
+    (doc_id, cluster_rep = component minimum; singletons included).
+
+    Why a second algorithm: min-label propagation converges in
+    O(diameter) rounds, each shipping the FULL edge list through a
+    join — fine for near-dup graphs (tiny diameters), hopeless for
+    long chains. Large-star/small-star converges in O(log n) rounds
+    and — crucially for skew — each round REWRITES the edge list into
+    a flatter one, so hot nodes shed degree as roots absorb their
+    components. Both rounds are one groupBy + one join over the
+    current edges; nothing driver-side except the fixpoint check.
+
+    large-star: every node u links its LARGER neighbors to
+      m(u) = min(N(u) ∪ {u});
+    small-star: every node u (on the >=-oriented edge list) links its
+      smaller-or-equal neighbors and itself to m(u).
+    At fixpoint the edges form stars rooted at component minima.
+    """
+    # canonical undirected edge set, self-loops dropped
+    e = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # ---- large-star on the symmetric view -------------------------
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("__mn"))
+        m = m.select("u", F.least("u", "__mn").alias("__m"))
+        ls = (
+            sym.join(m, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("__m").alias("u"), F.col("v").alias("v"))
+        )
+        e1 = ls.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")).filter(
+            F.col("u") != F.col("v")
+        ).dropDuplicates()
+        # ---- small-star on the >=-oriented view -----------------------
+        # orient every edge big -> small, group by the big end
+        ori = e1.select(F.col("v").alias("big"), F.col("u").alias("small"))
+        ms = ori.groupBy("big").agg(F.min("small").alias("__m"))
+        ss = (
+            ori.join(ms, on="big")
+            .select(F.col("small").alias("a"), F.col("__m").alias("b"))
+            .unionByName(ms.select(F.col("big").alias("a"), F.col("__m").alias("b")))
+        )
+        e2 = (
+            ss.filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .dropDuplicates()
+            .localCheckpoint()  # truncate per-round lineage
+        )
+        if e2.exceptAll(e).union(e.exceptAll(e2)).isEmpty():
+            e = e2
+            break
+        e = e2
+    # at fixpoint: stars rooted at component minima -> rep = min neighbor
+    rep = e.groupBy(F.col("v").alias("node")).agg(F.min("u").alias("rep"))
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(rep, on="node", how="left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("rep", "node").alias("cluster_rep"),
+        )
+    )
 
 
 def _simhash_vote_table(

@@ -15,23 +15,53 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nyc_etl_pipeline_spark.functions import md5_long
+
 _BUCKETS = 1_000_000
 
 
-def _bucket(key_cols: list[str], salt: str) -> Column:
+def _bucket(key_cols: list[str], salt: str, portable: bool = False) -> Column:
+    """Stable bucket in [0, 1M). Default is xxhash64 (fastest JVM
+    path). `portable=True` hashes md5 over salt + stringified keys
+    joined with unit separator \\x1f — bit-identical in any engine
+    with md5 (see `sql_bucket`), at ~2-3x the hash cost; use it when
+    split assignment must be reproducible OUTSIDE Spark (audits,
+    cross-engine pipelines)."""
+    if portable:
+        joined = F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
+        return F.pmod(md5_long(joined), F.lit(_BUCKETS))
     return F.pmod(F.xxhash64(F.lit(salt), *[F.col(c) for c in key_cols]), F.lit(_BUCKETS))
 
 
-def sample(df: DataFrame, key_cols: list[str], fraction: float, salt: str = "v1") -> DataFrame:
+def sql_bucket(key_exprs: list[str], salt: str) -> str:
+    """DuckDB fragment computing the identical portable bucket."""
+    joined = ", ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    return (
+        f"CAST('0x' || substr(md5(concat_ws(chr(31), '{salt}', {joined})), 1, 15) AS BIGINT) "
+        f"% {_BUCKETS}"
+    )
+
+
+def sample(
+    df: DataFrame,
+    key_cols: list[str],
+    fraction: float,
+    salt: str = "v1",
+    portable: bool = False,
+) -> DataFrame:
     """Deterministic ~fraction sample keyed on key_cols. Same key ->
     same in/out decision, always."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return df.filter(_bucket(key_cols, salt) < int(fraction * _BUCKETS))
+    return df.filter(_bucket(key_cols, salt, portable) < int(fraction * _BUCKETS))
 
 
 def split(
-    df: DataFrame, key_cols: list[str], weights: dict[str, float], salt: str = "v1"
+    df: DataFrame,
+    key_cols: list[str],
+    weights: dict[str, float],
+    salt: str = "v1",
+    portable: bool = False,
 ) -> dict[str, DataFrame]:
     """Disjoint, exhaustive named splits (e.g. train/val/test).
     Weights must sum to 1. Each key lands in exactly one split,
@@ -40,7 +70,7 @@ def split(
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {total}")
-    bucket = _bucket(key_cols, salt)
+    bucket = _bucket(key_cols, salt, portable)
     out: dict[str, DataFrame] = {}
     lo = 0.0
     items = list(weights.items())

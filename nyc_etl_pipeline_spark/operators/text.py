@@ -101,6 +101,51 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+# PII patterns, deliberately restricted to syntax RE2 (DuckDB) and
+# java.util.regex (Spark) interpret identically: character classes,
+# bounded repeats, alternation — no lookaround, no backrefs.
+PII_EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_REGEX = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_SSN_REGEX = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical normalization before hashing/dedup: lowercase, strip
+    everything but [a-z0-9 ], collapse whitespace runs, trim. Exact
+    dedup over `normalize_text` catches trivially-reformatted copies
+    that byte-level digests miss. Pure per-row projection — JVM regex,
+    no shuffle, scales linearly."""
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, "[^a-z0-9\\s]", "")
+    collapsed = F.regexp_replace(stripped, "\\s+", " ")
+    return F.trim(collapsed)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match counts per PII class (email / phone / SSN-shaped)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_REGEX), F.lit(0))).cast(
+            "bigint"
+        ),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_REGEX), F.lit(0))).cast(
+            "bigint"
+        ),
+        "n_ssns": F.size(F.regexp_extract_all(text, F.lit(PII_SSN_REGEX), F.lit(0))).cast(
+            "bigint"
+        ),
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace PII matches with typed placeholder tokens. SSN first:
+    an SSN-shaped string is also a substring-match for nothing else,
+    but phone (3-3-4) and SSN (3-2-4) patterns can overlap in longer
+    digit runs — fixed application order keeps output deterministic."""
+    out = F.regexp_replace(text, PII_SSN_REGEX, "<SSN>")
+    out = F.regexp_replace(out, PII_PHONE_REGEX, "<PHONE>")
+    return F.regexp_replace(out, PII_EMAIL_REGEX, "<EMAIL>")
+
+
 def fingerprint_rolling(text: Column) -> Column:
     """Polynomial rolling hash over characters:
     acc = (acc * 31 + ascii(char)) mod (2^31 - 1). Order-sensitive,

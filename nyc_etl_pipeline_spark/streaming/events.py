@@ -113,6 +113,54 @@ def stream_enrich_static(events: DataFrame, dim: DataFrame, on: str) -> DataFram
     return events.join(dim, on=on, how="left")
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range bound: each
+    left event pairs with right events for the same key whose
+    timestamp falls in (left.ts, left.ts + `within`] — e.g. clicks
+    joined to the purchases they led to.
+
+    BOTH sides carry watermarks and the join condition bounds event
+    time in both directions; that is what lets Spark expire buffered
+    rows from the state store (left rows once right's watermark passes
+    l_ts + within, right rows once left's passes r_ts). A
+    stream-stream join without the time bound would buffer both
+    streams forever — unbounded state at ingest rates. Equality on the
+    key keeps the physical plan a state-store hash join partitioned by
+    key — no broadcast, scales with key cardinality.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col(on).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(on).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select(
+        F.col("l_key").alias("user_id"),
+        "l_event_id",
+        "r_event_id",
+        "l_ts",
+        "r_ts",
+    )
+
+
 def stream_to_warehouse(
     agg: DataFrame,
     warehouse,
@@ -141,17 +189,20 @@ def stream_to_warehouse(
 
 
 def run_available_now(
-    agg: DataFrame, query_name: str, checkpoint_dir: str | None = None
+    agg: DataFrame, query_name: str, checkpoint_dir: str | None = None,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Execute a streaming aggregation over all currently-available
     input (Trigger.AvailableNow), collect results via the memory sink,
     and stop. 'complete' output mode emits every window — parity with
     the batch forms; 'append' would withhold windows newer than the
-    watermark at end-of-input."""
+    watermark at end-of-input. Stream-stream joins require 'append'
+    (inner-join matches emit immediately; the watermark only governs
+    state eviction, so availableNow still yields every match)."""
     spark = agg.sparkSession
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="spark_ckpt_")
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", ckpt)

@@ -40,6 +40,7 @@ def all_specs() -> list[QuerySpec]:
         relational,
         scalar,
         textops,
+        training,
         vectors,
     )
 
@@ -53,6 +54,7 @@ def all_specs() -> list[QuerySpec]:
         + scalar.SPECS
         + curation.SPECS
         + complextypes.SPECS
+        + training.SPECS
     )
 
 

@@ -1,0 +1,270 @@
+"""Training-data-pipeline suite: deterministic split assignment,
+benchmark decontamination, two-phase connected components, text
+normalization, PII redaction, event funnels.
+
+These are the curation steps a 100 TB pretraining pipeline runs after
+the dedup family (q17/q18/q23/q24/q41): assign train/val/test,
+decontaminate against eval benchmarks, normalize before hashing,
+strip PII, measure behavioral funnels. Oracles are generated from the
+SAME constants as the operators so the two cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.functions import round_half_up as R
+from nyc_etl_pipeline_spark.functions import sql_round_half_up
+from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.operators import dedup as D
+from nyc_etl_pipeline_spark.operators import sampling
+from nyc_etl_pipeline_spark.operators import text as TX
+from nyc_etl_pipeline_spark.suite import QuerySpec
+from nyc_etl_pipeline_spark.suite.curation import _Q41_SQL
+from nyc_etl_pipeline_spark.suite.textops import _SHINGLES, _TOKS, JACCARD_THRESHOLD, NGRAM_N
+
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SALT = "r3"
+BENCH_MOD = 17  # doc_id % 17 == 0 plays the "benchmark corpus"
+CONTAM_THRESHOLD = 0.5
+
+
+# --------------------------------------------------------------------------
+# q50 — deterministic train/val/test split (portable hash)
+# --------------------------------------------------------------------------
+
+def q50_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed split assignment over documents: stable under
+    retries, dataset growth, and engine changes (portable md5 bucket).
+    Output is per-split membership stats — count + id checksum."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    parts = sampling.split(docs, ["doc_id"], SPLIT_WEIGHTS, salt=SPLIT_SALT, portable=True)
+    tagged = None
+    for name, part in parts.items():
+        t = part.select(F.lit(name).alias("split"), "doc_id")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+def _q50_sql() -> str:
+    bucket = sampling.sql_bucket(["doc_id"], SPLIT_SALT)
+    # identical cumulative [lo, hi) bounds as sampling.split
+    bounds, lo = [], 0.0
+    items = list(SPLIT_WEIGHTS.items())
+    for i, (name, w) in enumerate(items):
+        hi = lo + w
+        lo_b = int(lo * 1_000_000)
+        hi_b = 1_000_000 if i == len(items) - 1 else int(hi * 1_000_000)
+        bounds.append((name, lo_b, hi_b))
+        lo = hi
+    case = "CASE " + " ".join(
+        f"WHEN bkt >= {lo_b} AND bkt < {hi_b} THEN '{name}'" for name, lo_b, hi_b in bounds
+    ) + " END"
+    return f"""
+WITH b AS (SELECT doc_id, {bucket} AS bkt FROM documents)
+SELECT {case} AS split, count(*) AS n_docs, sum(doc_id) AS id_sum
+FROM b GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q51 — benchmark decontamination (n-gram overlap vs a held-out set)
+# --------------------------------------------------------------------------
+
+def q51_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    cand = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return D.contamination_scores(
+        cand, bench, n=NGRAM_N, threshold=CONTAM_THRESHOLD
+    )
+
+
+_Q51_SQL = f"""
+WITH bench AS (SELECT * FROM documents WHERE doc_id % {BENCH_MOD} = 0),
+cand AS (SELECT * FROM documents WHERE doc_id % {BENCH_MOD} <> 0),
+btoks AS (SELECT {_TOKS} AS t FROM bench),
+bsh AS (SELECT DISTINCT unnest({_SHINGLES}) AS s FROM btoks),
+ctoks AS (SELECT doc_id, {_TOKS} AS t FROM cand),
+csh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM ctoks),
+sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+hits AS (
+  SELECT doc_id, count(*) AS h FROM csh
+  WHERE s IN (SELECT s FROM bsh)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(sz.n, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(ht.h, 0) AS BIGINT) AS n_hit,
+       CASE WHEN sz.n IS NULL THEN 0.0
+            ELSE {sql_round_half_up('coalesce(ht.h, 0) * 1.0 / sz.n', 3)} END AS contamination,
+       CASE WHEN sz.n IS NULL THEN FALSE
+            ELSE coalesce(ht.h, 0) * 1.0 / sz.n >= {CONTAM_THRESHOLD} END AS is_contaminated
+FROM cand d
+LEFT JOIN sizes sz USING (doc_id)
+LEFT JOIN hits ht USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# q52 — connected components, large-star/small-star (billion-edge path)
+# --------------------------------------------------------------------------
+
+def q52_cc_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering task (and same oracle) as q41, computed by the
+    O(log n)-round large-star/small-star algorithm instead of
+    min-label propagation — proving the two independent algorithms
+    agree on the exact pair graph."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    return D.neardup_clusters_twophase(docs, pairs)
+
+
+# --------------------------------------------------------------------------
+# q53 — text normalization (the hash-prep step of normalized dedup)
+# --------------------------------------------------------------------------
+
+def q53_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    norm = TX.normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
+
+
+_Q53_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                             '\\s+', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text, md5(norm_text) AS norm_hash,
+       CAST(length(norm_text) AS BIGINT) AS norm_len
+FROM n
+"""
+
+
+# --------------------------------------------------------------------------
+# q54 — PII detection + redaction
+# --------------------------------------------------------------------------
+
+def _inject_pii(doc_id: F.Column, text: F.Column) -> F.Column:
+    """Deterministically splice synthetic PII into a third of the docs
+    (the driver's documents table carries none) — BOTH engines build
+    the identical input, so the redaction regexes are genuinely
+    exercised end to end."""
+    return (
+        F.when(doc_id % 7 == 0, F.concat(text, F.lit(" contact user"), doc_id, F.lit("@example.com now")))
+        .when(doc_id % 7 == 1, F.concat(text, F.lit(" call 555-867-5309 today")))
+        .when(doc_id % 7 == 2, F.concat(text, F.lit(" ssn 123-45-6789 leaked")))
+        .otherwise(text)
+    )
+
+
+def q54_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    injected = _inject_pii(F.col("doc_id"), F.col("text"))
+    counts = TX.pii_counts(injected)
+    return docs.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ssns"].alias("n_ssns"),
+        F.md5(TX.redact_pii(injected)).alias("redacted_hash"),
+    )
+
+
+_Q54_SQL = f"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              WHEN doc_id % 7 = 1 THEN text || ' call 555-867-5309 today'
+              WHEN doc_id % 7 = 2 THEN text || ' ssn 123-45-6789 leaked'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{TX.PII_EMAIL_REGEX}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{TX.PII_PHONE_REGEX}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{TX.PII_SSN_REGEX}')) AS BIGINT) AS n_ssns,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{TX.PII_SSN_REGEX}', '<SSN>', 'g'),
+             '{TX.PII_PHONE_REGEX}', '<PHONE>', 'g'),
+             '{TX.PII_EMAIL_REGEX}', '<EMAIL>', 'g')) AS redacted_hash
+FROM inj
+"""
+
+
+# --------------------------------------------------------------------------
+# q55 — event funnel (click -> purchase within 1 hour)
+# --------------------------------------------------------------------------
+
+def q55_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel over the event stream: users whose first
+    click is followed by a purchase within one hour. One groupBy for
+    first-clicks (150 users -> broadcastable), one probe join over
+    events, two tiny aggregates."""
+    ev = read_testdata(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(clicks), on="user_id")
+        .filter(
+            (F.col("ts") > F.col("first_click"))
+            & (F.col("ts") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    n_clicked = clicks.agg(F.count(F.lit(1)).alias("n_clicked"))
+    n_conv = conv.agg(F.count(F.lit(1)).alias("n_converted"))
+    return n_clicked.crossJoin(n_conv).select(
+        "n_clicked",
+        "n_converted",
+        R(F.col("n_converted") / F.col("n_clicked"), 4).alias("conv_rate"),
+    )
+
+
+_Q55_SQL = f"""
+WITH c AS (
+  SELECT user_id, min(ts) AS first_click FROM events
+  WHERE event_type = 'click' GROUP BY 1
+),
+conv AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.first_click
+    AND e.ts <= c.first_click + INTERVAL 1 HOUR
+)
+SELECT (SELECT count(*) FROM c) AS n_clicked,
+       (SELECT count(*) FROM conv) AS n_converted,
+       {sql_round_half_up('(SELECT count(*) FROM conv) * 1.0 / (SELECT count(*) FROM c)', 4)} AS conv_rate
+"""
+
+
+SPECS = [
+    QuerySpec("q50_split_assign", q50_split_assign, _q50_sql(),
+              "deterministic portable train/val/test split"),
+    QuerySpec("q51_contamination", q51_contamination, _Q51_SQL,
+              "benchmark decontamination via n-gram overlap"),
+    QuerySpec("q52_cc_twophase", q52_cc_twophase, _Q41_SQL,
+              "large-star/small-star connected components"),
+    QuerySpec("q53_text_normalize", q53_text_normalize, _Q53_SQL,
+              "canonical text normalization"),
+    QuerySpec("q54_pii_redact", q54_pii_redact, _Q54_SQL,
+              "PII detection + redaction (email/phone/SSN)"),
+    QuerySpec("q55_funnel", q55_funnel, _Q55_SQL,
+              "click->purchase conversion funnel within 1 hour"),
+]

@@ -1,0 +1,170 @@
+"""Training-pipeline operators added in round 3: portable sampling,
+contamination, two-phase CC, normalization, PII redaction, and the
+stream-stream join (batch parity)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.operators import dedup as D
+from nyc_etl_pipeline_spark.operators import sampling
+from nyc_etl_pipeline_spark.operators import text as TX
+from nyc_etl_pipeline_spark.suite.textops import JACCARD_THRESHOLD, NGRAM_N
+
+
+# ---- portable sampling ---------------------------------------------------
+
+def test_portable_split_disjoint_exhaustive_stable(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    parts = sampling.split(
+        docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, portable=True
+    )
+    n_total = docs.count()
+    ids = {name: {r["doc_id"] for r in p.select("doc_id").collect()} for name, p in parts.items()}
+    assert sum(len(v) for v in ids.values()) == n_total
+    assert not (ids["train"] & ids["val"]) and not (ids["train"] & ids["test"])
+    # stable: recomputing yields the identical assignment
+    again = sampling.split(
+        docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, portable=True
+    )
+    assert {r["doc_id"] for r in again["val"].select("doc_id").collect()} == ids["val"]
+    # and portable=True matches plain-Python md5 arithmetic
+    from nyc_etl_pipeline_spark.functions import py_md5_long
+
+    some_id = next(iter(ids["train"]))
+    assert py_md5_long(f"v1\x1f{some_id}") % 1_000_000 < 800_000
+
+
+def test_portable_and_fast_buckets_both_uniform(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    for portable in (False, True):
+        s = sampling.sample(docs, ["doc_id"], 0.5, portable=portable)
+        frac = s.count() / docs.count()
+        assert 0.35 < frac < 0.65, f"portable={portable} fraction {frac}"
+
+
+# ---- contamination -------------------------------------------------------
+
+def test_contamination_self_is_total(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="an entirely different sentence with other words here"),
+            Row(doc_id=3, text="too short"),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps over the lazy dog")]
+    )
+    out = {r["doc_id"]: r for r in D.contamination_scores(docs, bench).collect()}
+    assert out[1]["contamination"] == 1.0 and out[1]["is_contaminated"]
+    assert out[2]["n_hit"] == 0 and not out[2]["is_contaminated"]
+    # 2 tokens -> no trigram -> zero shingles, rate 0, not contaminated
+    assert out[3]["n_shingles"] == 0 and out[3]["contamination"] == 0.0
+    assert not out[3]["is_contaminated"]
+
+
+def test_contamination_partial_overlap(spark):
+    # doc shares its first 3 of 4 shingles with the benchmark
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c d e f")])  # shingles: abc bcd cde def
+    bench = spark.createDataFrame([Row(doc_id=9, text="a b c d e")])  # abc bcd cde
+    row = D.contamination_scores(docs, bench).collect()[0]
+    assert row["n_shingles"] == 4 and row["n_hit"] == 3
+    assert row["contamination"] == 0.75 and row["is_contaminated"]
+
+
+# ---- two-phase connected components --------------------------------------
+
+def test_twophase_cc_matches_label_propagation(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    a = {(r["doc_id"], r["cluster_rep"]) for r in D.neardup_clusters(docs, pairs).collect()}
+    b = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in D.neardup_clusters_twophase(docs, pairs).collect()
+    }
+    assert a == b
+
+
+def test_twophase_cc_long_chain(spark):
+    """A 12-node path graph — worst case for label propagation
+    (diameter rounds), the case the O(log n) algorithm exists for."""
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(12)])
+    pairs = spark.createDataFrame(
+        [Row(a_id=i, b_id=i + 1) for i in range(11)]
+    )
+    out = {r["doc_id"]: r["cluster_rep"] for r in D.neardup_clusters_twophase(nodes, pairs).collect()}
+    assert out == {i: 0 for i in range(12)}
+
+
+def test_twophase_cc_empty_and_singletons(spark):
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in (5, 7, 9)])
+    pairs = spark.createDataFrame([], "a_id long, b_id long")
+    out = {r["doc_id"]: r["cluster_rep"] for r in D.neardup_clusters_twophase(nodes, pairs).collect()}
+    assert out == {5: 5, 7: 7, 9: 9}
+
+
+# ---- normalization + PII -------------------------------------------------
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame([Row(t="  Hello,   WORLD!!  it's 2024...  ")])
+    got = df.select(TX.normalize_text(F.col("t")).alias("n")).collect()[0]["n"]
+    assert got == "hello world its 2024"
+
+
+def test_pii_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="mail me at a.b+c@ex-ample.org or call 555-867-5309, ssn 123-45-6789."),
+            Row(t="nothing sensitive here"),
+        ]
+    )
+    counts = TX.pii_counts(F.col("t"))
+    out = df.select(
+        counts["n_emails"].alias("e"),
+        counts["n_phones"].alias("p"),
+        counts["n_ssns"].alias("s"),
+        TX.redact_pii(F.col("t")).alias("red"),
+    ).collect()
+    assert (out[0]["e"], out[0]["p"], out[0]["s"]) == (1, 1, 1)
+    assert "<EMAIL>" in out[0]["red"] and "<PHONE>" in out[0]["red"] and "<SSN>" in out[0]["red"]
+    assert "@" not in out[0]["red"]
+    assert (out[1]["e"], out[1]["p"], out[1]["s"]) == (0, 0, 0)
+    assert out[1]["red"] == "nothing sensitive here"
+
+
+# ---- stream-stream join --------------------------------------------------
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from nyc_etl_pipeline_spark.streaming import run_available_now
+    from nyc_etl_pipeline_spark.streaming.events import read_event_stream, stream_stream_join
+
+    stream = read_event_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    buys = stream.filter(F.col("event_type") == "purchase")
+    out = run_available_now(
+        stream_stream_join(clicks, buys), "t_ssjoin", output_mode="append"
+    )
+    got = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"]) for r in out.collect()
+    }
+
+    ev = read_testdata(spark, sf_dir, "events")
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("l_event_id"), F.col("ts").alias("l_ts")
+    )
+    bb = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("r_event_id"), F.col("ts").alias("r_ts")
+    )
+    want = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in bc.join(bb, on="user_id")
+        .filter(
+            (F.col("r_ts") > F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
