@@ -48,6 +48,47 @@ def zscore_per_group(
     return bucketed.groupBy("__bucket").applyInPandas(_z, schema=out_schema)
 
 
+def zscore_per_group_arrow(
+    df: DataFrame, group_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """Same contract as `zscore_per_group`, via Spark 4's applyInArrow:
+    the batch arrives as a pyarrow.Table and the math runs on zero-copy
+    numpy views of the Arrow buffers — no pandas Block consolidation on
+    either side of the exchange. Group segmentation is one stable
+    argsort + reduceat per batch; same hash-bucketed grouping trick so
+    tiny groups amortize into big batches."""
+    import pyarrow as pa
+
+    def _z(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy()
+        g = tbl.column(group_col).to_numpy()
+        v = tbl.column(value_col).to_numpy().astype(np.float64)
+        order = np.argsort(g, kind="stable")
+        gs, vs = g[order], v[order]
+        # segment boundaries of equal-group runs
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        counts = np.diff(np.r_[starts, len(gs)])
+        sums = np.add.reduceat(vs, starts)
+        means = sums / counts
+        sq = np.add.reduceat((vs - np.repeat(means, counts)) ** 2, starts)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            std = np.sqrt(sq / np.maximum(counts - 1, 1))
+        std = np.where(counts > 1, std, np.nan)
+        z_sorted = (vs - np.repeat(means, counts)) / np.repeat(std, counts)
+        z_sorted = np.where(np.repeat(std > 0, counts), z_sorted, np.nan)
+        z = np.empty_like(z_sorted)
+        z[order] = np.floor(z_sorted * 10000.0 + 0.5) / 10000.0
+        # NaN must become an Arrow NULL explicitly (pandas does this
+        # implicitly on conversion; a raw numpy array would keep NaN)
+        return pa.table(
+            {id_col: ids, group_col: g, "zscore": pa.array(z, mask=np.isnan(z))}
+        )
+
+    out_schema = f"{id_col} long, {group_col} long, zscore double"
+    bucketed = df.withColumn("__bucket", F.pmod(F.xxhash64(group_col), F.lit(256)))
+    return bucketed.groupBy("__bucket").applyInArrow(_z, schema=out_schema)
+
+
 def geometric_mean_agg(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Grouped-agg pandas_udf: geometric mean of positive values per
     group — exp(mean(ln x)) computed in numpy over Arrow batches."""

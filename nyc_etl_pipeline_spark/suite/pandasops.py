@@ -9,7 +9,11 @@ from pyspark.sql import functions as F
 
 from nyc_etl_pipeline_spark.functions import round_half_up as R
 from nyc_etl_pipeline_spark.io import read_testdata
-from nyc_etl_pipeline_spark.operators.pandas_ops import geometric_mean_agg, zscore_per_group
+from nyc_etl_pipeline_spark.operators.pandas_ops import (
+    geometric_mean_agg,
+    zscore_per_group,
+    zscore_per_group_arrow,
+)
 from nyc_etl_pipeline_spark.suite import QuerySpec
 
 
@@ -62,9 +66,30 @@ GROUP BY 1
 """
 
 
+def q57_arrow_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same z-score contract as q36, computed through Spark 4's
+    applyInArrow (pyarrow.Table in/out, numpy segment math on zero-copy
+    Arrow buffers) — the third Python-batch surface, verified against
+    the identical window-function oracle."""
+    o = read_testdata(spark, sf_dir, "orders")
+    out = zscore_per_group_arrow(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        group_col="o_custkey",
+        value_col="o_totalprice",
+        id_col="o_orderkey",
+    )
+    return out.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        "zscore",
+    )
+
+
 SPECS = [
     QuerySpec("q36_grouped_map_zscore", q36_grouped_map_zscore, _Q36_SQL,
               "applyInPandas grouped-map z-score vs window-function oracle"),
     QuerySpec("q37_grouped_agg_geomean", q37_grouped_agg_geomean, _Q37_SQL,
               "pandas_udf grouped-agg geometric mean vs exp(avg(ln)) oracle"),
+    QuerySpec("q57_arrow_zscore", q57_arrow_zscore, _Q36_SQL,
+              "applyInArrow grouped-map z-score (zero-copy Arrow->numpy) vs same oracle"),
 ]

@@ -155,6 +155,53 @@ FROM ranked WHERE rn <= {TOPK_K}
 """
 
 
+def q56_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8, 1 byte/dim) approximate top-k. Unlike
+    IVF, the quantizer is training-free and deterministic, so the
+    ENTIRE approximate pipeline — per-dim stats, codes, reconstruction,
+    ranking — is replicated by the oracle and hash-matched, not just
+    bounded by a quality contract."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+    return SIM.sq8_topk(emb, queries, k=TOPK_K)
+
+
+_Q56_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+dims AS (
+  SELECT i, min(e[i]) AS mn, max(e[i]) AS mx
+  FROM v, range(1, {EMB_DIM + 1}) t(i) GROUP BY i
+),
+cb AS (
+  SELECT list(mn ORDER BY i) AS mns,
+         list(CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END ORDER BY i) AS rngs
+  FROM dims
+),
+r AS (
+  SELECT vec_id,
+         list_transform(range(1, {EMB_DIM + 1}),
+           j -> mns[j] + (least(greatest(floor((e[j] - mns[j]) / rngs[j] * 255.0), 0.0), 255.0) + 0.5) * rngs[j] / 256.0
+         ) AS re
+  FROM v, cb
+),
+q AS (SELECT vec_id AS query_id, re AS qv FROM r WHERE vec_id < {TOPK_QUERIES}),
+scored AS (
+  SELECT query_id, r.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="qv", b="r.re")} AS cos
+  FROM q, r
+  WHERE r.vec_id != query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, floor((cos) * 10000.0 + 0.5) / 10000.0 AS acosine,
+       CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= {TOPK_K}
+"""
+
+
 SPECS = [
     QuerySpec("q25_embedding_topk", q25_embedding_topk, _Q25_SQL,
               "exact cosine top-k (broadcast queries, no corpus shuffle)"),
@@ -164,4 +211,6 @@ SPECS = [
               "LSH-bucketed near-dup (md5-derived planes; oracle rebuilds buckets)"),
     QuerySpec("q35_ivf_topk", q35_ivf_topk, _Q35_SQL,
               "IVF approximate top-k (quality-at-rank contract, oracle-checked)"),
+    QuerySpec("q56_sq8_topk", q56_sq8_topk, _Q56_SQL,
+              "SQ8 scalar-quantized top-k (deterministic, fully oracle-replicated)"),
 ]

@@ -134,6 +134,57 @@ def test_pii_redaction(spark):
     assert out[1]["red"] == "nothing sensitive here"
 
 
+# ---- SQ8 scalar quantization ---------------------------------------------
+
+def test_sq8_topk_recall_vs_exact(spark, sf_dir):
+    from nyc_etl_pipeline_spark.operators import similarity as SIM
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries, k=5)
+    approx = SIM.sq8_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 8-bit quantization on 64 dims loses almost nothing
+    assert recall >= 0.8, f"SQ8 recall {recall}"
+
+
+def test_sq8_codes_bounded_and_deterministic(spark, sf_dir):
+    from nyc_etl_pipeline_spark.operators import similarity as SIM
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    mins, maxes = SIM.sq8_stats(emb)
+    assert len(mins) == len(maxes) == 64
+    codes = emb.select(
+        SIM.sq8_encode(
+            F.transform("embedding", lambda x: x.cast("double")), mins, maxes
+        ).alias("c")
+    )
+    lo, hi = codes.select(
+        F.min(F.array_min("c")).alias("lo"), F.max(F.array_max("c")).alias("hi")
+    ).first()
+    assert lo >= 0.0 and hi <= 255.0
+    assert SIM.sq8_stats(emb) == (mins, maxes)  # deterministic
+
+
+# ---- applyInArrow parity -------------------------------------------------
+
+def test_arrow_zscore_equals_pandas_zscore(spark, sf_dir):
+    from nyc_etl_pipeline_spark.operators.pandas_ops import (
+        zscore_per_group,
+        zscore_per_group_arrow,
+    )
+
+    o = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    kw = dict(group_col="o_custkey", value_col="o_totalprice", id_col="o_orderkey")
+    a = {(r["o_orderkey"], r["zscore"]) for r in zscore_per_group_arrow(o, **kw).collect()}
+    p = {(r["o_orderkey"], r["zscore"]) for r in zscore_per_group(o, **kw).collect()}
+    assert a == p
+
+
 # ---- stream-stream join --------------------------------------------------
 
 def test_stream_stream_join_matches_batch(spark, sf_dir):
