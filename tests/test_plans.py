@@ -80,6 +80,39 @@ def test_range_join_broadcasts_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The decontamination probe must broadcast the benchmark shingle
+    index — a shuffle of the corpus against a tiny eval set would be
+    the wrong plan at any scale."""
+    from nyc_etl_pipeline_spark.operators.dedup import contamination_scores
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    cand = docs.filter(F.col("doc_id") % 17 != 0)
+    plan = P.explain_str(contamination_scores(cand, bench), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sq8_topk_broadcasts_queries_no_corpus_shuffle(spark, sf_dir):
+    """SQ8 search keeps the exact-baseline shape: query side broadcast,
+    corpus never shuffled before scoring (the only exchange is the
+    k*|Q|-row window merge)."""
+    from nyc_etl_pipeline_spark.operators.similarity import sq8_topk
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    plan = P.explain_str(sq8_topk(emb, queries), "simple")
+    assert P.has_broadcast_join(plan), plan
+    assert P.count_exchanges(plan) <= 2, plan
+
+
+def test_funnel_broadcasts_first_clicks(spark, sf_dir):
+    from nyc_etl_pipeline_spark.suite.training import q55_funnel
+
+    plan = P.explain_str(q55_funnel(spark, sf_dir), "simple")
+    assert P.has_broadcast_join(plan), plan
+
+
 def test_partition_pruning_on_warehouse_table(spark, tmp_path, sf_dir):
     """month-partitioned lakehouse table: a month filter must prune
     partitions at the scan (the engine's replacement for the
