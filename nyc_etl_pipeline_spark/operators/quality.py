@@ -10,6 +10,7 @@ per-column loop of scans is the difference between minutes and hours.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -42,3 +43,50 @@ def profile(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
         ).alias("s")
     )
     return stacked.select("s.column", "s.n_rows", "s.n_nulls", "s.n_distinct")
+
+
+def exact_percentiles_sorted(
+    df: DataFrame, group_col: str, value_col: str, percentiles: list[float]
+) -> DataFrame:
+    """EXACT linear-interpolation percentiles via distributed sort —
+    the 100 TB formulation of `F.percentile`.
+
+    Spark's exact `percentile` aggregate buffers EVERY group value in
+    an in-memory counts map inside the aggregation buffer; with few
+    groups and huge data that buffer is the dataset — it cannot spill
+    and OOMs long before cluster scale. This form shuffles once on the
+    group key and computes rank positions under a window sort, which
+    uses Spark's EXTERNAL (spillable) sorter: memory per task is
+    bounded regardless of group size. Two window passes + one tiny
+    aggregate; identical values to the percentile aggregate (same
+    1 + (n-1)*p position, same lower+(pos-lo)*(higher-lower)
+    interpolation).
+
+    Returns one row per group: (group_col, p_<pct> double ...), column
+    names like p_25 / p_99 (dots stripped).
+    """
+    wo = W.partitionBy(group_col).orderBy(value_col)
+    wn = W.partitionBy(group_col)
+    ranked = df.select(group_col, value_col).select(
+        group_col,
+        F.col(value_col).cast("double").alias("__v"),
+        F.row_number().over(wo).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    # keep only rows that are a lower/upper neighbor of some requested
+    # percentile position — the aggregate then runs over ~2*|ps| rows
+    # per group, not the full data
+    keep = F.lit(False)
+    for p in percentiles:
+        pos = 1 + (F.col("__n") - 1) * F.lit(p)
+        keep = keep | (F.col("__rn") == F.floor(pos)) | (F.col("__rn") == F.ceil(pos))
+    picked = ranked.filter(keep)
+    aggs = []
+    for p in percentiles:
+        pos = 1 + (F.col("__n") - 1) * F.lit(p)
+        lo = F.max(F.when(F.col("__rn") == F.floor(pos), F.col("__v")))
+        hi = F.max(F.when(F.col("__rn") == F.ceil(pos), F.col("__v")))
+        frac = F.max(F.when(F.col("__rn") == F.floor(pos), pos - F.floor(pos)))
+        name = f"p_{str(p).replace('0.', '').replace('.', '_')}"
+        aggs.append((lo + frac * (hi - lo)).alias(name))
+    return picked.groupBy(group_col).agg(*aggs)

@@ -161,6 +161,46 @@ def stream_stream_join(
     )
 
 
+def stream_stream_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Left-outer variant of `stream_stream_join`: left events with NO
+    matching right event inside the time bound still emit (null right
+    side) — but only once the right watermark has passed l_ts +
+    `within`, because until then a match could still arrive. Matched
+    rows emit immediately; the null-padded rows trail by the watermark
+    delay. That timing asymmetry is inherent to streaming outer joins —
+    a consumer needing the unmatched set promptly must tighten the
+    watermark (trading late-data tolerance)."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col(on).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(on).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "left_outer",
+    ).select(
+        F.col("l_key").alias("user_id"),
+        "l_event_id",
+        "l_ts",
+        "r_event_id",
+        "r_ts",
+    )
+
+
 def stream_to_warehouse(
     agg: DataFrame,
     warehouse,

@@ -140,6 +140,30 @@ def _profile_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q58_percentiles_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact percentiles as q42, via the distributed-sort
+    formulation (operators/quality.exact_percentiles_sorted) — the
+    spillable 100 TB path; `F.percentile`'s in-memory per-group buffer
+    is the dataset itself when groups are few. Shares q42's oracle:
+    both algorithms must agree to the last rounded digit."""
+    from nyc_etl_pipeline_spark.operators.quality import exact_percentiles_sorted
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    out = exact_percentiles_sorted(
+        li.select(F.col("l_returnflag").alias("returnflag"), "l_extendedprice"),
+        group_col="returnflag",
+        value_col="l_extendedprice",
+        percentiles=[0.25, 0.5, 0.75, 0.99],
+    )
+    return out.select(
+        "returnflag",
+        R(F.col("p_25"), 3).alias("p25"),
+        R(F.col("p_5"), 3).alias("p50"),
+        R(F.col("p_75"), 3).alias("p75"),
+        R(F.col("p_99"), 3).alias("p99"),
+    )
+
+
 SPECS = [
     QuerySpec("q41_neardup_clusters", q41_neardup_clusters, _Q41_SQL,
               "connected-components canonical-doc selection over near-dup pairs"),
@@ -148,4 +172,6 @@ SPECS = [
     QuerySpec("q43_tpch_q1", q43_tpch_q1, _Q43_SQL, "TPC-H Q1 pricing summary"),
     QuerySpec("q44_data_profile", q44_data_profile, _profile_sql(),
               "per-column null/distinct profile, single-pass"),
+    QuerySpec("q58_percentiles_sorted", q58_percentiles_sorted, _Q42_SQL,
+              "exact percentiles via spillable distributed sort (same oracle as q42)"),
 ]

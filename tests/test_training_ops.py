@@ -168,6 +168,35 @@ def test_sq8_codes_bounded_and_deterministic(spark, sf_dir):
     assert SIM.sq8_stats(emb) == (mins, maxes)  # deterministic
 
 
+# ---- sort-based exact percentiles ---------------------------------------
+
+def test_sorted_percentiles_equal_percentile_agg(spark, sf_dir):
+    from nyc_etl_pipeline_spark.operators.quality import exact_percentiles_sorted
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    ps = [0.25, 0.5, 0.75, 0.99]
+    srt = exact_percentiles_sorted(li, "l_returnflag", "l_extendedprice", ps)
+    agg = li.groupBy("l_returnflag").agg(
+        *[F.percentile("l_extendedprice", p).alias(f"a{i}") for i, p in enumerate(ps)]
+    )
+    got = {r["l_returnflag"]: [r[c] for c in srt.columns[1:]] for r in srt.collect()}
+    want = {r["l_returnflag"]: [r[f"a{i}"] for i in range(len(ps))] for r in agg.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        for g, w in zip(got[k], want[k]):
+            assert abs(g - w) < 1e-9, (k, got[k], want[k])
+
+
+def test_sorted_percentiles_singleton_group(spark):
+    from nyc_etl_pipeline_spark.operators.quality import exact_percentiles_sorted
+
+    df = spark.createDataFrame([Row(g="a", v=7.0), Row(g="b", v=1.0), Row(g="b", v=3.0)])
+    out = {r["g"]: (r["p_25"], r["p_5"]) for r in
+           exact_percentiles_sorted(df, "g", "v", [0.25, 0.5]).collect()}
+    assert out["a"] == (7.0, 7.0)
+    assert out["b"] == (1.5, 2.0)
+
+
 # ---- applyInArrow parity -------------------------------------------------
 
 def test_arrow_zscore_equals_pandas_zscore(spark, sf_dir):
@@ -219,3 +248,65 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_stream_outer_join_emits_unmatched(spark, sf_dir):
+    """Left-outer: matched rows emit immediately; null-padded rows
+    emit once the watermark passes l_ts + within. The final watermark
+    at end-of-input depends on Spark's batch split (the last data
+    batch evicts with the PREVIOUS batch's watermark — availableNow
+    appends no flush batch), so the completeness cutoff is calibrated
+    from the oldest-emitted nulls rather than assumed; soundness is
+    asserted on everything emitted."""
+    from nyc_etl_pipeline_spark.streaming import run_available_now
+    from nyc_etl_pipeline_spark.streaming.events import (
+        read_event_stream,
+        stream_stream_join_outer,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    buys = stream.filter(F.col("event_type") == "purchase")
+    out = run_available_now(
+        stream_stream_join_outer(clicks, buys), "t_ssjoin_outer", output_mode="append"
+    ).toPandas()
+
+    ev = read_testdata(spark, sf_dir, "events")
+    bc = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("l_event_id"), F.col("ts").alias("l_ts")
+    )
+    bb = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"), F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    batch = bc.join(
+        bb,
+        (bc.user_id == bb.r_user)
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).toPandas()
+    want = {
+        (int(r.l_event_id), None if r.r_event_id != r.r_event_id else int(r.r_event_id))
+        for _, r in batch.iterrows()
+    }
+    got = {
+        (int(r.l_event_id), None if r.r_event_id != r.r_event_id else int(r.r_event_id))
+        for _, r in out.iterrows()
+    }
+    # soundness: everything the stream emitted is a true outer-join row
+    assert got <= want
+    # matched rows emit immediately and completely
+    assert {p for p in got if p[1] is not None} == {p for p in want if p[1] is not None}
+    # completeness below the calibrated watermark boundary: every
+    # unmatched click at or before the newest emitted null is present
+    nulls = out[out.r_event_id.isna()]
+    assert len(nulls) > 0, "no null rows emitted"
+    boundary = nulls.l_ts.max()
+    want_nulls_old = {
+        int(r.l_event_id)
+        for _, r in batch.iterrows()
+        if (r.r_event_id != r.r_event_id) and r.l_ts <= boundary
+    }
+    got_nulls = {int(r.l_event_id) for _, r in nulls.iterrows()}
+    assert got_nulls == want_nulls_old
