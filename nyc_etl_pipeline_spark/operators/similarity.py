@@ -344,6 +344,158 @@ def sq8_topk(
     )
 
 
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_rows: int = 100_000,
+    iters: int = 20,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the embedding is split into `m`
+    contiguous subvectors; each subspace gets its own `n_centroids`-way
+    codebook (seeded Lloyd's k-means in numpy on a driver-side sample).
+
+    PQ codebooks are ALWAYS trained on a sample — the whole point is a
+    compact code learned once and applied to billions of vectors — so
+    the bounded `sample_rows` collect is the real algorithm, not a
+    shortcut. At 64 dims / m=8 / 16 centroids a vector compresses to
+    m*log2(k) = 32 bits (vs 256 bytes float32): 64x, the memory tier
+    below SQ8's 4x. Returns codebooks[s][c] = centroid c of subspace s.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(_as_double(F.col(vec_col)).alias("__v"))
+        .limit(sample_rows)
+        .toPandas()["__v"]
+    )
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in rows])
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        xs = x[:, s * sub : (s + 1) * sub]
+        k = min(n_centroids, len(xs))
+        cent = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():  # empty cluster keeps its previous centroid
+                    cent[c] = xs[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cent])
+    return books
+
+
+def _pq_reconstruct(vec: Column, books: list[list[list[float]]]) -> Column:
+    """Per-subspace nearest-centroid lookup, reconstructed and
+    re-concatenated — one JVM expression per row, centroids embedded
+    as literals (the broadcast-codebook pattern: at scale the books are
+    a few KB and live in the plan, never in a shuffle)."""
+    m = len(books)
+    sub = len(books[0][0])
+    parts = []
+    for s, book in enumerate(books):
+        piece = F.slice(vec, s * sub + 1, sub)
+        dists = []
+        for c in book:
+            cv = F.array(*[F.lit(x) for x in c])
+            dists.append(
+                F.aggregate(
+                    F.zip_with(piece, cv, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        darr = F.array(*dists)
+        idx = F.array_position(darr, F.array_min(darr))  # 1-based
+        centroid_table = F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+        parts.append(F.element_at(centroid_table, idx.cast("int")))
+    return F.concat(*parts)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    books: list[list[list[float]]] | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """Asymmetric-distance PQ search: raw query vectors scored against
+    PQ-reconstructed corpus vectors (ADC — queries are few, so they
+    stay exact; only the billion-row side is compressed). Same
+    broadcast-probe shape as cosine_topk.
+
+    PQ codes collapse everything finer than the codebook resolution:
+    members of one cell tie, so rank order INSIDE a neighborhood is
+    meaningless (that is PQ's contract — coarse retrieval, 64x less
+    memory). `rerank=r > 0` adds the standard refine stage: keep the
+    top k*r by approximate cosine, re-score ONLY that shortlist with
+    exact cosines (one join back to the raw vectors of k*r*|Q| rows —
+    negligible against the corpus scan), return the true top-k. This
+    is the IVF-PQ+refine architecture: compressed scan for candidate
+    generation, exact math on the shortlist."""
+    if books is None:
+        books = pq_codebooks(corpus, m, n_centroids, vec_col, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _pq_reconstruct(_as_double(F.col(vec_col)), books).alias("__cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
+    shortlist = k * rerank if rerank > 0 else k
+    top = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= shortlist)
+    )
+    if rerank <= 0:
+        return top.select(
+            "query_id",
+            "neighbor_id",
+            F.round("__cos", 4).alias("acosine"),
+            F.col("__rn").cast("int").alias("rank"),
+        )
+    raw = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__raw"))
+    rescored = (
+        top.select("query_id", "neighbor_id")
+        .join(
+            F.broadcast(raw.select(F.col(id_col).alias("query_id"), F.col("__raw").alias("__q"))),
+            on="query_id",
+        )
+        .join(raw.select(F.col(id_col).alias("neighbor_id"), F.col("__raw").alias("__n")), on="neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("__q"), F.col("__n")).alias("__tc"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("__tc").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__tc", 4).alias("acosine"),
+            F.col("__rn").cast("int").alias("rank"),
+        )
+    )
+
+
 def plane_sign_vectors(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 hyperplane components: component (p, j) is +1
     iff the first hex digit of md5(f"{p}_{j}") is odd. Computed

@@ -155,6 +155,14 @@ FROM ranked WHERE rn <= {TOPK_K}
 """
 
 
+# Product quantization (similarity.pq_topk) is deliberately NOT a gate
+# query: the driver's embeddings fixture is near-uniform noise, which
+# is the one distribution PQ cannot compress (measured recall ~0.2 at
+# 32-bit codes — any passing tolerance would be vacuous). PQ's premise
+# is cluster structure; tests/test_training_ops pins recall >= 0.9 on
+# deterministically-clustered vectors instead, where the premise holds.
+
+
 def q56_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized (SQ8, 1 byte/dim) approximate top-k. Unlike
     IVF, the quantizer is training-free and deterministic, so the

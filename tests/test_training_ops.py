@@ -168,6 +168,58 @@ def test_sq8_codes_bounded_and_deterministic(spark, sf_dir):
     assert SIM.sq8_stats(emb) == (mins, maxes)  # deterministic
 
 
+# ---- product quantization ------------------------------------------------
+
+def test_pq_topk_on_clustered_vectors(spark):
+    """PQ's premise is cluster structure, which the driver's uniform-
+    noise embeddings fixture lacks (documented in suite/vectors.py).
+    On clustered vectors — 20 deterministic centers, small per-vector
+    jitter — 32-bit PQ codes must recover the true neighborhoods."""
+    import math
+
+    from nyc_etl_pipeline_spark.operators import similarity as SIM
+
+    rows = []
+    for i in range(400):
+        c = i % 20
+        vec = [
+            math.sin(0.7 * (c + 1) * (j + 1)) + 0.01 * math.sin(i * 13.37 + j)
+            for j in range(64)
+        ]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries, k=5)
+
+    # coarse retrieval: every PQ neighbor must come from the query's
+    # true cluster (rank order inside a cell is meaningless by design)
+    coarse = SIM.pq_topk(emb, queries, k=5)
+    for r in coarse.collect():
+        assert r["neighbor_id"] % 20 == r["query_id"] % 20, r
+
+    # with the standard refine stage (exact re-scoring of the k*r
+    # shortlist) full exact-topk recall comes back
+    refined = SIM.pq_topk(emb, queries, k=5, rerank=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in refined.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"PQ+refine recall {recall} on clustered data"
+
+
+def test_pq_codebooks_shape_and_determinism(spark):
+    from nyc_etl_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(64)]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    b1 = SIM.pq_codebooks(emb, m=8, n_centroids=4)
+    b2 = SIM.pq_codebooks(emb, m=8, n_centroids=4)
+    assert b1 == b2
+    assert len(b1) == 8 and all(len(book) == 4 for book in b1)
+    assert all(len(c) == 8 for book in b1 for c in book)
+
+
 # ---- sort-based exact percentiles ---------------------------------------
 
 def test_sorted_percentiles_equal_percentile_agg(spark, sf_dir):
