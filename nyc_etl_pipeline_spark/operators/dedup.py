@@ -421,6 +421,7 @@ def neardup_clusters_twophase(
         .dropDuplicates()
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_rounds):
         # ---- large-star on the symmetric view -------------------------
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -451,8 +452,17 @@ def neardup_clusters_twophase(
         )
         if e2.exceptAll(e).union(e.exceptAll(e2)).isEmpty():
             e = e2
+            converged = True
             break
         e = e2
+    if not converged:
+        # Returning labels from a non-fixpoint edge set would be
+        # silently WRONG (stars not yet rooted at component minima).
+        # O(log n) convergence means max_rounds=50 covers any graph
+        # that fits on hardware; hitting this is a bug or bad input.
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_rounds} rounds"
+        )
     # at fixpoint: stars rooted at component minima -> rep = min neighbor
     rep = e.groupBy(F.col("v").alias("node")).agg(F.min("u").alias("rep"))
     return (

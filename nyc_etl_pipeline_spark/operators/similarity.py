@@ -144,14 +144,50 @@ def cosine_pairs(
 _CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
 
 
+def _lloyd(x, k: int, seed: int, iters: int = 20):
+    """Seeded Lloyd's k-means in numpy (deterministic; empty clusters
+    keep their previous centroid). Quantizer training is a SAMPLE
+    problem — a coarse quantizer fit on ~100k rows is statistically
+    identical to one fit on the full corpus, so the right architecture
+    is a bounded driver-side fit + literal-broadcast centers, not a
+    distributed ML job per index build (a distributed KMeans fit was
+    ~12 s of the cold q35 time; this is <100 ms)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    k = min(k, len(x))
+    # k-means++ seeding (D^2-weighted): random init on uniform-ish data
+    # leaves badly unbalanced cells, which costs IVF recall directly
+    # (measured 0.52 vs 0.68 at n_probe=3/8 on the uniform fixture)
+    cent = x[[rng.integers(len(x))]].copy()
+    for _ in range(k - 1):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        total = d2.sum()
+        if total <= 0:
+            cent = np.vstack([cent, x[[rng.integers(len(x))]]])
+            continue
+        cent = np.vstack([cent, x[[rng.choice(len(x), p=d2 / total)]]])
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cent[c] = x[mask].mean(axis=0)
+    return cent
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_lists: int,
     vec_col: str = "embedding",
     seed: int = 42,
     cache_key: str | None = None,
+    sample_rows: int = 100_000,
 ) -> list[list[float]]:
-    """Fit (or fetch cached) the KMeans coarse quantizer's centers.
+    """Fit (or fetch cached) the coarse quantizer's centers: seeded
+    numpy Lloyd's on a bounded driver-side sample (see _lloyd — the
+    same sample-then-broadcast architecture as pq_codebooks).
 
     The cache key is (cache_key, vec_col, n_lists, seed). ``cache_key``
     identifies the CORPUS CONTENT, not just its location — callers must
@@ -160,15 +196,18 @@ def ivf_centroids(
     centroids fit on the old corpus, shifting cell assignments and
     therefore IVF results.
     """
+    import numpy as np
+
     key = (cache_key, vec_col, n_lists, seed)
     if cache_key is not None and key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feat = corpus.select(array_to_vector(_as_double(F.col(vec_col))).alias("__features"))
-    km = KMeans(k=n_lists, seed=seed, featuresCol="__features", predictionCol="__cell")
-    centers = [[float(x) for x in c] for c in km.fit(feat).clusterCenters()]
+    rows = (
+        corpus.select(_as_double(F.col(vec_col)).alias("__v"))
+        .limit(sample_rows)
+        .toPandas()["__v"]
+    )
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in rows])
+    centers = [[float(v) for v in c] for c in _lloyd(x, n_lists, seed)]
     if cache_key is not None:
         _CENTROID_CACHE[key] = centers
     return centers
@@ -376,19 +415,10 @@ def pq_codebooks(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    rng = np.random.default_rng(seed)
     books: list[list[list[float]]] = []
     for s in range(m):
         xs = x[:, s * sub : (s + 1) * sub]
-        k = min(n_centroids, len(xs))
-        cent = xs[rng.choice(len(xs), size=k, replace=False)].copy()
-        for _ in range(iters):
-            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(k):
-                mask = assign == c
-                if mask.any():  # empty cluster keeps its previous centroid
-                    cent[c] = xs[mask].mean(axis=0)
+        cent = _lloyd(xs, n_centroids, seed + s, iters)
         books.append([[float(v) for v in c] for c in cent])
     return books
 
