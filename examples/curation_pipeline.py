@@ -1,0 +1,112 @@
+"""End-to-end training-data curation pipeline over the `documents`
+table — the composition the individual operators exist for:
+
+  1. exact dedup            (digest group-by; q17 semantics)
+  2. near-dup clustering    (n-gram Jaccard pairs -> connected
+                             components; keep cluster representative)
+  3. decontamination        (n-gram overlap vs a benchmark corpus)
+  4. quality + language     (JVM-side scoring; keep en docs >= cutoff)
+  5. PII redaction          (email/phone/SSN -> typed placeholders)
+  6. normalization          (canonical text for downstream hashing)
+  7. deterministic split    (train/val/test, portable hash — stable
+                             under growth and retries)
+  8. partitioned write      (split-partitioned parquet lakehouse dir)
+
+Every stage is a pure DataFrame transform from `operators/`; the whole
+pipeline is one lazy plan per output split — Catalyst fuses the scalar
+stages (4-6) into single codegen projections, and the only shuffles
+are the dedup group-bys and pair joins. At 100 TB the shape is
+unchanged: digests and shingle hashes shuffle (never bodies), the
+benchmark index broadcasts, splits are per-row hash filters.
+
+Usage: python examples/curation_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark import get_spark
+from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.operators import dedup as D
+from nyc_etl_pipeline_spark.operators import sampling
+from nyc_etl_pipeline_spark.operators import text as TX
+
+QUALITY_CUTOFF = 0.5
+CONTAM_THRESHOLD = 0.5
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    quality_cutoff: float = QUALITY_CUTOFF,
+    langs: tuple[str, ...] = ("en",),
+) -> dict[str, DataFrame]:
+    """documents(doc_id, text, ...) -> {split: curated DataFrame}."""
+    # 1. exact dedup: keep the canonical (min-id) copy of each digest
+    canon = D.exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
+    docs1 = docs.join(canon, on="doc_id", how="left_semi")
+
+    # 2. near-dup clustering: keep each cluster's representative
+    pairs = D.ngram_jaccard_pairs(docs1, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    clusters = D.neardup_clusters(docs1, pairs)
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster_rep")).select("doc_id")
+    docs2 = docs1.join(reps, on="doc_id", how="left_semi")
+
+    # 3. decontamination vs the benchmark corpus
+    contam = D.contamination_scores(
+        docs2, benchmark, n=NGRAM_N, threshold=CONTAM_THRESHOLD
+    )
+    clean_ids = contam.filter(~F.col("is_contaminated")).select("doc_id")
+    docs3 = docs2.join(clean_ids, on="doc_id", how="left_semi")
+
+    # 4-6. scalar gauntlet: quality gate, language gate, redact, normalize
+    curated = (
+        docs3.withColumn("quality", TX.quality_score(F.col("text")))
+        .withColumn("lang_pred", TX.lang_id(F.col("text")))
+        .filter((F.col("quality") >= quality_cutoff) & F.col("lang_pred").isin(*langs))
+        .withColumn("text_redacted", TX.redact_pii(F.col("text")))
+        .withColumn("text_norm", TX.normalize_text(F.col("text_redacted")))
+        .withColumn("n_tokens", TX.whitespace_token_count(F.col("text_norm")))
+    )
+
+    # 7. deterministic split (portable: auditable outside Spark)
+    return sampling.split(
+        curated, ["doc_id"], {"train": 0.9, "val": 0.05, "test": 0.05}, portable=True
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="curated_")
+    spark: SparkSession = get_spark(
+        app_name="curation-pipeline", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    docs = read_testdata(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0)
+    candidates = docs.filter(F.col("doc_id") % 17 != 0)
+
+    n0 = candidates.count()
+    splits = curate(candidates, benchmark)
+    print(f"input candidates: {n0}")
+    total = 0
+    for name, df in splits.items():
+        out = df.withColumn("split", F.lit(name))
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"split={name}"))
+        n = spark.read.parquet(os.path.join(out_dir, f"split={name}")).count()
+        total += n
+        print(f"{name}: {n} docs")
+    print(f"kept {total}/{n0} ({100.0 * total / n0:.1f}%) -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

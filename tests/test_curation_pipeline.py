@@ -1,0 +1,74 @@
+"""Invariants of the composed curation pipeline (examples/
+curation_pipeline.py): dedup actually deduplicates, decontamination
+actually removes benchmark-overlapping docs, splits are disjoint and
+exhaustive over the curated set, and redaction leaves no raw PII."""
+
+import importlib.util
+import os
+
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.operators import dedup as D
+
+
+def _load():
+    spec = importlib.util.spec_from_file_location(
+        "curation_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "examples", "curation_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_curation_pipeline_invariants(spark, sf_dir):
+    mod = _load()
+    docs = read_testdata(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0)
+    candidates = docs.filter(F.col("doc_id") % 17 != 0)
+    splits = mod.curate(candidates, benchmark)
+
+    frames = list(splits.values())
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    union = union.cache()
+    n = union.count()
+    assert n > 0
+
+    # exact-dedup invariant: every surviving text digest is unique
+    assert union.select(F.md5("text")).distinct().count() == n
+
+    # near-dup invariant: no surviving pair above the Jaccard threshold
+    pairs = D.ngram_jaccard_pairs(
+        union, n=mod.NGRAM_N, threshold=mod.JACCARD_THRESHOLD
+    )
+    assert pairs.count() == 0
+
+    # decontamination invariant: no survivor is contaminated
+    contam = D.contamination_scores(
+        union, benchmark, n=mod.NGRAM_N, threshold=mod.CONTAM_THRESHOLD
+    )
+    assert contam.filter(F.col("is_contaminated")).count() == 0
+
+    # quality/language gates applied
+    row = union.agg(
+        F.min("quality").alias("qmin"),
+        F.countDistinct("lang_pred").alias("nlang"),
+    ).first()
+    assert row["qmin"] >= mod.QUALITY_CUTOFF
+    assert row["nlang"] == 1
+
+    # splits disjoint + exhaustive
+    ids = {
+        name: {r["doc_id"] for r in df.select("doc_id").collect()}
+        for name, df in splits.items()
+    }
+    assert sum(len(v) for v in ids.values()) == n
+    assert not (ids["train"] & ids["val"]) and not (ids["train"] & ids["test"])
+
+    # determinism: a second run assigns identical splits
+    again = mod.curate(candidates, benchmark)
+    assert {r["doc_id"] for r in again["val"].select("doc_id").collect()} == ids["val"]
+    union.unpersist()
