@@ -254,6 +254,66 @@ SELECT (SELECT count(*) FROM c) AS n_clicked,
 """
 
 
+# --------------------------------------------------------------------------
+# q60 — weekly cohort retention
+# --------------------------------------------------------------------------
+
+def q60_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the event stream: users grouped by
+    first-seen ISO week; for each (cohort, week-offset), how many of
+    the cohort were active. Two aggregates over one scan lineage —
+    the first-seen table is user-cardinality (broadcastable), the
+    activity table shuffles once on user_id. Week arithmetic stays in
+    exact integer days/7 (date_trunc('week') aligns to Monday in both
+    engines; offsets are exact multiples of 7 days)."""
+    ev = read_testdata(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("__cw")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("__aw")
+    ).dropDuplicates()
+    cohort_sizes = first_seen.groupBy("__cw").agg(F.count(F.lit(1)).alias("__size"))
+    joined = activity.join(F.broadcast(first_seen), on="user_id")
+    ret = (
+        joined.groupBy("__cw", (F.datediff("__aw", "__cw") / 7).cast("int").alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(cohort_sizes), on="__cw")
+    )
+    return ret.select(
+        F.date_format("__cw", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        F.col("__size").cast("bigint").alias("cohort_size"),
+        R(F.col("n_active") / F.col("__size"), 4).alias("retention"),
+    )
+
+
+_Q60_SQL = f"""
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+  FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS aw
+  FROM events
+),
+sizes AS (SELECT cw, count(*) AS size FROM first_seen GROUP BY 1),
+ret AS (
+  SELECT f.cw, CAST((a.aw - f.cw) / 7 AS INTEGER) AS week_offset,
+         count(*) AS n_active
+  FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT strftime(r.cw, '%Y-%m-%d') AS cohort_week,
+       r.week_offset,
+       r.n_active,
+       CAST(s.size AS BIGINT) AS cohort_size,
+       {sql_round_half_up('r.n_active * 1.0 / s.size', 4)} AS retention
+FROM ret r JOIN sizes s ON r.cw = s.cw
+"""
+
+
 SPECS = [
     QuerySpec("q50_split_assign", q50_split_assign, _q50_sql(),
               "deterministic portable train/val/test split"),
@@ -267,4 +327,6 @@ SPECS = [
               "PII detection + redaction (email/phone/SSN)"),
     QuerySpec("q55_funnel", q55_funnel, _Q55_SQL,
               "click->purchase conversion funnel within 1 hour"),
+    QuerySpec("q60_cohort_retention", q60_cohort_retention, _Q60_SQL,
+              "weekly cohort retention over the event stream"),
 ]

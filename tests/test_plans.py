@@ -113,6 +113,42 @@ def test_funnel_broadcasts_first_clicks(spark, sf_dir):
     assert P.has_broadcast_join(plan), plan
 
 
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Big-big joins where one side is selectively filtered should get
+    a runtime bloom filter: the filtered side builds a bloom sketch,
+    the probe side applies BloomFilterMightContain BEFORE the shuffle,
+    cutting shuffled rows to ~the join's selectivity. At 100 TB this
+    is the difference between shuffling the whole fact table and
+    shuffling the matching fraction. (Thresholds are production-sized;
+    lowered here so sf0.1-scale inputs qualify. Broadcast is disabled
+    to force the shuffle join the optimization targets.)"""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_testdata(spark, sf_dir, "lineitem")
+        orders = read_testdata(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = P.explain_str(joined)
+        assert "bloom" in plan.lower(), plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
+
 def test_partition_pruning_on_warehouse_table(spark, tmp_path, sf_dir):
     """month-partitioned lakehouse table: a month filter must prune
     partitions at the scan (the engine's replacement for the
