@@ -40,6 +40,7 @@ def all_specs() -> list[QuerySpec]:
         relational,
         scalar,
         textops,
+        tpch,
         training,
         vectors,
     )
@@ -55,6 +56,7 @@ def all_specs() -> list[QuerySpec]:
         + curation.SPECS
         + complextypes.SPECS
         + training.SPECS
+        + tpch.SPECS
     )
 
 
