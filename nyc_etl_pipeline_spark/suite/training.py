@@ -18,6 +18,7 @@ from nyc_etl_pipeline_spark.functions import round_half_up as R
 from nyc_etl_pipeline_spark.functions import sql_round_half_up
 from nyc_etl_pipeline_spark.io import read_testdata
 from nyc_etl_pipeline_spark.operators import dedup as D
+from nyc_etl_pipeline_spark.operators import packing
 from nyc_etl_pipeline_spark.operators import sampling
 from nyc_etl_pipeline_spark.operators import text as TX
 from nyc_etl_pipeline_spark.suite import QuerySpec
@@ -314,6 +315,61 @@ FROM ret r JOIN sizes s ON r.cw = s.cw
 """
 
 
+# --------------------------------------------------------------------------
+# q65 — sequence packing (token-budget bin packing, shard-parallel greedy)
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 96
+PACK_SHARDS = 16
+PACK_SALT = "pack-v1"
+
+
+def q65_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into PACK_BUDGET-token training sequences.
+    Shard-parallel exact greedy (operators/packing.py); only
+    (id, n_tokens) ships into the Python stage, never text."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return packing.pack_greedy(
+        docs,
+        id_col="doc_id",
+        tokens_col=TX.whitespace_token_count(F.col("text")),
+        budget=PACK_BUDGET,
+        n_shards=PACK_SHARDS,
+        salt=PACK_SALT,
+    )
+
+
+def _q65_sql() -> str:
+    # The greedy recurrence is sequential within a shard; the oracle
+    # replays it with a recursive CTE that advances every shard one
+    # row per iteration.
+    shard = packing.sql_shard("doc_id", PACK_SHARDS, PACK_SALT)
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT doc_id,
+         {shard} AS shard,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY {shard} ORDER BY doc_id) AS rn
+  FROM documents
+), pack AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS seq_id,
+         CAST(0 AS BIGINT) AS seq_offset,
+         n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET} THEN p.seq_id ELSE p.seq_id + 1 END,
+         CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET} THEN p.fill ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET} THEN p.fill + o.n_tokens ELSE o.n_tokens END
+  FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, shard, n_tokens, seq_id, seq_offset,
+       n_tokens > {PACK_BUDGET} AS oversized
+FROM pack
+"""
+
+
 SPECS = [
     QuerySpec("q50_split_assign", q50_split_assign, _q50_sql(),
               "deterministic portable train/val/test split"),
@@ -329,4 +385,6 @@ SPECS = [
               "click->purchase conversion funnel within 1 hour"),
     QuerySpec("q60_cohort_retention", q60_cohort_retention, _Q60_SQL,
               "weekly cohort retention over the event stream"),
+    QuerySpec("q65_sequence_pack", q65_sequence_pack, _q65_sql(),
+              "token-budget sequence packing (shard-parallel greedy)"),
 ]

@@ -362,3 +362,70 @@ def test_stream_stream_outer_join_emits_unmatched(spark, sf_dir):
     }
     got_nulls = {int(r.l_event_id) for _, r in nulls.iterrows()}
     assert got_nulls == want_nulls_old
+
+
+# ---- sequence packing ----------------------------------------------------
+
+def test_pack_greedy_invariants(spark, sf_dir):
+    """Every non-oversized sequence fits the budget; offsets are the
+    exact running fill; packing is deterministic under repartition."""
+    from nyc_etl_pipeline_spark.operators import packing
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    budget = 96
+    packed = packing.pack_greedy(
+        docs, "doc_id", TX.whitespace_token_count(F.col("text")),
+        budget=budget, n_shards=16,
+    )
+    rows = packed.collect()
+    assert len(rows) == docs.count()  # total: every doc placed exactly once
+
+    # per-sequence budget respected unless oversized (single-doc seq)
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault((r["shard"], r["seq_id"]), []).append(r)
+    for members in by_seq.values():
+        total = sum(m["n_tokens"] for m in members)
+        if any(m["oversized"] for m in members):
+            assert len(members) == 1
+        else:
+            assert total <= budget
+        # offsets are the running fill in doc_id order
+        fill = 0
+        for m in sorted(members, key=lambda m: m["doc_id"]):
+            assert m["seq_offset"] == fill
+            fill += m["n_tokens"]
+
+    # greedy: a doc opens a new sequence ONLY if it did not fit
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for members in by_shard.values():
+        members.sort(key=lambda m: m["doc_id"])
+        for prev, cur in zip(members, members[1:]):
+            if cur["seq_id"] != prev["seq_id"]:
+                assert cur["seq_id"] == prev["seq_id"] + 1
+                assert prev["seq_offset"] + prev["n_tokens"] + cur["n_tokens"] > budget
+
+    # deterministic under physical layout changes
+    again = packing.pack_greedy(
+        docs.repartition(7), "doc_id", TX.whitespace_token_count(F.col("text")),
+        budget=budget, n_shards=16,
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+def test_packing_stats_fill_ratio(spark, sf_dir):
+    from nyc_etl_pipeline_spark.operators import packing
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    packed = packing.pack_greedy(
+        docs, "doc_id", TX.whitespace_token_count(F.col("text")),
+        budget=256, n_shards=8,
+    )
+    stats = packing.packing_stats(packed, budget=256).collect()
+    assert len(stats) == 8
+    for r in stats:
+        assert 0.0 < r["fill_ratio"] <= 1.0
+        # greedy on ~54-token docs against a 256 budget should fill well
+        assert r["fill_ratio"] > 0.5
