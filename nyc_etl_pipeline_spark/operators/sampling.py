@@ -81,3 +81,46 @@ def split(
         out[name] = df.filter((bucket >= lo_b) & (bucket < hi_b))
         lo = hi
     return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_cols: list[str],
+    default_fraction: float = 1.0,
+    salt: str = "v1",
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus-rebalancing
+    step (downsample overrepresented languages/sources). The keep
+    decision hashes only `key_cols` (not the stratum), so a doc's
+    fate never changes when strata are re-labeled, and the same key
+    is kept/dropped consistently across tables sampled with the same
+    salt. Pure projection+filter: no shuffle, scales linearly.
+
+    fractions maps stratum value -> keep fraction in [0,1]; strata
+    absent from the map use default_fraction."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0,1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+    bucket = _bucket(key_cols, salt, portable)
+    threshold = F.lit(int(default_fraction * _BUCKETS))
+    for name, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(strata_col) == name, F.lit(int(frac * _BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
+
+
+def sql_stratified_threshold(
+    strata_expr: str, fractions: dict[str, float], default_fraction: float = 1.0
+) -> str:
+    """DuckDB fragment computing the identical per-stratum threshold."""
+    whens = " ".join(
+        f"WHEN {strata_expr} = '{name}' THEN {int(frac * _BUCKETS)}"
+        for name, frac in sorted(fractions.items())
+    )
+    return f"CASE {whens} ELSE {int(default_fraction * _BUCKETS)} END"

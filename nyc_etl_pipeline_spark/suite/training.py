@@ -370,6 +370,43 @@ FROM pack
 """
 
 
+# --------------------------------------------------------------------------
+# q66 — stratified rebalancing sample (downsample overrepresented langs)
+# --------------------------------------------------------------------------
+
+REBALANCE_FRACTIONS = {"en": 0.4, "fr": 0.9}
+REBALANCE_DEFAULT = 1.0
+REBALANCE_SALT = "rebal-r3"
+
+
+def q66_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: keep 40% of English, 90% of French, all
+    other languages in full — deterministic per-doc hash decision, no
+    shuffle (pure projection+filter; the only exchange is the final
+    stats group-by, which a real pipeline wouldn't run)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    kept = sampling.stratified_sample(
+        docs,
+        strata_col="lang",
+        fractions=REBALANCE_FRACTIONS,
+        key_cols=["doc_id"],
+        default_fraction=REBALANCE_DEFAULT,
+        salt=REBALANCE_SALT,
+        portable=True,
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
+def _q66_sql() -> str:
+    bucket = sampling.sql_bucket(["doc_id"], REBALANCE_SALT)
+    thresh = sampling.sql_stratified_threshold("lang", REBALANCE_FRACTIONS, REBALANCE_DEFAULT)
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {bucket} < {thresh}
+"""
+
+
 SPECS = [
     QuerySpec("q50_split_assign", q50_split_assign, _q50_sql(),
               "deterministic portable train/val/test split"),
@@ -387,4 +424,6 @@ SPECS = [
               "weekly cohort retention over the event stream"),
     QuerySpec("q65_sequence_pack", q65_sequence_pack, _q65_sql(),
               "token-budget sequence packing (shard-parallel greedy)"),
+    QuerySpec("q66_stratified_sample", q66_stratified_sample, _q66_sql(),
+              "stratified rebalancing sample (per-lang keep fractions)"),
 ]

@@ -429,3 +429,36 @@ def test_packing_stats_fill_ratio(spark, sf_dir):
         assert 0.0 < r["fill_ratio"] <= 1.0
         # greedy on ~54-token docs against a 256 budget should fill well
         assert r["fill_ratio"] > 0.5
+
+
+def test_stratified_sample_per_stratum_rates_and_stability(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    fracs = {"en": 0.4, "fr": 0.9}
+    kept = sampling.stratified_sample(
+        docs, "lang", fracs, ["doc_id"], default_fraction=1.0, salt="t", portable=True
+    )
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # unlisted strata kept in full
+    for lang in base:
+        if lang not in fracs:
+            assert got.get(lang) == base[lang]
+    # listed strata within a loose binomial envelope of the target rate
+    for lang, f in fracs.items():
+        rate = got.get(lang, 0) / base[lang]
+        assert abs(rate - f) < 0.15
+    # decision is keyed on doc_id only: relabeling strata never flips a key
+    en_kept = {r["doc_id"] for r in kept.filter(F.col("lang") == "en").collect()}
+    flipped = sampling.stratified_sample(
+        docs.withColumn("lang", F.lit("en")), "lang", fracs, ["doc_id"],
+        default_fraction=1.0, salt="t", portable=True,
+    )
+    all_kept_as_en = {r["doc_id"] for r in flipped.collect()}
+    assert en_kept == {d for d in all_kept_as_en
+                      if d in {r["doc_id"] for r in docs.filter(F.col("lang") == "en").collect()}}
+
+
+def test_stratified_sample_validates_fractions(spark):
+    df = spark.range(5).withColumn("s", F.lit("a"))
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(df, "s", {"a": 1.5}, ["id"])
