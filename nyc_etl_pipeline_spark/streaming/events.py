@@ -175,7 +175,10 @@ def stream_stream_join_outer(
     rows emit immediately; the null-padded rows trail by the watermark
     delay. That timing asymmetry is inherent to streaming outer joins —
     a consumer needing the unmatched set promptly must tighten the
-    watermark (trading late-data tolerance)."""
+    watermark (trading late-data tolerance), or inject a watermark
+    sentinel at end-of-input / quiet periods
+    (`append_watermark_sentinel` + `run_available_now_files`) for
+    exact batch parity."""
     l = left.withWatermark("ts", watermark).select(
         F.col(on).alias("l_key"),
         F.col("ts").alias("l_ts"),
@@ -251,3 +254,104 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# --------------------------------------------------------------------------
+# Watermark flush for outer joins
+# --------------------------------------------------------------------------
+
+SENTINEL_USER = -(1 << 62)
+"""Key carried by watermark-sentinel events. Never matches a real key,
+so sentinels advance event time without joining anything; consumers of
+a flushed outer join filter `user_id != SENTINEL_USER` (or use
+`drop_sentinels`)."""
+
+
+def stage_event_source(spark: SparkSession, sf_dir: str, staging_dir: str) -> DataFrame:
+    """Writable copy of the events source, for pipelines that need to
+    inject watermark sentinels (`append_watermark_sentinel`). Same
+    read semantics as `read_event_stream`."""
+    import shutil
+
+    from nyc_etl_pipeline_spark.io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    os.makedirs(staging_dir, exist_ok=True)
+    dst = os.path.join(staging_dir, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    return (
+        spark.readStream.schema(_EVENTS_PHYS)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staging_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def append_watermark_sentinel(
+    staging_dir: str,
+    horizon_ts_ns: int,
+    event_types: tuple[str, ...] = ("click", "purchase"),
+    batch_id: int = 0,
+) -> None:
+    """Append a sentinel micro-batch that advances the event-time
+    watermark to `horizon_ts_ns` (epoch nanos).
+
+    A streaming left-outer join only emits its null-padded rows once
+    the watermark passes `l_ts + within`; Trigger.AvailableNow appends
+    no flush batch, so at end-of-input the last batch's unmatched rows
+    stay buffered in the state store (see
+    `stream_stream_join_outer`'s docstring). In production the same
+    gap appears whenever a stream goes quiet — the standard fix, which
+    this helper implements, is a punctuation/heartbeat event per
+    filtered branch: one sentinel row per event type, keyed by
+    SENTINEL_USER so it can never join real data. Run another
+    checkpointed pass afterwards; the join drains.
+
+    Writes a single parquet file in the source's physical schema
+    (TIMESTAMP as int64 nanos); FileStreamSource picks it up as one
+    new micro-batch.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array(
+                [-(batch_id * len(event_types) + i + 1) for i in range(len(event_types))],
+                pa.int64(),
+            ),
+            "ts": pa.array([horizon_ts_ns] * len(event_types), pa.int64()),
+            "user_id": pa.array([SENTINEL_USER] * len(event_types), pa.int64()),
+            "event_type": pa.array(list(event_types), pa.string()),
+            "value": pa.array([0.0] * len(event_types), pa.float64()),
+            "props": pa.array(["{}"] * len(event_types), pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(staging_dir, f"sentinel-{batch_id}.parquet"))
+
+
+def drop_sentinels(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Strip sentinel rows from a flushed join's output."""
+    return df.filter(F.col(key_col) != SENTINEL_USER)
+
+
+def run_available_now_files(
+    df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drive an append-mode stream into a parquet file sink
+    (Trigger.AvailableNow) and stop. Unlike the memory sink, the file
+    sink is fault-tolerant, so the SAME checkpoint can be resumed by a
+    later pass — required for the sentinel-flush workflow
+    (`append_watermark_sentinel`): pass 1 emits matches, the sentinel
+    batch advances the watermark, pass 2 drains the unmatched rows
+    into the same directory."""
+    q = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

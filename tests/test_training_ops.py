@@ -462,3 +462,66 @@ def test_stratified_sample_validates_fractions(spark):
     df = spark.range(5).withColumn("s", F.lit("a"))
     with pytest.raises(ValueError):
         sampling.stratified_sample(df, "s", {"a": 1.5}, ["id"])
+
+
+def test_stream_stream_outer_join_flush_reaches_batch_parity(spark, sf_dir, tmp_path):
+    """With a watermark sentinel appended after end-of-input, the
+    left-outer stream-stream join emits EVERY unmatched row — exact
+    batch parity, closing the availableNow no-flush-batch gap."""
+    from nyc_etl_pipeline_spark.streaming.events import (
+        append_watermark_sentinel,
+        drop_sentinels,
+        run_available_now_files,
+        stage_event_source,
+        stream_stream_join_outer,
+    )
+
+    staging = str(tmp_path / "staged_events")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "joined_out")
+
+    def joined():
+        stream = stage_event_source(spark, sf_dir, staging)
+        clicks = stream.filter(F.col("event_type") == "click")
+        buys = stream.filter(F.col("event_type") == "purchase")
+        return stream_stream_join_outer(clicks, buys)
+
+    run_available_now_files(joined(), out_dir, ckpt)
+
+    # advance both branches' watermarks past max(l_ts) + within + watermark
+    ev = read_testdata(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    horizon = max_ts + datetime.timedelta(hours=4)
+    horizon_ns = int(horizon.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000_000)
+    append_watermark_sentinel(staging, horizon_ns)
+
+    run_available_now_files(joined(), out_dir, ckpt)
+
+    got_pdf = drop_sentinels(spark.read.parquet(out_dir)).toPandas()
+    got = {
+        (int(r.l_event_id), None if r.r_event_id != r.r_event_id else int(r.r_event_id))
+        for _, r in got_pdf.iterrows()
+    }
+
+    bc = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("l_event_id"), F.col("ts").alias("l_ts")
+    )
+    bb = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"), F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    batch = bc.join(
+        bb,
+        (bc.user_id == bb.r_user)
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).toPandas()
+    want = {
+        (int(r.l_event_id), None if r.r_event_id != r.r_event_id else int(r.r_event_id))
+        for _, r in batch.iterrows()
+    }
+    assert got == want
+    assert any(p[1] is None for p in want)
