@@ -28,7 +28,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_testdata(spark, sf_dir, name)
 
 
-_REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _rev():
+    # Built lazily: constructing a Column requires an active SparkContext
+    # in PySpark 4.x, and this module must import before the session exists
+    # (the driver may call queries()/oracle_sql() pre-session).
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 # --------------------------------------------------------------------------
@@ -54,7 +58,7 @@ def q61_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             F.col("o_orderpriority").alias("orderpriority"),
         )
-        .agg(R(F.sum(_REV), 3).alias("revenue"))
+        .agg(R(F.sum(_rev()), 3).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
         .limit(10)
     )
@@ -107,7 +111,7 @@ def q62_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            R(F.sum(_REV), 3).alias("revenue"),
+            R(F.sum(_rev()), 3).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -157,7 +161,7 @@ def q63_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             R(F.col("c_acctbal"), 3).alias("acctbal"),
             F.col("n_name").alias("nation_name"),
         )
-        .agg(R(F.sum(_REV), 3).alias("revenue"))
+        .agg(R(F.sum(_rev()), 3).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("custkey"))
         .limit(20)
     )
