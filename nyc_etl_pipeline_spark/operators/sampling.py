@@ -115,6 +115,40 @@ def stratified_sample(
     return df.filter(bucket < threshold)
 
 
+def shard_shuffle(
+    df: DataFrame,
+    key_cols: list[str],
+    n_shards: int,
+    salt: str = "v1",
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic global shuffle for training-example ordering:
+    adds `shard` (hash bucket in [0, n_shards)) and `pos` (dense 1-based
+    position within the shard, ordered by the hash then by key).
+
+    Changing the salt reshuffles everything; the same salt always
+    produces the same (shard, pos) for a given key — reshardable,
+    resumable, retry-stable, unlike orderBy(rand()).
+
+    Scale: ONE shuffle, hash-partitioned on `shard`; ordering is a
+    per-shard window sort, never a global sort. Pick n_shards at or
+    above cluster parallelism (training pipelines want thousands of
+    shards anyway) so each shard's sort fits in executor memory —
+    rows/shard ~ N/n_shards by hash uniformity."""
+    from pyspark.sql import Window as W
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    b = _bucket(key_cols, salt, portable)
+    w = W.partitionBy("shard").orderBy("__bkt", *key_cols)
+    return (
+        df.withColumn("__bkt", b)
+        .withColumn("shard", F.pmod(F.col("__bkt"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("__bkt")
+    )
+
+
 def sql_stratified_threshold(
     strata_expr: str, fractions: dict[str, float], default_fraction: float = 1.0
 ) -> str:

@@ -11,7 +11,7 @@ first code point).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Deterministic stopword/marker lists (shared with the DuckDB oracle
@@ -160,3 +160,91 @@ def fingerprint_rolling(text: Column) -> Column:
 
 def fingerprint_md5(text: Column) -> Column:
     return F.md5(text)
+
+
+# Repetition thresholds (Gopher-rule style: Rae et al. 2021, "Scaling
+# Language Models", Table A1 uses top-2-gram/duplicate-n-gram fraction
+# cutoffs in this range). Shared with the oracle SQL in
+# suite/training.py — keep in sync.
+TOP_TOKEN_REPETITIVE = 0.20
+DUP_NGRAM_REPETITIVE = 0.30
+
+
+def ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
+    """ALL contiguous word n-grams (duplicates preserved — this is the
+    point for repetition measurement; `dedup.shingles_from_tokens` is
+    the distinct variant). Same staging contract: `toks` must be a
+    materialized projection column, not an inline tokens(text)
+    expression, or codegen re-tokenizes per element_at read (14x
+    measured — see shingles_from_tokens docstring)."""
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    ndigits: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition filter signals per document:
+
+    - uniq_token_frac: distinct/total tokens (low -> repetitive);
+    - top_token_frac:  count of the single most frequent token / total;
+    - dup_ngram_frac:  1 - distinct/total n-grams — the fraction of
+      gram positions that are excess repeats of an earlier gram;
+    - is_repetitive:   (top token occurs >1 time AND top_token_frac >
+      0.20) OR dup_ngram_frac > 0.30. The occurs->1 guard keeps short
+      all-unique docs (where max count 1 / few tokens already exceeds
+      the ratio) from being flagged.
+
+    Unlike the rest of this module these need more than a projection:
+    the distinct/dup fractions are per-row JVM array ops (array_distinct
+    over a staged token/gram projection — zero shuffle), while the
+    top-token mode is explode -> two-level hash agg keyed (id, token)
+    then (id): partial map-side combine does most of the work, the
+    shuffle key is fine-grained, and the final join back to the
+    per-row stats is id-keyed. Nothing touches the driver; scales
+    linearly with corpus size at any document length."""
+    toks_t = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    grams_t = toks_t.select(
+        id_col, "__toks", ngrams_from_tokens(F.col("__toks"), n).alias("__grams")
+    )
+    base = grams_t.select(
+        id_col,
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).cast("bigint").alias("__n_uniq"),
+        F.size("__grams").cast("bigint").alias("__n_grams"),
+        F.size(F.array_distinct("__grams")).cast("bigint").alias("__n_uniq_grams"),
+    )
+    top = (
+        toks_t.select(id_col, F.explode("__toks").alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top_c"))
+    )
+    from nyc_etl_pipeline_spark.functions import round_half_up
+
+    j = base.join(top, on=id_col, how="left")
+    n_tok = F.col("n_tokens")
+    n_grams = F.col("__n_grams")
+    frac = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))  # noqa: E731
+    top_frac = frac(F.coalesce(F.col("__top_c"), F.lit(0)), n_tok)
+    dup_frac = frac(n_grams - F.col("__n_uniq_grams"), n_grams)
+    return j.select(
+        id_col,
+        "n_tokens",
+        round_half_up(frac(F.col("__n_uniq"), n_tok), ndigits).alias("uniq_token_frac"),
+        round_half_up(top_frac, ndigits).alias("top_token_frac"),
+        round_half_up(dup_frac, ndigits).alias("dup_ngram_frac"),
+        (
+            ((F.coalesce(F.col("__top_c"), F.lit(0)) > 1) & (top_frac > TOP_TOKEN_REPETITIVE))
+            | (dup_frac > DUP_NGRAM_REPETITIVE)
+        ).alias("is_repetitive"),
+    )

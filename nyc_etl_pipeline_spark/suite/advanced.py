@@ -250,6 +250,54 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q69 — window gauntlet: lead / ntile / percent_rank / cume_dist /
+#        first_value / nth_value (the distribution + navigation half of
+#        the window surface; q09 covers rank / dense_rank / lag / sums)
+# --------------------------------------------------------------------------
+
+def q69_window_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All functions share one per-customer window over a TOTAL order
+    (date, then orderkey) so ntile/cume_dist tie-handling is identical
+    in any engine. One shuffle keyed o_custkey serves every function —
+    Spark collapses same-window expressions into a single Window exec;
+    at 100 TB this is one exchange + one per-partition sort, and
+    customer keys are high-cardinality so the sort parallelizes."""
+    from pyspark.sql import Window as W
+
+    o = read_testdata(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        R(F.col("o_totalprice"), 3).alias("price"),
+        R(F.lead("o_totalprice", 1).over(w), 3).alias("next_price"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        R(F.percent_rank().over(w), 4).alias("pct_rank"),
+        R(F.cume_dist().over(w), 4).alias("cume"),
+        R(F.first("o_totalprice").over(wf), 3).alias("first_price"),
+        R(F.nth_value("o_totalprice", 2).over(wf), 3).alias("second_price"),
+    )
+
+
+_Q69_SQL = """
+SELECT o_custkey AS custkey,
+       o_orderkey AS orderkey,
+       floor((o_totalprice) * 1000.0 + 0.5) / 1000.0 AS price,
+       floor((lead(o_totalprice, 1) OVER w) * 1000.0 + 0.5) / 1000.0 AS next_price,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       floor((percent_rank() OVER w) * 10000.0 + 0.5) / 10000.0 AS pct_rank,
+       floor((cume_dist() OVER w) * 10000.0 + 0.5) / 10000.0 AS cume,
+       floor((first_value(o_totalprice) OVER wf) * 1000.0 + 0.5) / 1000.0 AS first_price,
+       floor((nth_value(o_totalprice, 2) OVER wf) * 1000.0 + 0.5) / 1000.0 AS second_price
+FROM orders
+WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 SPECS = [
     QuerySpec("q28_asof_join", q28_asof_join, _Q28_SQL,
               "as-of join (backward inclusive) via tagged-union window"),
@@ -262,4 +310,6 @@ SPECS = [
               "multiple distinct aggregates"),
     QuerySpec("q34_approx_aggs", q34_approx_aggs, _Q34_SQL,
               "HLL distinct + quantile sketches (error-bound contract, oracle-checked)"),
+    QuerySpec("q69_window_gauntlet", q69_window_gauntlet, _Q69_SQL,
+              "window gauntlet: lead/ntile/percent_rank/cume_dist/nth_value"),
 ]

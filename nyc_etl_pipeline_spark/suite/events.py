@@ -169,6 +169,51 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q70 — dense-grid gap fill with forward fill (time-series regularization)
+# --------------------------------------------------------------------------
+
+GAPFILL_USER_MOD = 5  # bound the dense grid: 1-in-5 users
+
+
+def q70_gapfill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize a sparse event stream to one row per (user, hour)
+    between each user's first and last active hour: empty hours carry
+    n_events=0 and the forward-filled mean value. The dense grid is
+    sequence()+explode over AGGREGATED per-user spans (grid size =
+    hours-in-span, independent of raw event volume); the fill is
+    last(ignorenulls) over a per-user window. See operators/
+    timeseries.gapfill for the 100 TB shape notes."""
+    from nyc_etl_pipeline_spark.operators import timeseries
+
+    e = read_testdata(spark, sf_dir, "events").filter(
+        F.col("user_id") % GAPFILL_USER_MOD == 0
+    )
+    return timeseries.gapfill(e, "user_id", "ts", "value", unit="hour")
+
+
+_Q70_SQL = f"""
+WITH ev AS (SELECT * FROM events WHERE user_id % {GAPFILL_USER_MOD} = 0),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         count(*) AS n, avg(value) AS v
+  FROM ev GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+)
+SELECT g.user_id,
+       g.bucket,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+       floor((last_value(h.v IGNORE NULLS)
+              OVER (PARTITION BY g.user_id ORDER BY g.bucket)) * 1000.0 + 0.5) / 1000.0
+         AS filled_avg
+FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
+"""
+
+
 SPECS = [
     QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
               "hourly tumbling window aggregation"),
@@ -178,4 +223,6 @@ SPECS = [
               "gap-based sessionization (lag + cumulative flag)"),
     QuerySpec("q16_json_extract", q16_json_extract, _Q16_SQL,
               "JSON field extraction + aggregation"),
+    QuerySpec("q70_gapfill_hours", q70_gapfill_hours, _Q70_SQL,
+              "dense-grid hourly gap fill with forward-filled means"),
 ]

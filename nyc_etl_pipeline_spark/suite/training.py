@@ -407,6 +407,97 @@ WHERE {bucket} < {thresh}
 """
 
 
+# --------------------------------------------------------------------------
+# q67 — Gopher-style repetition stats (top-token / duplicate-bigram fracs)
+# --------------------------------------------------------------------------
+
+REP_NGRAM_N = 2
+
+
+def q67_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals per document (the Gopher filter
+    family): distinct-token fraction, most-frequent-token fraction,
+    duplicate-bigram fraction, and the composite repetitive flag.
+    Per-row array stats are zero-shuffle JVM ops over staged token /
+    gram projections; the token mode is explode -> (id, token) ->
+    (id) hash aggs — see operators/text.repetition_stats."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return TX.repetition_stats(docs, id_col="doc_id", text_col="text", n=REP_NGRAM_N)
+
+
+def _q67_sql() -> str:
+    uniq = "CASE WHEN n_tokens > 0 THEN n_uniq * 1.0 / n_tokens ELSE 0.0 END"
+    topf = "CASE WHEN n_tokens > 0 THEN coalesce(top_c, 0) * 1.0 / n_tokens ELSE 0.0 END"
+    dupf = "CASE WHEN n_grams > 0 THEN (n_grams - n_uniq_grams) * 1.0 / n_grams ELSE 0.0 END"
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, t,
+         list_transform(range(greatest(len(t) - {REP_NGRAM_N - 1}, 0)),
+                        i -> t[i+1] || ' ' || t[i+2]) AS g
+  FROM toks
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+         CAST(len(g) AS BIGINT) AS n_grams,
+         CAST(len(list_distinct(g)) AS BIGINT) AS n_uniq_grams
+  FROM grams
+),
+top AS (
+  SELECT doc_id, max(c) AS top_c
+  FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS tok FROM toks) u
+    GROUP BY 1, 2
+  ) counted
+  GROUP BY 1
+)
+SELECT b.doc_id,
+       b.n_tokens,
+       {sql_round_half_up(uniq, 3)} AS uniq_token_frac,
+       {sql_round_half_up(topf, 3)} AS top_token_frac,
+       {sql_round_half_up(dupf, 3)} AS dup_ngram_frac,
+       (coalesce(top_c, 0) > 1 AND ({topf}) > {TX.TOP_TOKEN_REPETITIVE})
+         OR ({dupf}) > {TX.DUP_NGRAM_REPETITIVE}
+         AS is_repetitive
+FROM base b LEFT JOIN top USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# q68 — deterministic shard shuffle (training-example global ordering)
+# --------------------------------------------------------------------------
+
+SHUFFLE_SHARDS = 64
+SHUFFLE_SALT = "shuf-r3"
+
+
+def q68_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-keyed global example ordering: every doc gets a (shard,
+    pos) that is stable across runs and retries — orderBy(rand())
+    without the non-determinism, and without a global sort (the only
+    exchange is the hash partition on shard; ordering is per-shard)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = sampling.shard_shuffle(
+        docs, ["doc_id"], SHUFFLE_SHARDS, salt=SHUFFLE_SALT, portable=True
+    )
+    return out.select("doc_id", "shard", "pos")
+
+
+def _q68_sql() -> str:
+    bucket = sampling.sql_bucket(["doc_id"], SHUFFLE_SALT)
+    return f"""
+WITH b AS (SELECT doc_id, {bucket} AS bkt FROM documents)
+SELECT doc_id,
+       CAST(bkt % {SHUFFLE_SHARDS} AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY bkt % {SHUFFLE_SHARDS}
+                               ORDER BY bkt, doc_id) AS BIGINT) AS pos
+FROM b
+"""
+
+
 SPECS = [
     QuerySpec("q50_split_assign", q50_split_assign, _q50_sql(),
               "deterministic portable train/val/test split"),
@@ -426,4 +517,8 @@ SPECS = [
               "token-budget sequence packing (shard-parallel greedy)"),
     QuerySpec("q66_stratified_sample", q66_stratified_sample, _q66_sql(),
               "stratified rebalancing sample (per-lang keep fractions)"),
+    QuerySpec("q67_repetition_stats", q67_repetition_stats, _q67_sql(),
+              "Gopher-style repetition signals (top-token / dup-bigram)"),
+    QuerySpec("q68_shard_shuffle", q68_shard_shuffle, _q68_sql(),
+              "deterministic shard shuffle for training-example order"),
 ]

@@ -165,3 +165,63 @@ def test_partition_pruning_on_warehouse_table(spark, tmp_path, sf_dir):
     assert "PartitionFilters" in plan and "month" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
     # pruned scan reads ~1/12 of the files
     assert df.count() == orders.filter(F.month("o_orderdate") == 3).count()
+
+
+def test_tpch_q3_takeordered_and_pushdown(spark, sf_dir):
+    """q61: top-10 must be TakeOrderedAndProject; the mktsegment and
+    date predicates must reach the parquet scans."""
+    from nyc_etl_pipeline_spark.suite.tpch import q61_tpch_q3
+
+    df = q61_tpch_q3(spark, sf_dir)
+    plan = P.explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = " ".join(P.pushed_filters(plan))
+    assert "c_mktsegment" in pushed and "l_shipdate" in pushed, pushed
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, sf_dir):
+    """q62: supplier/nation/region ride broadcast joins; the plan must
+    not shuffle more than the lineitem<->orders<->customer spine."""
+    from nyc_etl_pipeline_spark.suite.tpch import q62_tpch_q5
+
+    plan = P.explain_str(q62_tpch_q5(spark, sf_dir), "simple")
+    assert P.has_broadcast_join(plan), plan
+    assert P.count_exchanges(plan) <= 7, plan
+
+
+def test_tpch_q18_preaggregates_before_join(spark, sf_dir):
+    """q64: the HAVING threshold must apply to an aggregate computed
+    BEFORE the joins (aggregate-then-join rewrite) — the plan has a
+    hash aggregate below the first join, with partial map-side
+    combine."""
+    from nyc_etl_pipeline_spark.suite.tpch import q64_tpch_q18
+
+    plan = P.explain_str(q64_tpch_q18(spark, sf_dir), "formatted")
+    # partial + final agg pair present, and lineitem never joins raw:
+    assert plan.count("HashAggregate") >= 2, plan
+    li_schemas = [s for s in P.scan_read_schemas(plan) if "l_quantity" in s]
+    assert li_schemas and all("l_extendedprice" not in s for s in li_schemas), li_schemas
+
+
+def test_window_gauntlet_single_exchange(spark, sf_dir):
+    """q69: every window function shares one (partition, order) spec —
+    the plan must contain exactly one exchange (the custkey hash
+    partition) and one Window operator chain, no per-function
+    re-shuffles."""
+    from nyc_etl_pipeline_spark.suite.advanced import q69_window_gauntlet
+
+    plan = P.explain_str(q69_window_gauntlet(spark, sf_dir), "simple")
+    assert P.count_exchanges(plan) == 1, plan
+
+
+def test_shard_shuffle_single_exchange_no_global_sort(spark, sf_dir):
+    """q68 operator: one hash exchange on shard; ordering is a
+    per-partition sort (Sort with global=false), never a range
+    exchange (global sort)."""
+    from nyc_etl_pipeline_spark.operators import sampling
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    df = sampling.shard_shuffle(docs, ["doc_id"], n_shards=64, salt="plan")
+    plan = P.explain_str(df, "simple")
+    assert P.count_exchanges(plan) == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan

@@ -525,3 +525,120 @@ def test_stream_stream_outer_join_flush_reaches_batch_parity(spark, sf_dir, tmp_
     }
     assert got == want
     assert any(p[1] is None for p in want)
+
+
+# ---- repetition stats (q67 operator) -------------------------------------
+
+def test_repetition_stats_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam"),          # fully repetitive
+            Row(doc_id=2, text="alpha beta gamma delta"),       # no repetition
+            Row(doc_id=3, text="x y x y x y"),                  # dup bigrams, mild top-token
+            Row(doc_id=4, text="solo"),                         # 1 token -> no bigrams
+        ]
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in TX.repetition_stats(docs, n=2).collect()
+    }
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["top_token_frac"] == 1.0
+    # 3 grams, 1 distinct -> (3-1)/3 excess-duplicate positions
+    assert got[1]["dup_ngram_frac"] == 0.667
+    assert got[1]["is_repetitive"]
+
+    assert got[2]["uniq_token_frac"] == 1.0
+    assert got[2]["top_token_frac"] == 0.25
+    assert got[2]["dup_ngram_frac"] == 0.0
+    assert not got[2]["is_repetitive"]
+
+    # "x y x y x y": 6 tokens, 2 distinct; grams = [xy, yx, xy, yx, xy] ->
+    # 5 grams, 2 distinct -> dup frac 3/5
+    assert got[3]["n_tokens"] == 6
+    assert got[3]["uniq_token_frac"] == round(2 / 6, 3)
+    assert got[3]["top_token_frac"] == 0.5
+    assert got[3]["dup_ngram_frac"] == 0.6
+    assert got[3]["is_repetitive"]
+
+    assert got[4]["n_tokens"] == 1
+    assert got[4]["dup_ngram_frac"] == 0.0  # zero grams -> defined as 0
+    assert got[4]["top_token_frac"] == 1.0  # degenerate but consistent
+    # top token occurs only once -> the >1-occurrence guard keeps the
+    # single-token doc (and any short all-unique doc) unflagged
+    assert not got[4]["is_repetitive"]
+
+
+# ---- deterministic shard shuffle (q68 operator) --------------------------
+
+def test_shard_shuffle_dense_disjoint_stable(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    out = sampling.shard_shuffle(docs, ["doc_id"], n_shards=8, salt="s1")
+    pdf = out.toPandas()
+    assert len(pdf) == docs.count()
+    assert set(pdf["shard"].unique()) <= set(range(8))
+    # positions are dense 1..size within every shard
+    for shard, grp in pdf.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+    # deterministic: same salt -> identical assignment
+    again = sampling.shard_shuffle(docs, ["doc_id"], n_shards=8, salt="s1").toPandas()
+    a = pdf.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert (a[["shard", "pos"]].values == b[["shard", "pos"]].values).all()
+    # a different salt produces a different permutation
+    other = sampling.shard_shuffle(docs, ["doc_id"], n_shards=8, salt="s2").toPandas()
+    c = other.sort_values("doc_id").reset_index(drop=True)
+    assert (a[["shard", "pos"]].values != c[["shard", "pos"]].values).any()
+
+
+def test_shard_shuffle_rejects_bad_shards(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="n_shards"):
+        sampling.shard_shuffle(docs, ["doc_id"], n_shards=0)
+
+
+# ---- time-series gap fill (q70 operator) ---------------------------------
+
+def test_gapfill_fills_gaps_and_forward_fills(spark):
+    import datetime
+
+    from nyc_etl_pipeline_spark.operators import timeseries
+
+    def t(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    rows = [
+        # user 1: hours 0, 1, 4 observed -> grid 0..4, gaps at 2 and 3
+        Row(user_id=1, ts=t(0, 5), value=10.0),
+        Row(user_id=1, ts=t(0, 40), value=20.0),
+        Row(user_id=1, ts=t(1, 10), value=30.0),
+        Row(user_id=1, ts=t(4, 59), value=40.0),
+        # user 2: a single hour -> one-row grid, no fill needed
+        Row(user_id=2, ts=t(7, 30), value=5.0),
+    ]
+    out = timeseries.gapfill(
+        spark.createDataFrame(rows), "user_id", "ts", "value", unit="hour"
+    )
+    got = {
+        (r["user_id"], r["bucket"].hour): (r["n_events"], r["filled_avg"])
+        for r in out.collect()
+    }
+    assert got[(1, 0)] == (2, 15.0)   # avg(10, 20)
+    assert got[(1, 1)] == (1, 30.0)
+    assert got[(1, 2)] == (0, 30.0)   # forward-filled
+    assert got[(1, 3)] == (0, 30.0)
+    assert got[(1, 4)] == (1, 40.0)
+    assert got[(2, 7)] == (1, 5.0)
+    assert len(got) == 6  # exactly the dense grid, nothing more
+
+
+def test_gapfill_rejects_unknown_unit(spark):
+    from nyc_etl_pipeline_spark.operators import timeseries
+
+    df = spark.range(1).select(
+        F.col("id").alias("u"),
+        F.current_timestamp().alias("ts"),
+        F.lit(1.0).alias("v"),
+    )
+    with pytest.raises(ValueError, match="unit"):
+        timeseries.gapfill(df, "u", "ts", "v", unit="fortnight")
