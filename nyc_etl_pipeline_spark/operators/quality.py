@@ -45,6 +45,46 @@ def profile(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
     return stacked.select("s.column", "s.n_rows", "s.n_nulls", "s.n_distinct")
 
 
+def quantile_bucket(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 10,
+    tie_cols: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Append `bucket` (1..n_buckets) — equal-COUNT score buckets, the
+    quality-percentile gate ("drop the bottom 3 deciles") of a curation
+    pipeline.
+
+    exact=True uses ntile() under a single global window sort: the
+    assignment is exactly balanced and (with `tie_cols` completing a
+    total order) deterministic — but a global sort is the wrong tool
+    past ~10^9 rows. exact=False is the 100 TB path: bucket edges from
+    approx_percentile on the score (one partial+final agg, no sort),
+    assignment as a pure projection; buckets are then approximately
+    equal-count and ties land together. The correctness gate runs the
+    exact form; the approx form is property-tested (monotone in score,
+    same buckets for same score).
+    """
+    from pyspark.sql import Window as W
+
+    if exact:
+        order = [F.col(score_col).asc()] + [F.col(c).asc() for c in (tie_cols or [])]
+        w = W.orderBy(*order)
+        return df.withColumn("bucket", F.ntile(n_buckets).over(w))
+    edges = df.agg(
+        F.percentile_approx(
+            score_col, [i / n_buckets for i in range(1, n_buckets)], 100_000
+        ).alias("__edges")
+    )
+    out = df.join(F.broadcast(edges))
+    # bucket = 1 + number of edges strictly below the score
+    bucket = F.lit(1) + F.size(
+        F.filter(F.col("__edges"), lambda e: e < F.col(score_col))
+    )
+    return out.withColumn("bucket", bucket.cast("int")).drop("__edges")
+
+
 def exact_percentiles_sorted(
     df: DataFrame, group_col: str, value_col: str, percentiles: list[float]
 ) -> DataFrame:

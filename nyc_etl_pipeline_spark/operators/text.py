@@ -170,6 +170,56 @@ TOP_TOKEN_REPETITIVE = 0.20
 DUP_NGRAM_REPETITIVE = 0.30
 
 
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", top_k: int = 100, ndigits: int = 6
+) -> DataFrame:
+    """Corpus-level token frequency table (the Zipf/vocab-coverage
+    report a tokenizer build starts from): the top_k most frequent
+    tokens with rank, count, corpus share, and cumulative coverage
+    ("the top 100 tokens cover X% of all token positions").
+
+    Deliberately NOT one global window over the whole vocabulary:
+    - explode -> groupBy(token) is one fine-grained shuffle with full
+      map-side combine (vocab-cardinality output);
+    - total token count rides the frequency table (a second tiny agg
+      over vocab rows, NOT a second corpus scan);
+    - top_k selection is orderBy+limit = TakeOrderedAndProject (per-
+      partition heaps, no global sort);
+    - only the top_k survivors (bounded, tiny) see the running-sum
+      window for cumulative coverage.
+    A 100M-row vocabulary never passes through a single-partition
+    window; the only single-partition work is over top_k rows.
+    Ties broken (count desc, token asc) — a total order, so rank and
+    cumulative sums are deterministic."""
+    from pyspark.sql import Window as W
+
+    from nyc_etl_pipeline_spark.functions import round_half_up
+
+    freq = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    freq = freq.persist()
+    total = freq.agg(F.sum("freq").alias("__total"))
+    top = freq.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(top_k)
+    w = W.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "freq",
+            round_half_up(F.col("freq") / F.col("__total"), ndigits).alias("share"),
+            round_half_up(
+                F.sum("freq").over(w.rowsBetween(W.unboundedPreceding, 0))
+                / F.col("__total"),
+                ndigits,
+            ).alias("cum_share"),
+        )
+    )
+
+
 def ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
     """ALL contiguous word n-grams (duplicates preserved — this is the
     point for repetition measurement; `dedup.shingles_from_tokens` is

@@ -21,6 +21,49 @@ from nyc_etl_pipeline_spark.functions import round_half_up
 _UNITS = {"hour": "1 hour", "day": "1 day", "minute": "1 minute"}
 
 
+def ewma_bounded(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+    alpha: float = 0.5,
+    lookback: int = 8,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Append `ewma`: exponentially-weighted moving average of
+    `value_col` over the last `lookback` observations per entity,
+    s_i = alpha*x_i + (1-alpha)*s_{i-1} folded left-to-right with the
+    window's OLDEST value as the seed.
+
+    Built as collect_list over a bounded window frame + a JVM
+    `aggregate` fold — no UDF, no state store. The fold is evaluated
+    in frame order, so any engine replaying the identical sequential
+    recurrence (the DuckDB oracle uses list() OVER + list_reduce)
+    produces bit-identical doubles; with alpha=0.5 every multiply is
+    an exact halving, making the parity immune even to FMA-contraction
+    differences.
+
+    Scale: one shuffle on entity, per-entity window sort (spillable),
+    frame bounded at `lookback` rows -> per-row cost O(lookback).
+    `order_cols` must complete a total order within entity (pass the
+    event id — equal timestamps otherwise make frame contents
+    nondeterministic)."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = (
+        W.partitionBy(entity_col)
+        .orderBy(*order)
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    vals = F.collect_list(F.col(value_col).cast("double")).over(w)
+    fold = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * (1.0 - alpha) + x * alpha,
+    )
+    return df.withColumn("ewma", round_half_up(fold, ndigits))
+
+
 def gapfill(
     df: DataFrame,
     entity_col: str,

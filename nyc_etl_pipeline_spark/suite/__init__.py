@@ -34,8 +34,10 @@ def all_specs() -> list[QuerySpec]:
     from nyc_etl_pipeline_spark.suite import (
         advanced,
         complextypes,
+        corpus,
         curation,
         events,
+        graphq,
         pandasops,
         relational,
         scalar,
@@ -57,6 +59,8 @@ def all_specs() -> list[QuerySpec]:
         + complextypes.SPECS
         + training.SPECS
         + tpch.SPECS
+        + corpus.SPECS
+        + graphq.SPECS
     )
 
 

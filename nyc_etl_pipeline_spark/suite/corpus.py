@@ -1,0 +1,250 @@
+"""Crawl-corpus curation suite: URL parsing/canonicalization,
+per-domain corpus stats, corpus token-frequency (Zipf) report, and
+quality-decile bucketing over `documents`.
+
+The documents fixture carries source labels ('src7'), not URLs, so
+q71/q72 deterministically synthesize a URL per document from
+(doc_id, source) — the same CASE logic in BOTH engines (the q54 PII
+pattern) — then genuinely exercise the parsing/normalization regexes
+end to end. Oracles share the regex constants in operators/urls.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.functions import round_half_up as R
+from nyc_etl_pipeline_spark.functions import sql_round_half_up
+from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.operators import text as TX
+from nyc_etl_pipeline_spark.operators import urls as U
+from nyc_etl_pipeline_spark.suite import QuerySpec
+from nyc_etl_pipeline_spark.suite.textops import _TOKS, _sql_in_list
+
+ZIPF_TOP_K = 100
+DECILE_BUCKETS = 10
+DECILE_MIN_KEPT = 4  # keep deciles 4..10 — drop the bottom 30%
+
+
+# --------------------------------------------------------------------------
+# deterministic URL synthesis (identical in both engines)
+# --------------------------------------------------------------------------
+
+def _inject_url(doc_id: Column, source: Column) -> Column:
+    scheme = F.when(doc_id % 2 == 0, F.lit("https")).otherwise(F.lit("http"))
+    www = F.when(doc_id % 3 == 0, F.lit("www.")).otherwise(F.lit(""))
+    sub = F.when(doc_id % 5 == 0, F.lit("cdn.")).otherwise(F.lit(""))
+    tld = F.when(doc_id % 4 == 1, F.lit(".org")).otherwise(F.lit(".com"))
+    path = F.concat(
+        F.lit("/docs/"), (doc_id % 50).cast("string"), F.lit("/p"), doc_id.cast("string"),
+        F.when(doc_id % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = (
+        F.when(doc_id % 3 == 1, F.concat(F.lit("?utm_source=feed&id="), doc_id.cast("string")))
+        .when(doc_id % 3 == 2, F.concat(F.lit("?id="), doc_id.cast("string")))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(doc_id % 11 == 0, F.lit("#sec2")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), www, sub, source, tld, path, query, frag)
+
+
+_INJECT_URL_SQL = """
+CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END || '://'
+|| CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+|| CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END
+|| source
+|| CASE WHEN doc_id % 4 = 1 THEN '.org' ELSE '.com' END
+|| '/docs/' || CAST(doc_id % 50 AS VARCHAR) || '/p' || CAST(doc_id AS VARCHAR)
+|| CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+|| CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+        WHEN doc_id % 3 = 2 THEN '?id=' || CAST(doc_id AS VARCHAR)
+        ELSE '' END
+|| CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END
+"""
+
+# DuckDB fragments sharing operators/urls.py's regex constants
+_SQL_HOST = f"regexp_extract(url, '{U.URL_HOST_REGEX}', 1)"
+_SQL_PATH = f"regexp_extract(url, '{U.URL_PATH_REGEX}', 1)"
+_SQL_SCHEME = f"regexp_extract(url, '{U.URL_SCHEME_REGEX}', 1)"
+_SQL_NOWWW = f"regexp_replace({_SQL_HOST}, '{U.WWW_PREFIX_REGEX}', '')"
+_SQL_DOMAIN = f"regexp_extract({_SQL_NOWWW}, '{U.REGISTERED_DOMAIN_REGEX}', 1)"
+
+
+# --------------------------------------------------------------------------
+# q71 — URL parse + canonicalization
+# --------------------------------------------------------------------------
+
+def q71_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document URL fields: host, registered domain, path depth,
+    canonical dedup key (scheme://host-minus-www/path, query+fragment
+    stripped). Pure JVM regexp projections — zero shuffle."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id", _inject_url(F.col("doc_id"), F.col("source")).alias("url")
+    )
+    host = U.url_host(F.col("url"))
+    return with_url.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        U.registered_domain(host).alias("domain"),
+        U.path_depth(U.url_path(F.col("url"))).alias("path_depth"),
+        U.canonical_url(F.col("url")).alias("canonical_url"),
+    )
+
+
+_Q71_SQL = f"""
+WITH u AS (SELECT doc_id, {_INJECT_URL_SQL} AS url FROM documents)
+SELECT doc_id, url,
+       {_SQL_HOST} AS host,
+       {_SQL_DOMAIN} AS domain,
+       CAST(len(list_filter(string_split({_SQL_PATH}, '/'), s -> s <> '')) AS BIGINT)
+         AS path_depth,
+       {_SQL_SCHEME} || '://' || {_SQL_NOWWW}
+         || regexp_replace({_SQL_PATH}, '/+$', '') AS canonical_url
+FROM u
+"""
+
+
+# --------------------------------------------------------------------------
+# q72 — per-domain corpus stats (crawl rebalancing input)
+# --------------------------------------------------------------------------
+
+def q72_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain rollup: doc count, language spread, total
+    chars, corpus share, rank. The group-by is domain-cardinality; the
+    share/rank window runs over domains only (tiny), never documents."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    base = docs.select(
+        U.registered_domain(
+            U.url_host(_inject_url(F.col("doc_id"), F.col("source")))
+        ).alias("domain"),
+        "lang",
+        "n_chars",
+    )
+    per_dom = base.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    total = per_dom.agg(F.sum("n_docs").alias("__total"))
+    w = W.orderBy(F.col("n_docs").desc(), F.col("domain").asc())
+    return (
+        per_dom.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "domain",
+            "n_docs",
+            "n_langs",
+            "total_chars",
+            R(F.col("n_docs") / F.col("__total"), 6).alias("share"),
+        )
+    )
+
+
+_Q72_SQL = f"""
+WITH u AS (
+  SELECT {_INJECT_URL_SQL} AS url, lang, n_chars FROM documents
+),
+d AS (SELECT {_SQL_DOMAIN} AS domain, lang, n_chars FROM u),
+per_dom AS (
+  SELECT domain, count(*) AS n_docs,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM d GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, domain ASC) AS INTEGER) AS rank,
+       domain, n_docs, n_langs, total_chars,
+       {sql_round_half_up('n_docs * 1.0 / (SELECT sum(n_docs) FROM per_dom)', 6)} AS share
+FROM per_dom
+"""
+
+
+# --------------------------------------------------------------------------
+# q73 — corpus token-frequency / Zipf coverage report
+# --------------------------------------------------------------------------
+
+def q73_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return TX.token_frequencies(docs, "text", top_k=ZIPF_TOP_K)
+
+
+_Q73_SQL = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+tok AS (SELECT unnest(t) AS token FROM toks),
+freq AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+total AS (SELECT sum(freq) AS tt FROM freq),
+top AS (SELECT token, freq FROM freq ORDER BY freq DESC, token ASC LIMIT {ZIPF_TOP_K})
+SELECT CAST(row_number() OVER w AS INTEGER) AS rank,
+       token,
+       freq,
+       {sql_round_half_up('freq * 1.0 / (SELECT tt FROM total)', 6)} AS share,
+       {sql_round_half_up(
+           "sum(freq) OVER (ORDER BY freq DESC, token ASC "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / (SELECT tt FROM total)", 6)}
+         AS cum_share
+FROM top
+WINDOW w AS (ORDER BY freq DESC, token ASC)
+"""
+
+
+# --------------------------------------------------------------------------
+# q74 — quality-decile bucketing (the "drop the bottom 30%" gate)
+# --------------------------------------------------------------------------
+
+def q74_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's quality-score decile (exact equal-count ntile,
+    tie-broken by doc_id for a total order) + the keep flag. Exact
+    ntile = one global window sort — fine as the verifiable gate; the
+    100 TB path (approx_percentile edges, pure projection, no sort) is
+    `quality.quantile_bucket(exact=False)`, property-tested against
+    this one in tests/test_corpus_ops.py."""
+    from nyc_etl_pipeline_spark.operators.quality import quantile_bucket
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("q_score")
+    )
+    bucketed = quantile_bucket(
+        scored, "q_score", n_buckets=DECILE_BUCKETS, tie_cols=["doc_id"], exact=True
+    )
+    return bucketed.select(
+        "doc_id",
+        "q_score",
+        F.col("bucket").cast("int").alias("decile"),
+        (F.col("bucket") >= DECILE_MIN_KEPT).alias("kept"),
+    )
+
+
+_SQL_QSCORE = f"""floor((0.4 * (CASE WHEN len(toks) > 0
+        THEN CAST(len(list_filter(toks, x -> list_contains({_sql_in_list(TX.STOPWORDS_EN)}, lower(x)))) AS DOUBLE) / len(toks)
+        ELSE 0.0 END)
+    + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+    + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+        THEN CAST(len(regexp_extract_all(text, '{TX.PUNCT_REGEX}')) AS DOUBLE) / length(text)
+        ELSE 0.0 END))) * 10000.0 + 0.5) / 10000.0"""
+
+_Q74_SQL = f"""
+WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+scored AS (SELECT doc_id, {_SQL_QSCORE} AS q_score FROM base)
+SELECT doc_id, q_score,
+       CAST(ntile({DECILE_BUCKETS}) OVER (ORDER BY q_score ASC, doc_id ASC) AS INTEGER)
+         AS decile,
+       ntile({DECILE_BUCKETS}) OVER (ORDER BY q_score ASC, doc_id ASC) >= {DECILE_MIN_KEPT}
+         AS kept
+FROM scored
+"""
+
+
+SPECS = [
+    QuerySpec("q71_url_parse", q71_url_parse, _Q71_SQL,
+              "URL host/domain/path parse + canonical dedup key"),
+    QuerySpec("q72_domain_stats", q72_domain_stats, _Q72_SQL,
+              "registered-domain corpus rollup with share + rank"),
+    QuerySpec("q73_token_zipf", q73_token_zipf, _Q73_SQL,
+              "corpus token-frequency / Zipf coverage report"),
+    QuerySpec("q74_quality_deciles", q74_quality_deciles, _Q74_SQL,
+              "quality-score decile bucketing (exact ntile gate)"),
+]

@@ -214,6 +214,81 @@ FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
 """
 
 
+# --------------------------------------------------------------------------
+# q75 — bounded-window EWMA per user (sequential fold, engine-exact)
+# --------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.5  # exact binary fraction: every multiply is an exact halving
+EWMA_LOOKBACK = 8
+
+
+def q75_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values over the trailing 8 observations:
+    collect_list over a bounded window frame + a JVM aggregate() fold
+    — the no-UDF, no-state-store form of a sequential recurrence. The
+    oracle replays the identical left fold with list() OVER +
+    list_reduce; see operators/timeseries.ewma_bounded for why the
+    doubles match bit-for-bit."""
+    from nyc_etl_pipeline_spark.operators.timeseries import ewma_bounded
+
+    e = read_testdata(spark, sf_dir, "events")
+    out = ewma_bounded(
+        e, "user_id", "ts", "value",
+        order_cols=["event_id"], alpha=EWMA_ALPHA, lookback=EWMA_LOOKBACK,
+    )
+    return out.select("event_id", "user_id", "ts", R(F.col("value"), 3).alias("value"), "ewma")
+
+
+_Q75_SQL = f"""
+WITH framed AS (
+  SELECT event_id, user_id, ts, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN {EWMA_LOOKBACK - 1} PRECEDING AND CURRENT ROW)
+           AS vals
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       floor(value * 1000.0 + 0.5) / 1000.0 AS value,
+       floor(list_reduce(vals, (acc, x) -> acc * {1.0 - EWMA_ALPHA} + x * {EWMA_ALPHA})
+             * 1000000.0 + 0.5) / 1000000.0 AS ewma
+FROM framed
+"""
+
+
+# --------------------------------------------------------------------------
+# q77 — skew-safe salted aggregation (oracle = the plain group-by)
+# --------------------------------------------------------------------------
+
+SALT_N = 16
+
+
+def q77_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five event_type values make a pathologically hot-keyed
+    aggregation (5 reducers own everything). salted_sum_count spreads
+    each key over {SALT_N} deterministic sub-keys (partial agg) and
+    recombines — the oracle is the PLAIN group-by, proving the salted
+    two-phase plan is result-identical. This is the aggregation shape
+    to reach for when one key owns 30% of 100 TB."""
+    from nyc_etl_pipeline_spark.operators.skew import salted_sum_count
+
+    e = read_testdata(spark, sf_dir, "events")
+    out = salted_sum_count(e, "event_type", "value", n_salts=SALT_N)
+    return out.select(
+        "event_type",
+        R(F.col("sum_value"), 3).alias("total_value"),
+        F.col("n_rows"),
+    )
+
+
+_Q77_SQL = """
+SELECT event_type,
+       floor((CAST(sum(value) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value,
+       count(*) AS n_rows
+FROM events
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
               "hourly tumbling window aggregation"),
@@ -225,4 +300,8 @@ SPECS = [
               "JSON field extraction + aggregation"),
     QuerySpec("q70_gapfill_hours", q70_gapfill_hours, _Q70_SQL,
               "dense-grid hourly gap fill with forward-filled means"),
+    QuerySpec("q75_ewma", q75_ewma, _Q75_SQL,
+              "bounded-window per-user EWMA (sequential fold, engine-exact)"),
+    QuerySpec("q77_salted_agg", q77_salted_agg, _Q77_SQL,
+              "salted two-phase aggregation vs plain group-by oracle"),
 ]
