@@ -12,6 +12,8 @@ driver option change.
 
 from __future__ import annotations
 
+import glob as _glob
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,13 +21,15 @@ from pyspark.sql import types as T
 
 from nyc_etl_pipeline_spark import schemas
 
+log = logging.getLogger(__name__)
+
 
 def ensure_session_confs(spark: SparkSession) -> None:
     """Runtime-settable confs the suite's semantics depend on, applied
     defensively: the caller may hand us a session built without the
     engine's factory (e.g. the driver's own). UTC pins window/epoch
     alignment to the DuckDB oracle; nanosAsLong makes TIMESTAMP(NANOS)
-    parquet readable at all."""
+    parquet readable at all (harmless when the data is MICROS)."""
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
@@ -33,8 +37,54 @@ def ensure_session_confs(spark: SparkSession) -> None:
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
-        except Exception:  # noqa: BLE001 — a locked conf is better than a crash here
-            pass
+        except Exception as exc:  # noqa: BLE001 — a locked conf shouldn't crash a read
+            # Loud, not silent: semantics (UTC window alignment, NANOS
+            # readability) depend on these. A swallowed failure here is
+            # how config-dependent misreads stay invisible.
+            log.warning("could not apply session conf %s=%s: %s", k, v, exc)
+
+
+def _first_parquet_file(path: str) -> str:
+    """Resolve a file / directory / glob path to one concrete parquet
+    data file (for footer sniffing)."""
+    roots = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    for root in roots:
+        if os.path.isfile(root):
+            return root
+        if os.path.isdir(root):
+            files = sorted(_glob.glob(os.path.join(root, "*.parquet")))
+            if files:
+                return files[0]
+    raise FileNotFoundError(f"no parquet file at {path}")
+
+
+def parquet_timestamp_unit(path: str, column: str) -> str | None:
+    """Return the parquet logical-type time unit ('nanos' | 'micros' |
+    'millis') of `column` at `path`, or None if the column is not a
+    timestamp. Reads one file footer via pyarrow — no Spark job.
+
+    `path` may be a single parquet file or a directory of them (one
+    footer is representative: the driver writes homogeneous files).
+    Exists because fixture regeneration silently flipped events.ts
+    from TIMESTAMP(NANOS) to TIMESTAMP(MICROS) between rounds —
+    hard-coding either unit corrupts every timestamp when the file
+    drifts. Sniffing the footer makes the reader self-describing.
+    """
+    import pyarrow.parquet as pq
+
+    sch = pq.ParquetFile(_first_parquet_file(path)).schema
+    try:
+        col = sch.column(sch.names.index(column))
+    except ValueError:
+        return None
+    lt = str(col.logical_type).lower()
+    if "timestamp" not in lt:
+        return None
+    if "nano" in lt:
+        return "nanos"
+    if "milli" in lt:
+        return "millis"
+    return "micros"
 
 
 def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -46,13 +96,15 @@ def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot
-        # read natively; with spark.sql.legacy.parquet.nanosAsLong it
-        # arrives as a ns-since-epoch long. Integer `div` (not `/`,
-        # which would round through double and lose precision above
-        # 2^53 ns) truncates to microseconds — matching how DuckDB
-        # reads the same column.
+    if name == "events" and parquet_timestamp_unit(path, "ts") == "nanos":
+        # TIMESTAMP(NANOS) is the one unit Spark cannot read natively;
+        # with spark.sql.legacy.parquet.nanosAsLong it arrives as a
+        # ns-since-epoch long. Integer `div` (not `/`, which would
+        # round through double and lose precision above 2^53 ns)
+        # truncates to microseconds — matching how DuckDB reads the
+        # same column. MICROS/MILLIS fixtures take the plain typed
+        # read below; the footer sniff decides (the unit has drifted
+        # across fixture regenerations).
         phys = T.StructType(
             [
                 T.StructField("event_id", T.LongType()),

@@ -18,8 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Physical schema of the events parquet (ts stored as TIMESTAMP(NANOS),
-# surfaced as a ns long via spark.sql.legacy.parquet.nanosAsLong).
+# Physical schema of a TIMESTAMP(NANOS) events parquet (ts surfaced as
+# a ns long via spark.sql.legacy.parquet.nanosAsLong). Only used when
+# the footer sniff says the file really is NANOS; MICROS/MILLIS files
+# are read with the typed schema directly.
 _EVENTS_PHYS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -31,19 +33,56 @@ _EVENTS_PHYS = T.StructType(
     ]
 )
 
+_EVENTS_TYPED = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
 
-def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with ns->us conversion
-    (same semantics as io.read_testdata's batch read)."""
-    from nyc_etl_pipeline_spark.io import ensure_session_confs
+
+def open_event_stream(
+    spark: SparkSession, directory: str, glob: str = "*.parquet", sample: str | None = None
+) -> DataFrame:
+    """readStream over an events parquet directory, self-describing on
+    the timestamp unit (same footer sniff as io.read_testdata — the
+    fixture has drifted NANOS→MICROS across regenerations, and a
+    hard-coded unit corrupts every event time when it drifts again).
+
+    `sample` optionally names one file/dir to sniff; defaults to
+    `directory` itself.
+    """
+    from nyc_etl_pipeline_spark.io import ensure_session_confs, parquet_timestamp_unit
 
     ensure_session_confs(spark)
-    # FileStreamSource requires a directory; filter to the events file.
+    unit = parquet_timestamp_unit(sample or directory, "ts")
+    if unit == "nanos":
+        return (
+            spark.readStream.schema(_EVENTS_PHYS)
+            .option("pathGlobFilter", glob)
+            .parquet(directory)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
     return (
-        spark.readStream.schema(_EVENTS_PHYS)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        spark.readStream.schema(_EVENTS_TYPED)
+        .option("pathGlobFilter", glob)
+        .parquet(directory)
+    )
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the driver's events fixture (same semantics as
+    io.read_testdata's batch read)."""
+    # FileStreamSource requires a directory; filter to the events file.
+    return open_event_stream(
+        spark,
+        sf_dir,
+        glob="events.parquet",
+        sample=os.path.join(sf_dir, "events.parquet"),
     )
 
 
@@ -273,19 +312,11 @@ def stage_event_source(spark: SparkSession, sf_dir: str, staging_dir: str) -> Da
     read semantics as `read_event_stream`."""
     import shutil
 
-    from nyc_etl_pipeline_spark.io import ensure_session_confs
-
-    ensure_session_confs(spark)
     os.makedirs(staging_dir, exist_ok=True)
     dst = os.path.join(staging_dir, "events.parquet")
     if not os.path.exists(dst):
         shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
-    return (
-        spark.readStream.schema(_EVENTS_PHYS)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(staging_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    return open_event_stream(spark, staging_dir, glob="*.parquet", sample=dst)
 
 
 def append_watermark_sentinel(
@@ -308,20 +339,34 @@ def append_watermark_sentinel(
     SENTINEL_USER so it can never join real data. Run another
     checkpointed pass afterwards; the join drains.
 
-    Writes a single parquet file in the source's physical schema
-    (TIMESTAMP as int64 nanos); FileStreamSource picks it up as one
-    new micro-batch.
+    Writes a single parquet file matching the STAGED source's physical
+    schema — the footer of the staged events file decides whether ts
+    is written as int64 nanos or a true timestamp column (the fixture
+    unit has drifted across regenerations; a mismatched sentinel
+    schema would fail the FileStreamSource's fixed read schema).
+    FileStreamSource picks it up as one new micro-batch.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from nyc_etl_pipeline_spark.io import parquet_timestamp_unit
+
+    unit = parquet_timestamp_unit(os.path.join(staging_dir, "events.parquet"), "ts")
+    if unit == "nanos":
+        ts_arr = pa.array([horizon_ts_ns] * len(event_types), pa.int64())
+    else:
+        pa_unit = {"micros": "us", "millis": "ms"}.get(unit, "us")
+        divisor = {"us": 1_000, "ms": 1_000_000}[pa_unit]
+        ts_arr = pa.array(
+            [horizon_ts_ns // divisor] * len(event_types), pa.timestamp(pa_unit)
+        )
     table = pa.table(
         {
             "event_id": pa.array(
                 [-(batch_id * len(event_types) + i + 1) for i in range(len(event_types))],
                 pa.int64(),
             ),
-            "ts": pa.array([horizon_ts_ns] * len(event_types), pa.int64()),
+            "ts": ts_arr,
             "user_id": pa.array([SENTINEL_USER] * len(event_types), pa.int64()),
             "event_type": pa.array(list(event_types), pa.string()),
             "value": pa.array([0.0] * len(event_types), pa.float64()),

@@ -7,28 +7,13 @@ import os
 import shutil
 
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
+from nyc_etl_pipeline_spark.streaming.events import open_event_stream
 from nyc_etl_pipeline_spark.streaming.stateful import running_user_totals
-
-_PHYS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 
 def _run_once(spark, src_dir, ckpt, name):
-    stream = (
-        spark.readStream.schema(_PHYS)
-        .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = open_event_stream(spark, src_dir)
     rows = []
 
     # memory sink can't recover from a checkpoint; foreachBatch can
@@ -60,11 +45,8 @@ def test_transform_with_state_matches_batch(spark, sf_dir, tmp_path):
         pytest.skip("google.protobuf unavailable — transformWithState worker cannot start")
     from nyc_etl_pipeline_spark.streaming.stateful import running_user_totals_tws
 
-    stream = (
-        spark.readStream.schema(_PHYS)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = open_event_stream(
+        spark, sf_dir, glob="events.parquet", sample=os.path.join(sf_dir, "events.parquet")
     )
     rows = []
     q = (

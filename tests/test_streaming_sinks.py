@@ -65,19 +65,14 @@ def test_stream_dedup_drops_replayed_events(spark, sf_dir, tmp_path):
     src = tmp_path / "dup"
     src.mkdir()
     events = read_testdata(spark, sf_dir, "events")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts as raw ns long
-    raw.write.parquet(str(src / "a"))
-    raw.write.parquet(str(src / "b"))
+    # rewrite the typed events through Spark (whatever timestamp unit
+    # Spark emits, open_event_stream sniffs it from the footer)
+    events.write.parquet(str(src / "a"))
+    events.write.parquet(str(src / "b"))
 
-    from pyspark.sql import functions as F2
+    from nyc_etl_pipeline_spark.streaming.events import open_event_stream
 
-    from nyc_etl_pipeline_spark.streaming.events import _EVENTS_PHYS
-
-    stream = (
-        spark.readStream.schema(_EVENTS_PHYS)
-        .parquet(f"{str(src)}/*")
-        .withColumn("ts", F2.timestamp_micros(F2.expr("ts div 1000")))
-    )
+    stream = open_event_stream(spark, f"{str(src)}/*", sample=str(src / "a"))
     deduped = stream_dedup(stream, ["event_id"])
     q = (
         deduped.writeStream.outputMode("append")
