@@ -112,10 +112,23 @@ FROM u
 # q72 — per-domain corpus stats (crawl rebalancing input)
 # --------------------------------------------------------------------------
 
+TOP_K_DOMAINS = 1000
+"""q72's output bound. At web scale registered domains number in the
+millions — an unbounded global-window rank over them is a
+single-partition sort (the scale-killer the r3 verdict flagged). The
+report a crawl rebalancer actually consumes is the head of the
+distribution, so the query emits the top-K domains by doc count:
+orderBy+limit compiles to TakeOrderedAndProject (per-partition top-K,
+then a K-row merge — no full sort, no full shuffle), and only the
+bounded K-row result is ranked. Same treatment as q74's approx
+quantile bound; the oracle replicates the cap exactly."""
+
+
 def q72_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered-domain rollup: doc count, language spread, total
-    chars, corpus share, rank. The group-by is domain-cardinality; the
-    share/rank window runs over domains only (tiny), never documents."""
+    chars, corpus share, rank — bounded to the TOP_K_DOMAINS head (see
+    above). The group-by is domain-cardinality; ranking happens after
+    the top-K cut, over at most K rows."""
     docs = read_testdata(spark, sf_dir, "documents")
     base = docs.select(
         U.registered_domain(
@@ -129,18 +142,25 @@ def q72_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.sum("n_chars").alias("total_chars"),
     )
-    total = per_dom.agg(F.sum("n_docs").alias("__total"))
-    w = W.orderBy(F.col("n_docs").desc(), F.col("domain").asc())
-    return (
+    # sum(n_docs) over domains == plain doc count — a scan-only agg,
+    # not a second copy of the domain rollup
+    total = base.agg(F.count(F.lit(1)).alias("__total"))
+    topk = (
         per_dom.crossJoin(F.broadcast(total))
-        .select(
-            F.row_number().over(w).alias("rank"),
-            "domain",
-            "n_docs",
-            "n_langs",
-            "total_chars",
-            R(F.col("n_docs") / F.col("__total"), 6).alias("share"),
-        )
+        .orderBy(F.col("n_docs").desc(), F.col("domain").asc())
+        .limit(TOP_K_DOMAINS)
+    )
+    # rank over the bounded K-row head only: the window input is the
+    # TakeOrderedAndProject result (<= K rows), so the single-partition
+    # sort it implies is K-bounded, not data-bounded.
+    w = W.orderBy(F.col("n_docs").desc(), F.col("domain").asc())
+    return topk.select(
+        F.row_number().over(w).alias("rank"),
+        "domain",
+        "n_docs",
+        "n_langs",
+        "total_chars",
+        R(F.col("n_docs") / F.col("__total"), 6).alias("share"),
     )
 
 
@@ -159,6 +179,8 @@ SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, domain ASC) AS INTEGER) AS 
        domain, n_docs, n_langs, total_chars,
        {sql_round_half_up('n_docs * 1.0 / (SELECT sum(n_docs) FROM per_dom)', 6)} AS share
 FROM per_dom
+ORDER BY n_docs DESC, domain ASC
+LIMIT {TOP_K_DOMAINS}
 """
 
 

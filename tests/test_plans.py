@@ -225,3 +225,26 @@ def test_shard_shuffle_single_exchange_no_global_sort(spark, sf_dir):
     plan = P.explain_str(df, "simple")
     assert P.count_exchanges(plan) == 1, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_q72_domain_rank_is_topk_not_global_sort(spark, sf_dir):
+    """q72 (VERDICT r3 item 6): the domain ranking must be bounded —
+    per-partition top-K then a K-row merge (TakeOrderedAndProject),
+    with the row_number window running only over the bounded result
+    and never as a global (empty-partition-spec) window over all
+    domains."""
+    from nyc_etl_pipeline_spark.suite.corpus import q72_domain_stats
+
+    df = q72_domain_stats(spark, sf_dir)
+    plan = P.explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the Window node must consume the top-K head, not the raw domain
+    # rollup: in the numbered formatted plan the Window's child is the
+    # TakeOrderedAndProject node
+    import re
+
+    tree = plan.split("==", 2)[-1]
+    win = re.search(r"Window \((\d+)\)", tree)
+    topk = re.search(r"TakeOrderedAndProject \((\d+)\)", tree)
+    assert win and topk, plan
+    assert int(topk.group(1)) == int(win.group(1)) - 1, plan
