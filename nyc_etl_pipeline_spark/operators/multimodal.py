@@ -2,12 +2,13 @@
 columns with typed metadata.
 
 The Spark-side design is real and tested — schema, Arrow batch shape,
-partition sizing, UDF signatures. The actual codec work (JPEG decode,
-audio resample, video frame extraction) is STUBBED: the container has
-no image/audio libraries, so each decode function first tries the real
-library import and otherwise uses a clearly-marked deterministic fake
-(or raises NotImplementedError when fake=False). Swapping in the real
-decoder changes no plumbing.
+partition sizing, UDF signatures. Image METADATA decode is real: a
+pure-python PNG/JPEG/GIF header parser (`parse_image_header`) extracts
+width/height/channels from any executor with no codec library; Pillow
+is used instead when importable. PIXEL-level work (full JPEG decode,
+audio resample, video frame extraction) remains STUBBED behind
+clearly-marked deterministic fakes — the container has no codec
+libraries. Swapping in a real decoder changes no plumbing.
 
 Scale notes: binary payloads ride through Arrow record batches into
 pandas; keep `spark.sql.files.maxPartitionBytes` (or an explicit
@@ -52,6 +53,67 @@ def _try_import_pil():
         return None
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> sample channels (palette indexes into an RGB table)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}
+# JPEG start-of-frame markers (0xC0-0xCF minus DHT/JPG/DAC)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
+    """(width, height, n_channels) from PNG / JPEG / GIF header bytes,
+    or None if the payload is not one of those. Pure Python over the
+    file structure — no codec library, no pixel decode — so it is safe
+    and cheap to run inside the Arrow batch loop on any executor.
+
+    PNG: IHDR chunk is mandatory and first (width/height big-endian at
+    fixed offsets, channels from the color type). JPEG: walk the
+    marker stream to the first start-of-frame segment. GIF: logical
+    screen descriptor at a fixed offset.
+    """
+    if payload is None:
+        return None
+    if payload.startswith(_PNG_SIG) and len(payload) >= 33 and payload[12:16] == b"IHDR":
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        channels = _PNG_CHANNELS.get(payload[25])
+        if width and height and channels:
+            return width, height, channels
+        return None
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None  # desynced marker stream
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone marker, no length field
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF:
+                if i + 9 >= n:
+                    return None
+                height = int.from_bytes(payload[i + 5 : i + 7], "big")
+                width = int.from_bytes(payload[i + 7 : i + 9], "big")
+                channels = payload[i + 9]
+                if width and height:
+                    return width, height, channels
+                return None
+            i += 2 + seg_len
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        width = int.from_bytes(payload[6:8], "little")
+        height = int.from_bytes(payload[8:10], "little")
+        if width and height:
+            return width, height, 3
+    return None
+
+
 def fake_assets_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic binary asset table derived from the documents
     fixture (no real media in the container): payload = UTF-8 bytes of
@@ -68,13 +130,17 @@ def decode_image_meta(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Per-asset decode -> (width, height, channels). mapInPandas:
     payload bytes arrive as Arrow binary batches; the decode loop is
     pure Python per batch (the unavoidable slow path — this is exactly
-    where a real codec library plugs in)."""
+    where a real codec library plugs in).
+
+    Real payloads (fake=False or a non-`/fake` media type): dimensions
+    come from Pillow when available, else from the pure-python
+    PNG/JPEG/GIF header parser (`parse_image_header`) — header fields
+    only, no pixel decode, so no codec library is required.
+    Unparseable payloads get decode_ok=False rather than an error
+    (bad bytes are data, not bugs). `/fake`-typed payloads keep the
+    deterministic digest-derived dimensions for plumbing tests.
+    """
     pil = _try_import_pil()
-    if pil is None and not fake:
-        raise NotImplementedError(
-            "image decode requires Pillow (not in this container); "
-            "pass fake=True for the deterministic stub"
-        )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,18 +149,28 @@ def decode_image_meta(assets: DataFrame, fake: bool = True) -> DataFrame:
                 if payload is None:
                     out.append((aid, mt, None, None, None, False))
                     continue
-                if pil is not None and not mt.endswith("/fake"):
-                    import io
+                if not mt.endswith("/fake"):
+                    if pil is not None:
+                        import io
 
-                    try:
-                        img = pil.open(io.BytesIO(payload))
-                        w, h = img.size
-                        ch = len(img.getbands())
-                        out.append((aid, mt, w, h, ch, True))
-                        continue
-                    except Exception:  # noqa: BLE001 — undecodable payload is data, not a bug
+                        try:
+                            img = pil.open(io.BytesIO(payload))
+                            w, h = img.size
+                            ch = len(img.getbands())
+                            out.append((aid, mt, w, h, ch, True))
+                            continue
+                        except Exception:  # noqa: BLE001 — undecodable payload is data, not a bug
+                            pass  # fall through to the header parser
+                    meta = parse_image_header(bytes(payload))
+                    if meta is not None:
+                        out.append((aid, mt, meta[0], meta[1], meta[2], True))
+                    else:
                         out.append((aid, mt, None, None, None, False))
-                        continue
+                    continue
+                if not fake:
+                    # a /fake-typed payload has no real header to parse
+                    out.append((aid, mt, None, None, None, False))
+                    continue
                 # deterministic fake: dimensions from the payload digest
                 digest = hashlib.sha256(payload).digest()
                 w = 64 + digest[0] % 192

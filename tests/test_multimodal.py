@@ -28,15 +28,74 @@ def test_decode_meta_deterministic_and_complete(assets):
     assert all(64 <= r["width"] < 256 and 64 <= r["height"] < 256 for r in a)
 
 
-def test_decode_requires_lib_when_not_fake(assets):
-    try:
-        import PIL  # noqa: F401
+def _png_bytes(w: int, h: int, color_type: int = 6) -> bytes:
+    import struct
+    import zlib
 
-        pytest.skip("Pillow present; stub gate not reachable")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        MM.decode_image_meta(assets, fake=False)
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = b"".join(b"\x00" + b"\x7f" * (w * nch) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _jpeg_bytes(w: int, h: int, n_components: int = 3) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof_body = struct.pack(">BHHB", 8, h, w, n_components) + bytes(
+        b for i in range(n_components) for b in (i + 1, 0x11, 0)
+    )
+    sof0 = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
+
+
+def test_parse_image_header_formats():
+    assert MM.parse_image_header(_png_bytes(640, 360)) == (640, 360, 4)
+    assert MM.parse_image_header(_png_bytes(12, 7, color_type=2)) == (12, 7, 3)
+    assert MM.parse_image_header(_jpeg_bytes(1920, 1080)) == (1920, 1080, 3)
+    assert MM.parse_image_header(_jpeg_bytes(64, 64, n_components=1)) == (64, 64, 1)
+    assert MM.parse_image_header(_gif_bytes(320, 200)) == (320, 200, 3)
+    assert MM.parse_image_header(b"not an image at all") is None
+    assert MM.parse_image_header(b"\xff\xd8\xff\xff\xff") is None  # truncated JPEG
+
+
+def test_decode_image_meta_real_headers(spark):
+    """VERDICT r3 item 7: fake=False must really decode — synthetic
+    PNG/JPEG/GIF payloads through the full mapInPandas path, garbage
+    payloads marked decode_ok=False instead of erroring."""
+    rows = [
+        (1, "image/png", bytearray(_png_bytes(800, 600)), "mem://a"),
+        (2, "image/jpeg", bytearray(_jpeg_bytes(1024, 768)), "mem://b"),
+        (3, "image/gif", bytearray(_gif_bytes(100, 50)), "mem://c"),
+        (4, "image/png", bytearray(b"corrupted payload"), "mem://d"),
+        (5, "image/jpeg", None, "mem://e"),
+    ]
+    assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in MM.decode_image_meta(assets, fake=False).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (800, 600, 4)
+    assert (got[2]["width"], got[2]["height"], got[2]["n_channels"]) == (1024, 768, 3)
+    assert (got[3]["width"], got[3]["height"], got[3]["n_channels"]) == (100, 50, 3)
+    assert got[4]["decode_ok"] is False and got[4]["width"] is None
+    assert got[5]["decode_ok"] is False
 
 
 def test_frame_sample_one_to_many(assets):
