@@ -158,11 +158,19 @@ class Warehouse:
         self.root = root
 
     def path(self, table: str) -> str:
-        return os.path.join(self.root, table)
+        return f"{self.root.rstrip('/')}/{table}"
+
+    def _fs(self, path: str):
+        """(hadoop Path, FileSystem) for any supported URI scheme —
+        local path, file://, hdfs://, s3a://. One resolution point so
+        every Warehouse filesystem op is object-store-capable."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        return hpath, hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
 
     def exists(self, table: str) -> bool:
-        # local-fs check is fine for tests; on HDFS/S3 use the catalog.
-        return os.path.isdir(self.path(table))
+        hpath, fs = self._fs(self.path(table))
+        return bool(fs.exists(hpath))
 
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
         reader = self.spark.read
@@ -214,18 +222,12 @@ class Warehouse:
         import math
 
         path = self.path(table)
-        size_b = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(path)
-            for f in fs
-            if f.endswith(".parquet")
-        )
+        hpath, fs = self._fs(path)
+        size_b = fs.getContentSummary(hpath).getLength()
         n = max(1, math.ceil(size_b / (target_file_mb * 1024 * 1024)))
         tmp, old = f"{path}.compact-tmp", f"{path}.compact-old"
         # URI-agnostic filesystem ops via the Hadoop FS API
         jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
         for stale in (tmp, old):
             fs.delete(jvm.org.apache.hadoop.fs.Path(stale), True)
         self.spark.read.parquet(path).repartition(n).write.parquet(tmp)

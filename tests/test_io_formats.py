@@ -119,3 +119,21 @@ def test_ensure_session_confs_warns_on_locked_conf(spark, caplog):
     with caplog.at_level(logging.WARNING, logger="nyc_etl_pipeline_spark.io"):
         eio.ensure_session_confs(FakeSpark())
     assert any("could not apply session conf" in r.message for r in caplog.records)
+
+
+def test_warehouse_on_file_uri_root(spark, sf_dir, tmp_path):
+    """Warehouse against a URI root (file://), not a bare local path:
+    exists/overwrite/read/compact all go through the Hadoop FS API, so
+    the same code path serves hdfs:// and s3a:// roots (VERDICT r3
+    item 8 — exists() was os.path-based and URI-broken)."""
+    from nyc_etl_pipeline_spark.io import Warehouse
+
+    wh = Warehouse(spark, f"file://{tmp_path}/wh")
+    assert not wh.exists("nation")
+    nation = read_testdata(spark, sf_dir, "nation")
+    wh.overwrite(nation, "nation")
+    assert wh.exists("nation")
+    assert wh.read("nation").count() == nation.count()
+    n_files = wh.compact("nation", target_file_mb=128)
+    assert n_files == 1
+    assert wh.read("nation").count() == nation.count()
