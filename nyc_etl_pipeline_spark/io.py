@@ -144,18 +144,46 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return spark.read.option("header", True).schema(schema).csv(path)
 
 
+def delta_available() -> bool:
+    """True when the delta-spark package (and its JVM jars) can be
+    loaded. The engine never requires it: plain parquet is the default
+    table format, Delta is an optional upgrade for object-store roots
+    where compact()'s rename-swap is not atomic."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 class Warehouse:
-    """Parquet lakehouse rooted at one directory; one subdir per table.
+    """Lakehouse rooted at one directory; one subdir per table.
 
     Writes partitioned by the given columns use dynamic partition
     overwrite (session conf ``partitionOverwriteMode=dynamic``), so
     re-running a month is idempotent — fixing reference quirk Q6
     (append-only JDBC sinks, duplicated rows on re-run).
-    """
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``table_format`` defaults to parquet. Pass ``"delta"`` (requires
+    the optional delta-spark package — see ``delta_available``) for
+    ACID commits: on object stores, parquet compact()'s rename-swap is
+    not atomic, while a table format commits via its transaction log —
+    that is the supported path for s3a roots. The session must be
+    built with the Delta catalog extensions (delta-spark's
+    ``configure_spark_with_delta_pip``)."""
+
+    def __init__(self, spark: SparkSession, root: str, table_format: str = "parquet"):
+        if table_format not in ("parquet", "delta"):
+            raise ValueError(f"unsupported table format: {table_format}")
+        if table_format == "delta" and not delta_available():
+            raise ImportError(
+                "table_format='delta' requires the delta-spark package "
+                "(pip install delta-spark); plain parquet needs nothing"
+            )
         self.spark = spark
         self.root = root
+        self.table_format = table_format
 
     def path(self, table: str) -> str:
         return f"{self.root.rstrip('/')}/{table}"
@@ -173,10 +201,10 @@ class Warehouse:
         return bool(fs.exists(hpath))
 
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
-        reader = self.spark.read
+        reader = self.spark.read.format(self.table_format)
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(self.path(table))
+        return reader.load(self.path(table))
 
     def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         """FULL-table overwrite. With partition_by, partitionOverwriteMode
@@ -185,21 +213,24 @@ class Warehouse:
         absent from ``df`` and make the two methods behave identically
         despite their contracts differing (e.g. a full rebuild after an
         upstream month was deleted must drop that month)."""
-        writer = df.write.mode("overwrite")
+        writer = df.write.format(self.table_format).mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by).option(
                 "partitionOverwriteMode", "static"
             )
-        writer.parquet(self.path(table))
+        writer.save(self.path(table))
 
     def overwrite_partitions(self, df: DataFrame, table: str, partition_by: list[str]) -> None:
         """Replace only the partitions present in ``df`` (idempotent
-        incremental load). Requires the table to already exist."""
+        incremental load). Requires the table to already exist.
+        partitionOverwriteMode=dynamic is honored by both the parquet
+        writer and Delta (>= 2.x)."""
         (
-            df.write.mode("overwrite")
+            df.write.format(self.table_format)
+            .mode("overwrite")
             .partitionBy(*partition_by)
             .option("partitionOverwriteMode", "dynamic")
-            .parquet(self.path(table))
+            .save(self.path(table))
         )
 
     def compact(self, table: str, target_file_mb: int = 128) -> int:
@@ -217,9 +248,19 @@ class Warehouse:
         process dies mid-swap, the data survives in either the table,
         the ``.compact-tmp`` or the ``.compact-old`` directory. Renames
         are atomic on HDFS/local FS; on object stores use a
-        table-format commit (Iceberg/Delta) instead.
+        table-format commit — a Delta-format Warehouse compacts through
+        OPTIMIZE's transactional commit below, never the rename-swap.
         """
         import math
+
+        if self.table_format == "delta":
+            from delta.tables import DeltaTable
+
+            dt = DeltaTable.forPath(self.spark, self.path(table))
+            dt.optimize().executeCompaction()
+            return int(
+                dt.detail().select("numFiles").first()["numFiles"]
+            )
 
         path = self.path(table)
         hpath, fs = self._fs(path)
@@ -241,10 +282,10 @@ class Warehouse:
         return n
 
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
-        writer = df.write.mode("append")
+        writer = df.write.format(self.table_format).mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(self.path(table))
+        writer.save(self.path(table))
 
 
 def jdbc_read(spark: SparkSession, url: str, table: str, properties: dict[str, str]) -> DataFrame:
