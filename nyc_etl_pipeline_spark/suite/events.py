@@ -289,6 +289,42 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q78 — SCD type-2 interval build from the event log. The reference's
+# gold layer upserts dims type-1 (gold.py:150-240, latest value wins);
+# this derives full validity history: per user, each event_type change
+# opens an interval, closed by the next change. Window-only plan —
+# one exchange on the key, no iteration, no driver state.
+# --------------------------------------------------------------------------
+
+def q78_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_etl_pipeline_spark.operators.scd import scd2_from_log
+
+    e = read_testdata(spark, sf_dir, "events")
+    return scd2_from_log(
+        e, key_cols=["user_id"], attr_col="event_type", ts_col="ts",
+        tie_cols=["event_id"],
+    )
+
+
+_Q78_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts FROM ordered
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+FROM changes
+"""
+
+
 SPECS = [
     QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
               "hourly tumbling window aggregation"),
@@ -304,4 +340,6 @@ SPECS = [
               "bounded-window per-user EWMA (sequential fold, engine-exact)"),
     QuerySpec("q77_salted_agg", q77_salted_agg, _Q77_SQL,
               "salted two-phase aggregation vs plain group-by oracle"),
+    QuerySpec("q78_scd2_intervals", q78_scd2_intervals, _Q78_SQL,
+              "SCD type-2 validity intervals from an event log (lag/lead)"),
 ]
