@@ -290,6 +290,58 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# q79 — NATIVE session windows (F.session_window). q15 proves the
+# windowing-functions formulation; this gates Spark's built-in session
+# operator — the same one Structured Streaming uses for watermarked
+# streaming sessions (merging session state per key, bounded by the
+# gap). Boundary semantics differ from q15's: an event exactly at
+# last_ts + gap starts a NEW session (window end is exclusive), so the
+# oracle uses >= where q15 uses >.
+# --------------------------------------------------------------------------
+
+def q79_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_testdata(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            R(F.sum("value"), 3).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_Q79_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       floor((CAST(sum(value) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value
+FROM sessions
+GROUP BY user_id, session_idx
+"""
+
+
+# --------------------------------------------------------------------------
 # q78 — SCD type-2 interval build from the event log. The reference's
 # gold layer upserts dims type-1 (gold.py:150-240, latest value wins);
 # this derives full validity history: per user, each event_type change
@@ -342,4 +394,6 @@ SPECS = [
               "salted two-phase aggregation vs plain group-by oracle"),
     QuerySpec("q78_scd2_intervals", q78_scd2_intervals, _Q78_SQL,
               "SCD type-2 validity intervals from an event log (lag/lead)"),
+    QuerySpec("q79_session_window", q79_session_window, _Q79_SQL,
+              "native session_window aggregation (streaming-capable operator)"),
 ]
