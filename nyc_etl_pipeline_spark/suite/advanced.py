@@ -237,6 +237,54 @@ def q34_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q80 — MERGEABLE distinct-count sketches (Apache DataSketches HLL).
+# q34 proves approx_count_distinct's estimate; this proves the property
+# that matters at 100 TB: sketches built per-partition-of-time (daily)
+# and MERGED later give the same answer as sketching the raw union —
+# i.e. you can keep a tiny daily rollup and still answer "distinct
+# users this quarter" without rescanning a quarter of raw events.
+# Same oracle contract as q34: exact values + within-tolerance booleans
+# (the sketch is deterministic for fixed input, but its error is
+# data-dependent — the boolean is the portable assertion).
+# --------------------------------------------------------------------------
+
+def q80_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_testdata(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("__sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__merged_est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    within = F.abs(F.col("__merged_est").cast("double") - F.col("exact_users")) <= (
+        HLL_TOL * F.col("exact_users")
+    )
+    return merged.join(exact, on="event_type").select(
+        "event_type",
+        "exact_users",
+        "n_days",
+        within.alias("merged_within_tol"),
+    )
+
+
+_Q80_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       TRUE AS merged_within_tol
+FROM events
+GROUP BY 1
+"""
+
+
 _Q34_SQL = """
 SELECT l_returnflag AS returnflag,
        count(DISTINCT l_orderkey) AS exact_orders,
@@ -310,6 +358,8 @@ SPECS = [
               "multiple distinct aggregates"),
     QuerySpec("q34_approx_aggs", q34_approx_aggs, _Q34_SQL,
               "HLL distinct + quantile sketches (error-bound contract, oracle-checked)"),
+    QuerySpec("q80_sketch_rollup", q80_sketch_rollup, _Q80_SQL,
+              "mergeable DataSketches HLL rollup (daily sketches -> merged estimate)"),
     QuerySpec("q69_window_gauntlet", q69_window_gauntlet, _Q69_SQL,
               "window gauntlet: lead/ntile/percent_rank/cume_dist/nth_value"),
 ]

@@ -65,3 +65,28 @@ def test_asof_join_tie_is_inclusive(spark):
         right_value_cols=["tag"],
     ).collect()
     assert len(out) == 1 and out[0]["asof_tag"] == "same"
+
+
+def test_hll_merge_equals_direct_sketch(spark, sf_dir):
+    """The mergeability contract behind q80: unioning daily sketches
+    yields the SAME estimate as sketching the raw stream directly
+    (DataSketches HLL union is exact for same-lgK sketches) — the
+    invariant that lets a 100 TB pipeline keep tiny daily rollups
+    instead of rescanning raw history."""
+    from pyspark.sql import functions as F
+
+    from nyc_etl_pipeline_spark.io import read_testdata
+
+    e = read_testdata(spark, sf_dir, "events")
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    )
+    merged = (
+        e.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    d = {r["event_type"]: r["est"] for r in direct.collect()}
+    m = {r["event_type"]: r["est"] for r in merged.collect()}
+    assert d == m
