@@ -158,3 +158,39 @@ def sql_stratified_threshold(
         for name, frac in sorted(fractions.items())
     )
     return f"CASE {whens} ELSE {int(default_fraction * _BUCKETS)} END"
+
+
+def per_key_topn_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+    id_cols: list[str],
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic N rows per key — the per-domain/per-source
+    rebalancing cut ("keep at most N docs from every domain").
+
+    Priority = portable md5 over (salt, id_cols): uniform,
+    reproducible in any engine, and independent of the key, so a row
+    keeps the same priority if keys are relabeled. Keep the n lowest
+    priorities per key (id tie-break for exactness).
+
+    Scale: one exchange on the key; ranking is a per-key window sort,
+    never global. A pathologically hot key sorts only its own rows;
+    for heavy-hitter keys far above n, pre-filter with a cheap
+    priority threshold (priority < n/|key| quantile) before the
+    window — same two-level treatment as q72's top-K.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    from pyspark.sql import Window as W
+
+    joined = F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in id_cols])
+    pr = md5_long(joined)
+    w = W.partitionBy(*key_cols).orderBy(F.col("__pr").asc(), *[F.col(c).asc() for c in id_cols])
+    return (
+        df.withColumn("__pr", pr)
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= n)
+        .drop("__pr")
+    )

@@ -298,3 +298,43 @@ def repetition_stats(
             | (dup_frac > DUP_NGRAM_REPETITIVE)
         ).alias("is_repetitive"),
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 500,
+    stride: int = 400,
+) -> DataFrame:
+    """Fixed-stride character windows over documents — the
+    context-window chunking step before tokenization/embedding
+    (stride < size gives overlapping chunks so no boundary context is
+    lost). Emits (id, chunk_idx, chunk, n_chunk_chars).
+
+    Pure JVM expressions: chunk starts come from `sequence()` +
+    posexplode (no UDF, no driver loop); `substring` clips the final
+    window at end-of-text. Chunk count per doc is
+    ceil(max(len-size,0)/stride)+1 — every character lands in at
+    least one chunk (the ceil covers the tail past the last full
+    stride). Scales as a projection + explode: no shuffle at
+    all; downstream ops see ~len/stride rows per doc.
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    n_extra = F.ceil(
+        F.greatest(F.length(F.col(text_col)) - size, F.lit(0)) / stride
+    ).cast("int")
+    starts = F.sequence(F.lit(0), n_extra)
+    exploded = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__txt"),
+        F.posexplode(starts).alias("chunk_idx", "__k"),
+    )
+    chunk = F.expr(f"substring(__txt, __k * {stride} + 1, {size})")
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        chunk.alias("chunk"),
+        F.length(chunk).alias("n_chunk_chars"),
+    )

@@ -260,6 +260,81 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# q81 — deterministic per-key top-N sample (per-source rebalancing cut)
+# --------------------------------------------------------------------------
+
+PER_KEY_N = 5
+SAMPLE_SALT = "v1"
+
+
+def q81_per_key_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_etl_pipeline_spark.operators.sampling import per_key_topn_sample
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return per_key_topn_sample(
+        docs.select("doc_id", "source", "lang", "n_chars"),
+        key_cols=["source"],
+        n=PER_KEY_N,
+        id_cols=["doc_id"],
+        salt=SAMPLE_SALT,
+    ).select("doc_id", "source", "lang", "n_chars", "sample_rank")
+
+
+from nyc_etl_pipeline_spark.functions import sql_md5_long as _sql_md5_long  # noqa: E402
+
+_Q81_SQL = f"""
+WITH pr AS (
+  SELECT doc_id, source, lang, n_chars,
+         {_sql_md5_long("concat_ws(chr(31), '" + SAMPLE_SALT + "', CAST(doc_id AS VARCHAR))")} AS p
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, lang, n_chars,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY p, doc_id) AS INTEGER)
+           AS sample_rank
+  FROM pr
+)
+SELECT doc_id, source, lang, n_chars, sample_rank
+FROM ranked WHERE sample_rank <= {PER_KEY_N}
+"""
+
+
+# --------------------------------------------------------------------------
+# q82 — fixed-stride context-window chunking (pre-tokenization step)
+# --------------------------------------------------------------------------
+
+CHUNK_SIZE = 500
+CHUNK_STRIDE = 400
+
+
+def q82_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = TX.chunk_windows(docs, size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+    # hash the chunk text so the gate compares content without hauling
+    # every overlapping chunk body through the harness
+    return out.select(
+        "doc_id", "chunk_idx", F.md5("chunk").alias("chunk_md5"), "n_chunk_chars"
+    )
+
+
+_Q82_SQL = f"""
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(greatest(length(text) - {CHUNK_SIZE}, 0)
+                                   / ({CHUNK_STRIDE} * 1.0)) AS BIGINT) + 1)) AS chunk_idx
+  FROM documents
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       md5(substr(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS BIGINT), {CHUNK_SIZE}))
+         AS chunk_md5,
+       CAST(length(substr(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS BIGINT), {CHUNK_SIZE}))
+         AS INTEGER) AS n_chunk_chars
+FROM idx
+"""
+
+
 SPECS = [
     QuerySpec("q71_url_parse", q71_url_parse, _Q71_SQL,
               "URL host/domain/path parse + canonical dedup key"),
@@ -269,4 +344,8 @@ SPECS = [
               "corpus token-frequency / Zipf coverage report"),
     QuerySpec("q74_quality_deciles", q74_quality_deciles, _Q74_SQL,
               "quality-score decile bucketing (exact ntile gate)"),
+    QuerySpec("q81_per_key_sample", q81_per_key_sample, _Q81_SQL,
+              "deterministic per-key top-N sample (portable md5 priority)"),
+    QuerySpec("q82_chunk_windows", q82_chunk_windows, _Q82_SQL,
+              "fixed-stride context-window chunking (sequence+posexplode, no UDF)"),
 ]

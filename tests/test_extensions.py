@@ -139,3 +139,32 @@ def test_exact_dedup_counts(spark, sf_dir):
     total = out.agg(F.sum("n_copies")).first()[0]
     assert total == d.count()
     assert out.count() == d.select("text").distinct().count()
+
+
+def test_chunk_windows_cover_every_char_with_overlap(spark):
+    """Chunking invariants: chunks tile the doc with the configured
+    overlap, every character appears in >= 1 chunk, reassembling
+    stride-aligned prefixes reconstructs the document."""
+    from pyspark.sql import functions as F
+
+    from nyc_etl_pipeline_spark.operators.text import chunk_windows
+
+    rows = [
+        (1, "a" * 100),            # single short chunk
+        (2, "b" * 500),            # exactly one window
+        (3, "".join(chr(97 + i % 26) for i in range(1234))),  # multi-chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_windows(df, size=500, stride=400).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [len(by_doc[k]) for k in (1, 2, 3)] == [1, 1, 3]
+    # doc 3: 1234 chars -> chunks at 0,400,800 (last clipped to 434)
+    lens = [r["n_chunk_chars"] for r in by_doc[3]]
+    assert lens == [500, 500, 434]
+    # stride-aligned reconstruction: first `stride` chars of each chunk
+    # + full last chunk == original text
+    text = rows[2][1]
+    rebuilt = "".join(r["chunk"][:400] for r in by_doc[3][:-1]) + by_doc[3][-1]["chunk"]
+    assert rebuilt == text

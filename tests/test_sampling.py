@@ -61,3 +61,22 @@ def test_split_weight_validation(spark, sf_dir):
         S.split(d, ["doc_id"], {"a": 0.5, "b": 0.6})
     with pytest.raises(ValueError):
         S.sample(d, ["doc_id"], 1.5)
+
+
+def test_per_key_topn_deterministic_and_bounded(spark, sf_dir):
+    from nyc_etl_pipeline_spark.io import read_testdata
+    from nyc_etl_pipeline_spark.operators.sampling import per_key_topn_sample
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "source")
+    a = per_key_topn_sample(docs, ["source"], 3, ["doc_id"])
+    b = per_key_topn_sample(docs, ["source"], 3, ["doc_id"])
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))  # deterministic
+    from pyspark.sql import functions as F
+
+    per_key = a.groupBy("source").count().collect()
+    assert all(r["count"] <= 3 for r in per_key)
+    # changing the salt changes the selection (it is a real sample,
+    # not a fixed head)
+    c = per_key_topn_sample(docs, ["source"], 3, ["doc_id"], salt="v2")
+    assert ra != sorted(map(tuple, c.collect()))
