@@ -239,6 +239,77 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# q83 — TPC-H Q21 shape: chained EXISTS / NOT EXISTS correlation.
+# "Suppliers who single-handedly held up multi-supplier orders": a
+# line is LATE when it ships >90 days after the order date; keep
+# (supplier, order) pairs where the order has another supplier's line
+# (EXISTS -> left_semi) but no OTHER supplier's line is late
+# (NOT EXISTS -> left_anti). The canonical decorrelation exercise: both
+# subqueries correlate on orderkey AND an inequality on suppkey, so
+# they cannot collapse into simple IN-lists — the engine must plan
+# them as semi/anti hash joins on orderkey with the suppkey
+# inequality as a join residual. Adapted from TPC-H Q21 (no
+# receiptdate/commitdate in the fixture schema).
+# --------------------------------------------------------------------------
+
+LATE_DAYS = 90
+
+
+def q83_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+    )
+    late = lo.filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate").cast("date"), LATE_DAYS)
+    )
+    # EXISTS other-supplier line in the same order
+    others = li.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    )
+    multi = late.join(
+        others,
+        (late.l_orderkey == others.__ok) & (late.l_suppkey != others.__sk),
+        "left_semi",
+    )
+    # NOT EXISTS other-supplier LATE line in the same order
+    other_late = late.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    )
+    only_late = multi.join(
+        other_late,
+        (multi.l_orderkey == other_late.__ok) & (multi.l_suppkey != other_late.__sk),
+        "left_anti",
+    )
+    return (
+        only_late.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_Q83_SQL = f"""
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+late AS (
+  SELECT * FROM lo
+  WHERE l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL {LATE_DAYS} DAY
+)
+SELECT l_suppkey AS suppkey, count(*) AS numwait
+FROM late l1
+WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("q61_tpch_q3", q61_tpch_q3, _Q61_SQL,
               "TPC-H Q3: selective filters + top-k over a 3-way join"),
@@ -248,4 +319,6 @@ SPECS = [
               "TPC-H Q10: top-20 customers by returned revenue"),
     QuerySpec("q64_tpch_q18", q64_tpch_q18, _Q64_SQL,
               "TPC-H Q18: aggregate-then-join large-volume orders"),
+    QuerySpec("q83_tpch_q21", q83_tpch_q21, _Q83_SQL,
+              "TPC-H Q21 shape: chained EXISTS/NOT EXISTS semi+anti joins"),
 ]
