@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from nyc_etl_pipeline_spark.io import read_testdata
 from nyc_etl_pipeline_spark.functions import round_half_up as R
+from nyc_etl_pipeline_spark.functions import sql_round_half_up
 from nyc_etl_pipeline_spark.suite import QuerySpec
 
 
@@ -256,6 +257,71 @@ FROM framed
 
 
 # --------------------------------------------------------------------------
+# q84 — trailing-window anomaly bands (monitoring over event streams).
+# z-score of each value against its user's previous ANOM_N
+# observations (frame excludes the current row — no self-influence).
+# Mean/variance are built from explicit sum / sum-of-squares over the
+# same ordered frame in BOTH engines, NOT the stddev builtin: framed
+# sums fold in identical order, so the doubles match bit-for-bit and
+# the anomaly boolean (computed from the ROUNDED z on both sides)
+# cannot flip on a ulp. Scales as one exchange on user_id + per-key
+# frame scan — the batch twin of a streaming anomaly detector.
+# --------------------------------------------------------------------------
+
+ANOM_N = 16
+ANOM_K = 3.0
+
+
+def q84_anomaly_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_testdata(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-ANOM_N, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("value").over(w)
+    s2 = F.sum(F.col("value") * F.col("value")).over(w)
+    mean = s1 / n
+    var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
+    z = (F.col("value") - mean) / F.sqrt(var)
+    z_r = F.when((n >= 2) & (var > 0), R(z, 6))
+    return e.select(
+        "event_id",
+        "user_id",
+        R(F.col("value"), 3).alias("value"),
+        z_r.alias("z"),
+        (z_r > ANOM_K).alias("is_anomaly"),
+    )
+
+
+_Q84_SQL = f"""
+WITH framed AS (
+  SELECT event_id, user_id, value,
+         count(*) OVER w AS n,
+         sum(value) OVER w AS s1,
+         sum(value * value) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ANOM_N} PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_id, user_id, value, n,
+         greatest(s2 / n - (s1 / n) * (s1 / n), 0.0) AS var,
+         CASE WHEN n >= 2 AND greatest(s2 / n - (s1 / n) * (s1 / n), 0.0) > 0
+              THEN {sql_round_half_up('(value - s1 / n) / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))', 6)}
+         END AS z
+  FROM framed
+)
+SELECT event_id, user_id,
+       {sql_round_half_up('value', 3)} AS value,
+       z,
+       z > {ANOM_K} AS is_anomaly
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
 # q77 — skew-safe salted aggregation (oracle = the plain group-by)
 # --------------------------------------------------------------------------
 
@@ -396,4 +462,6 @@ SPECS = [
               "SCD type-2 validity intervals from an event log (lag/lead)"),
     QuerySpec("q79_session_window", q79_session_window, _Q79_SQL,
               "native session_window aggregation (streaming-capable operator)"),
+    QuerySpec("q84_anomaly_bands", q84_anomaly_bands, _Q84_SQL,
+              "trailing-window z-score anomaly bands (bit-exact framed sums)"),
 ]
