@@ -8,9 +8,13 @@ table — the composition the individual operators exist for:
   4. quality + language     (JVM-side scoring; keep en docs >= cutoff)
   5. PII redaction          (email/phone/SSN -> typed placeholders)
   6. normalization          (canonical text for downstream hashing)
-  7. deterministic split    (train/val/test, portable hash — stable
+  7. per-source rebalance   (deterministic per-key top-N cap — no
+                             domain may dominate the corpus)
+  8. deterministic split    (train/val/test, portable hash — stable
                              under growth and retries)
-  8. partitioned write      (split-partitioned parquet lakehouse dir)
+  9. partitioned write      (split-partitioned parquet lakehouse dir)
+ 10. context chunking       (fixed-stride windows, the pre-tokenizer
+                             shape — `chunk_split` on any split)
 
 Every stage is a pure DataFrame transform from `operators/`; the whole
 pipeline is one lazy plan per output split — Catalyst fuses the scalar
@@ -50,6 +54,7 @@ def curate(
     benchmark: DataFrame,
     quality_cutoff: float = QUALITY_CUTOFF,
     langs: tuple[str, ...] = ("en",),
+    per_source_cap: int | None = None,
 ) -> dict[str, DataFrame]:
     """documents(doc_id, text, ...) -> {split: curated DataFrame}."""
     # 1. exact dedup: keep the canonical (min-id) copy of each digest
@@ -79,9 +84,28 @@ def curate(
         .withColumn("n_tokens", TX.whitespace_token_count(F.col("text_norm")))
     )
 
-    # 7. deterministic split (portable: auditable outside Spark)
+    # 7. per-source rebalance: cap any one source's share (deterministic
+    # md5 priority, so re-runs and retries keep the same docs)
+    if per_source_cap is not None:
+        curated = sampling.per_key_topn_sample(
+            curated, ["source"], per_source_cap, ["doc_id"]
+        ).drop("sample_rank")
+
+    # 8. deterministic split (portable: auditable outside Spark)
     return sampling.split(
         curated, ["doc_id"], {"train": 0.9, "val": 0.05, "test": 0.05}, portable=True
+    )
+
+
+def chunk_split(split_df: DataFrame, size: int = 2048, stride: int = 1792) -> DataFrame:
+    """Post-split context chunking over the normalized text: the
+    fixed-stride window table a tokenizer consumes (overlap =
+    size - stride keeps boundary context). Pure projection+explode —
+    chunking after the split guarantees no leakage: every chunk of a
+    doc lives in that doc's split."""
+    return TX.chunk_windows(
+        split_df.select("doc_id", F.col("text_norm").alias("text")),
+        size=size, stride=stride,
     )
 
 

@@ -72,3 +72,38 @@ def test_curation_pipeline_invariants(spark, sf_dir):
     again = mod.curate(candidates, benchmark)
     assert {r["doc_id"] for r in again["val"].select("doc_id").collect()} == ids["val"]
     union.unpersist()
+
+
+def test_curation_rebalance_and_chunking(spark, sf_dir):
+    """Stages 7/10: the per-source cap bounds every source's share, and
+    post-split chunking keeps every chunk inside its doc's split (no
+    leakage by construction) while covering the full normalized text."""
+    from pyspark.sql import functions as F
+
+    import examples.curation_pipeline as mod
+    from nyc_etl_pipeline_spark.io import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0)
+    candidates = docs.filter(F.col("doc_id") % 17 != 0)
+
+    cap = 3
+    splits = mod.curate(candidates, benchmark, per_source_cap=cap)
+    union = splits["train"].unionByName(splits["val"]).unionByName(splits["test"])
+    worst = union.groupBy("source").count().agg(F.max("count")).first()[0]
+    assert worst <= cap
+
+    chunks = mod.chunk_split(splits["train"], size=200, stride=150)
+    train_ids = {r["doc_id"] for r in splits["train"].select("doc_id").collect()}
+    chunk_rows = chunks.collect()
+    assert {r["doc_id"] for r in chunk_rows} == train_ids  # same docs, no leakage
+    # stride-aligned reconstruction covers the whole normalized text
+    texts = {
+        r["doc_id"]: r["text_norm"] for r in splits["train"].select("doc_id", "text_norm").collect()
+    }
+    by_doc = {}
+    for r in sorted(chunk_rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk"])
+    for did, parts in by_doc.items():
+        rebuilt = "".join(p[:150] for p in parts[:-1]) + parts[-1]
+        assert rebuilt == texts[did], did
