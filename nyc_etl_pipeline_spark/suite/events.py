@@ -171,6 +171,46 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# q85 — VARIANT semi-structured access (Spark 4 VariantType). q16 pulls
+# one field with get_json_object (string re-parse per extraction); the
+# VARIANT path parses each props value ONCE into a typed binary form,
+# then extractions are cheap typed reads — at scale the difference
+# between N parses and 1 per row. schema_of_variant proves the typed
+# decode; try_variant_get on a missing path must yield NULL (not an
+# error) — the tolerant-read contract messy real-world JSON needs.
+# --------------------------------------------------------------------------
+
+def q85_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_testdata(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    row = e.select(
+        "event_type",
+        F.schema_of_variant(v).alias("__sch"),
+        F.variant_get(v, "$.k", "int").alias("__k"),
+        F.try_variant_get(v, "$.missing", "int").alias("__miss"),
+    )
+    return row.groupBy("event_type").agg(
+        F.min("__sch").alias("props_schema"),
+        R(F.avg("__k"), 3).alias("avg_k"),
+        F.max("__k").cast("int").alias("max_k"),
+        F.count("__miss").alias("n_missing_hits"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_Q85_SQL = """
+SELECT event_type,
+       'OBJECT<k: BIGINT>' AS props_schema,
+       floor((avg(CAST(json_extract_string(props, '$.k') AS INTEGER))) * 1000.0 + 0.5) / 1000.0 AS avg_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+       CAST(0 AS BIGINT) AS n_missing_hits,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # q70 — dense-grid gap fill with forward fill (time-series regularization)
 # --------------------------------------------------------------------------
 
@@ -464,4 +504,6 @@ SPECS = [
               "native session_window aggregation (streaming-capable operator)"),
     QuerySpec("q84_anomaly_bands", q84_anomaly_bands, _Q84_SQL,
               "trailing-window z-score anomaly bands (bit-exact framed sums)"),
+    QuerySpec("q85_variant_props", q85_variant_props, _Q85_SQL,
+              "VariantType semi-structured access (parse once, typed extraction)"),
 ]
