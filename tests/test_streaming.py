@@ -76,3 +76,50 @@ def test_streaming_is_incremental(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination()
     assert q2.lastProgress is None or q2.lastProgress["numInputRows"] == 0
+
+
+def test_rocksdb_state_store_matches_batch(spark, sf_dir, tmp_path):
+    """The scale-grade state backend: RocksDB spills streaming state to
+    local disk instead of holding it on the JVM heap — at 100 TB/day
+    event rates the in-memory default OOMs long before the watermark
+    expires old windows. Same query, same results: tumbling counts
+    under the RocksDB provider must equal the batch ground truth."""
+    from nyc_etl_pipeline_spark.streaming.events import (
+        read_event_stream,
+        stream_tumbling_counts,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_tumbling_counts(read_event_stream(spark, sf_dir))
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_rocksdb")
+            .option("checkpointLocation", str(tmp_path / "ck_rocks"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 3))
+            for r in spark.table("t_rocksdb").collect()
+        }
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+    batch = q13_events_tumbling(spark, sf_dir)
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 3))
+        for r in batch.collect()
+    }
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch result exactly
+    assert got and all(want.get(k) == v for k, v in got.items())
