@@ -104,3 +104,45 @@ def geometric_mean_agg(df: DataFrame, group_col: str, value_col: str) -> DataFra
     return df.groupBy(group_col).agg(
         _gmean(F.col(value_col)).alias("geo_mean_raw")
     )
+
+
+def cogrouped_asof_merge(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_value_col: str,
+) -> DataFrame:
+    """Cogrouped applyInPandas: both sides shuffle on `key` once, and
+    each key's (left, right) pair arrives as two pandas frames —
+    pd.merge_asof does the backward-inclusive as-of match in-batch.
+
+    This is the API surface for per-key two-table Python logic that
+    built-ins can't express (custom interpolation, model scoring over
+    aligned series). For plain as-of semantics PREFER the JVM
+    formulation (operators/joins.asof_join_backward — the q28 path, no
+    Python in the loop); the parity test pins this cogrouped form to
+    that exact result so the two can never drift.
+    """
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(ts, kind="mergesort")
+        if rpdf.empty:
+            out = lpdf.copy()
+            out["asof_ts"] = pd.NaT
+            out["asof_value"] = np.nan
+            return out
+        rpdf = rpdf[[ts, right_value_col]].sort_values(ts, kind="mergesort")
+        rpdf = rpdf.rename(columns={ts: "asof_ts", right_value_col: "asof_value"})
+        merged = pd.merge_asof(
+            lpdf, rpdf, left_on=ts, right_on="asof_ts", direction="backward"
+        )
+        return merged
+
+    lcols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields)
+    out_schema = f"{lcols}, asof_ts timestamp, asof_value double"
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(merge, schema=out_schema)
+    )

@@ -642,3 +642,28 @@ def test_gapfill_rejects_unknown_unit(spark):
     )
     with pytest.raises(ValueError, match="unit"):
         timeseries.gapfill(df, "u", "ts", "v", unit="fortnight")
+
+
+def test_cogrouped_asof_matches_jvm_asof(spark, sf_dir):
+    """The cogrouped-pandas as-of merge must produce exactly the JVM
+    asof_join_backward result (q28's path) — pinning the Python API
+    surface to the engine's canonical semantics."""
+    from pyspark.sql import functions as F
+
+    from nyc_etl_pipeline_spark.io import read_testdata
+    from nyc_etl_pipeline_spark.operators.joins import asof_join_backward
+    from nyc_etl_pipeline_spark.operators.pandas_ops import cogrouped_asof_merge
+
+    e = read_testdata(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    jvm = asof_join_backward(
+        purchases, clicks, by="user_id", ts="ts", right_value_cols=["value"]
+    ).select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+    cg = cogrouped_asof_merge(purchases, clicks, key="user_id", ts="ts", right_value_col="value")
+    canon = lambda df: sorted(  # noqa: E731
+        tuple(str(x) for x in r) for r in df.select(jvm.columns).collect()
+    )
+    assert canon(cg) == canon(jvm)
