@@ -346,6 +346,93 @@ WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 """
 
 
+# --------------------------------------------------------------------------
+# q86 — explicit GROUPING SETS + grouping() flags. cube (q30) and
+# rollup (q10) are the fixed lattices; arbitrary GROUPING SETS is the
+# general form (only the aggregation levels a report actually needs —
+# at scale that's the difference between 2^n Expand rows per input row
+# and exactly the sets requested). Issued through the SQL surface;
+# grouping(col) flags disambiguate "NULL because aggregated" from
+# data NULLs, per set.
+# --------------------------------------------------------------------------
+
+def q86_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_testdata(spark, sf_dir, "orders").createOrReplaceTempView("__q86_orders")
+    # NB: in Spark SQL a bare `1000.0` literal is DECIMAL (the
+    # DataFrame API's lit(1000.0) is double) — the 1e3/5e-1 forms keep
+    # the arithmetic in doubles to match the oracle's type.
+    return spark.sql("""
+        SELECT o_orderpriority,
+               o_orderstatus,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               count(*) AS n_orders,
+               floor(sum(o_totalprice) * 1e3 + 5e-1) / 1e3 AS total_price
+        FROM __q86_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+    """)
+
+
+_Q86_SQL = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       count(*) AS n_orders,
+       floor(sum(o_totalprice) * 1000.0 + 0.5) / 1000.0 AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# q87 — blocked fuzzy matching (entity-resolution shape). All-pairs
+# edit distance is quadratic; blocking on a cheap equality key first
+# (nation here; phonetic/prefix keys in general) bounds each block's
+# pair count, then levenshtein verifies within the block — identical
+# distances in both engines.
+# --------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 2
+
+
+def q87_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+    )
+    dist = F.levenshtein("a_name", "b_name")
+    return (
+        a.join(b, on="nation")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .filter(dist <= FUZZY_MAX_DIST)
+        .select("nation", "a_key", "b_key", dist.alias("dist"))
+    )
+
+
+_Q87_SQL = f"""
+SELECT a.c_nationkey AS nation,
+       a.c_custkey AS a_key,
+       b.c_custkey AS b_key,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+"""
+
+
 SPECS = [
     QuerySpec("q28_asof_join", q28_asof_join, _Q28_SQL,
               "as-of join (backward inclusive) via tagged-union window"),
@@ -360,6 +447,10 @@ SPECS = [
               "HLL distinct + quantile sketches (error-bound contract, oracle-checked)"),
     QuerySpec("q80_sketch_rollup", q80_sketch_rollup, _Q80_SQL,
               "mergeable DataSketches HLL rollup (daily sketches -> merged estimate)"),
+    QuerySpec("q86_grouping_sets", q86_grouping_sets, _Q86_SQL,
+              "explicit GROUPING SETS with grouping() flags (SQL surface)"),
+    QuerySpec("q87_fuzzy_pairs", q87_fuzzy_pairs, _Q87_SQL,
+              "blocked fuzzy matching via levenshtein (entity resolution)"),
     QuerySpec("q69_window_gauntlet", q69_window_gauntlet, _Q69_SQL,
               "window gauntlet: lead/ntile/percent_rank/cume_dist/nth_value"),
 ]
