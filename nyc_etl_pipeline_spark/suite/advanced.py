@@ -389,32 +389,45 @@ GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
 
 # --------------------------------------------------------------------------
 # q87 — blocked fuzzy matching (entity-resolution shape). All-pairs
-# edit distance is quadratic; blocking on a cheap equality key first
-# (nation here; phonetic/prefix keys in general) bounds each block's
-# pair count, then levenshtein verifies within the block — identical
-# distances in both engines.
+# edit distance is quadratic; COMPOUND blocking (nation + name prefix)
+# bounds each block's pair count, then levenshtein verifies within
+# the block — identical distances in both engines. Blocking trades
+# recall for tractability (a pair differing inside the prefix is
+# never compared — here: candidates must share the first 15 chars, so
+# matches differ only in the name's tail); production systems run
+# SEVERAL blocking passes with different keys (prefix, suffix,
+# phonetic) and union the candidates to recover recall. One pass is
+# gated; the pass structure is the operator. Nation-only blocking
+# measured 15.3 s at sf0.1 (4.5M distance evals); the compound key is
+# ~20x tighter.
 # --------------------------------------------------------------------------
 
 FUZZY_MAX_DIST = 2
+FUZZY_PREFIX = 15
 
 
 def q87_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_testdata(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey"
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring("c_name", 1, FUZZY_PREFIX).alias("__blk"),
     )
     a = c.select(
         F.col("c_nationkey").alias("nation"),
+        F.col("__blk"),
         F.col("c_custkey").alias("a_key"),
         F.col("c_name").alias("a_name"),
     )
     b = c.select(
         F.col("c_nationkey").alias("nation"),
+        F.col("__blk"),
         F.col("c_custkey").alias("b_key"),
         F.col("c_name").alias("b_name"),
     )
     dist = F.levenshtein("a_name", "b_name")
     return (
-        a.join(b, on="nation")
+        a.join(b, on=["nation", "__blk"])
         .filter(F.col("a_key") < F.col("b_key"))
         .filter(dist <= FUZZY_MAX_DIST)
         .select("nation", "a_key", "b_key", dist.alias("dist"))
@@ -428,7 +441,9 @@ SELECT a.c_nationkey AS nation,
        CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
 FROM customer a
 JOIN customer b
-  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  ON a.c_nationkey = b.c_nationkey
+ AND substr(a.c_name, 1, {FUZZY_PREFIX}) = substr(b.c_name, 1, {FUZZY_PREFIX})
+ AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
 """
 
