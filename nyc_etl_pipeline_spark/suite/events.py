@@ -211,6 +211,46 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# q89 — XML parse (Spark 4 native from_xml). No XML in the fixtures,
+# so the query builds an XML payload from the known props field with
+# to_xml, parses it back with from_xml, and aggregates the extracted
+# values; the oracle computes the same aggregates from the source
+# field directly — any defect in the XML encode/decode breaks the
+# match. This is how the engine would land XML feeds (the classic
+# enterprise source format) without a UDF.
+# --------------------------------------------------------------------------
+
+def q89_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_testdata(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    with_xml = e.select(
+        "event_type",
+        F.to_xml(F.struct(k.alias("k"), F.col("event_id").alias("id"))).alias("__xml"),
+    )
+    parsed = with_xml.select(
+        "event_type",
+        F.from_xml("__xml", "k INT, id BIGINT").alias("__p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        R(F.avg(F.col("__p.k")), 3).alias("avg_k"),
+        F.max(F.col("__p.k")).cast("int").alias("max_k"),
+        F.count(F.when(F.col("__p.id").isNull(), 1)).alias("n_bad_ids"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_Q89_SQL = """
+SELECT event_type,
+       floor((avg(CAST(json_extract_string(props, '$.k') AS INTEGER))) * 1000.0 + 0.5) / 1000.0 AS avg_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+       CAST(0 AS BIGINT) AS n_bad_ids,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # q70 — dense-grid gap fill with forward fill (time-series regularization)
 # --------------------------------------------------------------------------
 
@@ -506,4 +546,6 @@ SPECS = [
               "trailing-window z-score anomaly bands (bit-exact framed sums)"),
     QuerySpec("q85_variant_props", q85_variant_props, _Q85_SQL,
               "VariantType semi-structured access (parse once, typed extraction)"),
+    QuerySpec("q89_xml_roundtrip", q89_xml_roundtrip, _Q89_SQL,
+              "native XML encode/decode round-trip (to_xml -> from_xml)"),
 ]

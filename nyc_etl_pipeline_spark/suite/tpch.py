@@ -310,6 +310,54 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q88 — TPC-H Q22 shape: global scalar-subquery threshold + NOT EXISTS.
+# "Well-funded customers with no URGENT order": acctbal above the
+# global positive-balance average (a scalar aggregate broadcast to
+# every row — no shuffle for the comparison) and NOT EXISTS a
+# 1-URGENT order (left_anti against a filtered orders scan — the
+# filter pushes into the anti join's build side). Adapted from TPC-H
+# Q22 (fixture has no phone column and every customer has orders, so
+# nation replaces the phone-prefix grouping and the urgency filter
+# keeps the anti join non-vacuous).
+# --------------------------------------------------------------------------
+
+def q88_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    never_urgent = rich.join(
+        o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            F.col("o_custkey").alias("c_custkey")
+        ),
+        on="c_custkey",
+        how="left_anti",
+    )
+    return never_urgent.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        R(F.sum("c_acctbal"), 3).alias("total_bal"),
+    )
+
+
+_Q88_SQL = """
+SELECT c_nationkey AS nationkey,
+       count(*) AS n_custs,
+       floor((CAST(sum(c_acctbal) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("q61_tpch_q3", q61_tpch_q3, _Q61_SQL,
               "TPC-H Q3: selective filters + top-k over a 3-way join"),
@@ -321,4 +369,6 @@ SPECS = [
               "TPC-H Q18: aggregate-then-join large-volume orders"),
     QuerySpec("q83_tpch_q21", q83_tpch_q21, _Q83_SQL,
               "TPC-H Q21 shape: chained EXISTS/NOT EXISTS semi+anti joins"),
+    QuerySpec("q88_tpch_q22", q88_tpch_q22, _Q88_SQL,
+              "TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti join"),
 ]
