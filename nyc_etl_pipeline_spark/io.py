@@ -93,36 +93,41 @@ def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Passing an explicit schema (a) skips footer-merge schema inference
     across thousands of files at scale and (b) fails fast on drift.
     Column pruning/pushdown still reach the parquet scan.
+
+    Timestamp columns are footer-sniffed per regeneration:
+    TIMESTAMP(NANOS) is the one unit Spark cannot read natively — with
+    spark.sql.legacy.parquet.nanosAsLong it arrives as a ns-since-epoch
+    long, truncated to micros with integer `div` (not `/`, which would
+    round through double and lose precision above 2^53 ns) — matching
+    how DuckDB reads the same column. MICROS/MILLIS take the plain
+    typed read. The events fixture has already drifted NANOS→MICROS
+    between rounds; this handles ANY of the tables' timestamp columns
+    drifting either way.
     """
     ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events" and parquet_timestamp_unit(path, "ts") == "nanos":
-        # TIMESTAMP(NANOS) is the one unit Spark cannot read natively;
-        # with spark.sql.legacy.parquet.nanosAsLong it arrives as a
-        # ns-since-epoch long. Integer `div` (not `/`, which would
-        # round through double and lose precision above 2^53 ns)
-        # truncates to microseconds — matching how DuckDB reads the
-        # same column. MICROS/MILLIS fixtures take the plain typed
-        # read below; the footer sniff decides (the unit has drifted
-        # across fixture regenerations).
-        phys = T.StructType(
-            [
-                T.StructField("event_id", T.LongType()),
-                T.StructField("ts", T.LongType()),
-                T.StructField("user_id", T.LongType()),
-                T.StructField("event_type", T.StringType()),
-                T.StructField("value", T.DoubleType()),
-                T.StructField("props", T.StringType()),
-            ]
-        )
-        from pyspark.sql import functions as F
-
-        return (
-            spark.read.schema(phys)
-            .parquet(path)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
     schema = schemas.TESTDATA.get(name)
+    if schema is not None:
+        ts_cols = [f.name for f in schema.fields if isinstance(f.dataType, T.TimestampType)]
+        nanos_cols = {
+            c for c in ts_cols if parquet_timestamp_unit(path, c) == "nanos"
+        }
+        if nanos_cols:
+            from pyspark.sql import functions as F
+
+            phys = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        T.LongType() if f.name in nanos_cols else f.dataType,
+                    )
+                    for f in schema.fields
+                ]
+            )
+            df = spark.read.schema(phys).parquet(path)
+            for c in nanos_cols:
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            return df.select(*[f.name for f in schema.fields])
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

@@ -137,3 +137,27 @@ def test_warehouse_on_file_uri_root(spark, sf_dir, tmp_path):
     n_files = wh.compact("nation", target_file_mb=128)
     assert n_files == 1
     assert wh.read("nation").count() == nation.count()
+
+
+def test_read_testdata_handles_nanos_regeneration(spark, sf_dir, tmp_path):
+    """If the driver regenerates ANY table's timestamp column as
+    TIMESTAMP(NANOS) — as happened to events.ts in round 3 — the
+    reader must still produce correct TimestampType values. Round-trip:
+    rewrite orders with ns timestamps via pyarrow, read through
+    read_testdata, compare against the original."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    orig = read_testdata(spark, sf_dir, "orders")
+    tbl = pq.read_table(f"{sf_dir}/orders.parquet")
+    i = tbl.schema.get_field_index("o_orderdate")
+    ns_col = tbl.column(i).cast(pa.timestamp("ns"))
+    tbl_ns = tbl.set_column(i, pa.field("o_orderdate", pa.timestamp("ns")), ns_col)
+    pq.write_table(tbl_ns, str(tmp_path / "orders.parquet"), store_schema=False)
+
+    back = read_testdata(spark, str(tmp_path), "orders")
+    assert dict(back.dtypes)["o_orderdate"] == "timestamp"
+    canon = lambda df: sorted(  # noqa: E731
+        tuple(str(x) for x in r) for r in df.select(sorted(df.columns)).collect()
+    )
+    assert canon(back) == canon(orig)
