@@ -9,7 +9,7 @@ per-column loop of scans is the difference between minutes and hours.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -130,3 +130,31 @@ def exact_percentiles_sorted(
         name = f"p_{str(p).replace('0.', '').replace('.', '_')}"
         aggs.append((lo + frac * (hi - lo)).alias(name))
     return picked.groupBy(group_col).agg(*aggs)
+
+
+def observed_write(
+    df: DataFrame,
+    write_fn,
+    metrics: dict[str, Column],
+    name: str = "write_metrics",
+) -> dict:
+    """Collect data-quality metrics DURING a write, via Spark's
+    Observation API — zero extra scan.
+
+    At 100 TB the naive pattern (write, then re-read or re-compute
+    counts for the audit log) doubles the job's I/O; observe() attaches
+    accumulator-backed aggregates to the plan itself, so the metrics
+    fall out of the same pass that wrote the data. Returns the metric
+    dict after the write action completes.
+
+    `metrics` values are aggregate Columns (count/sum/min/max/avg and
+    friends — observe() rejects non-aggregates and distinct forms).
+    `write_fn` is any action on the observed frame, e.g.
+    ``lambda d: warehouse.overwrite(d, "tbl")``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+    write_fn(observed)
+    return obs.get

@@ -90,3 +90,30 @@ def test_hll_merge_equals_direct_sketch(spark, sf_dir):
     d = {r["event_type"]: r["est"] for r in direct.collect()}
     m = {r["event_type"]: r["est"] for r in merged.collect()}
     assert d == m
+
+
+def test_observed_write_collects_metrics_in_one_pass(spark, sf_dir, tmp_path):
+    """Observation API audit: metrics come from the SAME job that
+    wrote the table — values must equal an independent recomputation,
+    and the written table must be intact."""
+    from pyspark.sql import functions as F
+
+    from nyc_etl_pipeline_spark.io import Warehouse, read_testdata
+    from nyc_etl_pipeline_spark.operators.quality import observed_write
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    orders = read_testdata(spark, sf_dir, "orders")
+    got = observed_write(
+        orders,
+        lambda d: wh.overwrite(d, "orders_audit"),
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_dates": F.count(F.when(F.col("o_orderdate").isNull(), 1)),
+            "total_price": F.round(F.sum("o_totalprice"), 3),
+        },
+    )
+    back = wh.read("orders_audit")
+    assert got["n_rows"] == back.count() == orders.count()
+    assert got["n_null_dates"] == 0
+    want = round(orders.agg(F.sum("o_totalprice")).first()[0], 3)
+    assert abs(got["total_price"] - want) < 1e-6
