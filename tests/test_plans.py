@@ -248,3 +248,42 @@ def test_q72_domain_rank_is_topk_not_global_sort(spark, sf_dir):
     topk = re.search(r"TakeOrderedAndProject \((\d+)\)", tree)
     assert win and topk, plan
     assert int(topk.group(1)) == int(win.group(1)) - 1, plan
+
+
+def test_q78_scd2_single_exchange(spark, sf_dir):
+    """SCD2 interval build: both windows share the user_id
+    partitioning, so the whole query is ONE exchange on the key."""
+    from nyc_etl_pipeline_spark.suite.events import q78_scd2_intervals
+
+    plan = P.explain_str(q78_scd2_intervals(spark, sf_dir), "simple")
+    assert P.count_exchanges(plan) == 1, plan
+
+
+def test_q83_exists_chain_plans_semi_and_anti(spark, sf_dir):
+    """Chained EXISTS/NOT EXISTS must decorrelate to one LeftSemi and
+    one LeftAnti join — never a cartesian or a per-row subquery."""
+    from nyc_etl_pipeline_spark.suite.tpch import q83_tpch_q21
+
+    plan = P.explain_str(q83_tpch_q21(spark, sf_dir), "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q84_anomaly_single_window_exchange(spark, sf_dir):
+    """Trailing-window scoring: all framed aggregates share one
+    (user_id) window partitioning — one exchange, one Window node."""
+    from nyc_etl_pipeline_spark.suite.events import q84_anomaly_bands
+
+    plan = P.explain_str(q84_anomaly_bands(spark, sf_dir), "simple")
+    assert P.count_exchanges(plan) == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_q88_broadcasts_threshold_and_anti_joins(spark, sf_dir):
+    """Q22 shape: the scalar average broadcasts (no shuffle to compare
+    every row against it) and NOT EXISTS is a left-anti join."""
+    from nyc_etl_pipeline_spark.suite.tpch import q88_tpch_q22
+
+    plan = P.explain_str(q88_tpch_q22(spark, sf_dir), "simple")
+    assert P.has_broadcast_join(plan), plan
+    assert "LeftAnti" in plan, plan
