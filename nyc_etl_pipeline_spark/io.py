@@ -12,6 +12,7 @@ driver option change.
 
 from __future__ import annotations
 
+import functools as _functools
 import glob as _glob
 import logging
 import os
@@ -58,21 +59,15 @@ def _first_parquet_file(path: str) -> str:
     raise FileNotFoundError(f"no parquet file at {path}")
 
 
-def parquet_timestamp_unit(path: str, column: str) -> str | None:
-    """Return the parquet logical-type time unit ('nanos' | 'micros' |
-    'millis') of `column` at `path`, or None if the column is not a
-    timestamp. Reads one file footer via pyarrow — no Spark job.
-
-    `path` may be a single parquet file or a directory of them (one
-    footer is representative: the driver writes homogeneous files).
-    Exists because fixture regeneration silently flipped events.ts
-    from TIMESTAMP(NANOS) to TIMESTAMP(MICROS) between rounds —
-    hard-coding either unit corrupts every timestamp when the file
-    drifts. Sniffing the footer makes the reader self-describing.
-    """
+@_functools.lru_cache(maxsize=1024)
+def _ts_unit_cached(resolved_file: str, column: str, mtime_ns: int) -> str | None:
+    """Footer sniff, cached per (file, column, mtime): the suite
+    constructs hundreds of reads per session over static fixture
+    files, so each footer is opened once; the mtime key invalidates
+    naturally if a fixture is rewritten mid-session."""
     import pyarrow.parquet as pq
 
-    sch = pq.ParquetFile(_first_parquet_file(path)).schema
+    sch = pq.ParquetFile(resolved_file).schema
     try:
         col = sch.column(sch.names.index(column))
     except ValueError:
@@ -85,6 +80,22 @@ def parquet_timestamp_unit(path: str, column: str) -> str | None:
     if "milli" in lt:
         return "millis"
     return "micros"
+
+
+def parquet_timestamp_unit(path: str, column: str) -> str | None:
+    """Return the parquet logical-type time unit ('nanos' | 'micros' |
+    'millis') of `column` at `path`, or None if the column is not a
+    timestamp. Reads one file footer via pyarrow — no Spark job.
+
+    `path` may be a single parquet file or a directory of them (one
+    footer is representative: the driver writes homogeneous files).
+    Exists because fixture regeneration silently flipped events.ts
+    from TIMESTAMP(NANOS) to TIMESTAMP(MICROS) between rounds —
+    hard-coding either unit corrupts every timestamp when the file
+    drifts. Sniffing the footer makes the reader self-describing.
+    """
+    f = _first_parquet_file(path)
+    return _ts_unit_cached(f, column, os.stat(f).st_mtime_ns)
 
 
 def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
