@@ -402,6 +402,56 @@ FROM scored
 
 
 # --------------------------------------------------------------------------
+# q90 — gaps and islands: per-user activity streaks over calendar
+# days. The canonical SQL-pattern formulation: day_number minus
+# row_number is constant within a consecutive run, so the difference
+# IS the island id — one window + one group-by, no iteration, scales
+# as a single exchange on the user key. (Sessionization q15 is the
+# event-time analogue; this is the calendar-grid form used for
+# retention/streak features.)
+# --------------------------------------------------------------------------
+
+def q90_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_testdata(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).dropDuplicates(["user_id", "day"])
+    w = W.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "__grp", F.datediff("day", F.lit("2024-01-01")) - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("user_id", "__grp")
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .drop("__grp")
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+    )
+
+
+_Q90_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         datediff('day', DATE '2024-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+)
+SELECT user_id,
+       strftime(min(day), '%Y-%m-%d') AS streak_start,
+       strftime(max(day), '%Y-%m-%d') AS streak_end,
+       count(*) AS streak_days
+FROM islands
+GROUP BY user_id, grp
+"""
+
+
+# --------------------------------------------------------------------------
 # q77 — skew-safe salted aggregation (oracle = the plain group-by)
 # --------------------------------------------------------------------------
 
@@ -548,4 +598,6 @@ SPECS = [
               "VariantType semi-structured access (parse once, typed extraction)"),
     QuerySpec("q89_xml_roundtrip", q89_xml_roundtrip, _Q89_SQL,
               "native XML encode/decode round-trip (to_xml -> from_xml)"),
+    QuerySpec("q90_activity_streaks", q90_activity_streaks, _Q90_SQL,
+              "gaps-and-islands calendar streaks (day - row_number island id)"),
 ]
