@@ -452,6 +452,48 @@ GROUP BY user_id, grp
 
 
 # --------------------------------------------------------------------------
+# q91 — CDC latest-wins compaction: collapse a change log to the
+# current snapshot (one row per key, the newest record). The batch
+# form of reading a CDC/upsert stream: row_number() DESC = 1 per key
+# — one exchange, per-key sort, no join. The deterministic event_id
+# tie-break matters: at-least-once logs carry same-timestamp
+# duplicates, and an undefined tie pick would flap between runs.
+# (SCD2 q78 keeps the full history; this keeps only the head.)
+# --------------------------------------------------------------------------
+
+def q91_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_testdata(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            R(F.col("value"), 3).alias("last_value"),
+        )
+    )
+
+
+_Q91_SQL = """
+SELECT user_id,
+       event_id AS last_event_id,
+       ts AS last_ts,
+       event_type AS last_type,
+       floor(value * 1000.0 + 0.5) / 1000.0 AS last_value
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # q77 — skew-safe salted aggregation (oracle = the plain group-by)
 # --------------------------------------------------------------------------
 
@@ -600,4 +642,6 @@ SPECS = [
               "native XML encode/decode round-trip (to_xml -> from_xml)"),
     QuerySpec("q90_activity_streaks", q90_activity_streaks, _Q90_SQL,
               "gaps-and-islands calendar streaks (day - row_number island id)"),
+    QuerySpec("q91_latest_wins", q91_latest_wins, _Q91_SQL,
+              "CDC latest-wins compaction (current snapshot from a change log)"),
 ]
