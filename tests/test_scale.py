@@ -58,3 +58,47 @@ def test_salted_join_equals_plain(spark, sf_dir):
     g = got.groupBy("c_mktsegment").count().collect()
     w = want.groupBy("c_mktsegment").count().collect()
     assert sorted(map(tuple, g)) == sorted(map(tuple, w))
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The OTHER half of the skew story (salting is the manual fix):
+    AQE's runtime skew-join must detect the hot partition from the
+    actual shuffle statistics and split it — the final adaptive plan
+    carries the skew=true marker. Thresholds are production-sized;
+    scaled down here so a local hot key qualifies. Result must equal
+    the plain computation regardless of the split."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 90% of left rows share one key -> one hot shuffle partition
+        left = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").select(F.sum(F.col("v") + F.col("w")).alias("s"))
+        got = j.collect()[0]["s"]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+    want = (
+        left.join(right, "k").select(F.sum(F.col("v") + F.col("w")).alias("s")).collect()[0]["s"]
+    )
+    assert got == want
