@@ -494,6 +494,48 @@ WHERE rn = 1
 
 
 # --------------------------------------------------------------------------
+# q92 — ratio-to-report: each (user, event_type)'s share of the
+# user's total and of the global total, from ONE pre-aggregated pass.
+# The unpartitioned share comes from a grand-total broadcast (scalar
+# agg cross join), never a global window — the same single-partition
+# trap q72 avoided. Plan: one group-by exchange + one per-user window
+# over user-cardinality rows + a broadcast.
+# --------------------------------------------------------------------------
+
+def q92_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_testdata(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(F.sum("value").alias("__v"))
+    w = W.partitionBy("user_id")
+    total = e.agg(F.sum("value").alias("__total"))
+    return (
+        per.withColumn("__user_total", F.sum("__v").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "event_type",
+            R(F.col("__v"), 3).alias("type_value"),
+            R(F.col("__v") / F.col("__user_total"), 6).alias("share_of_user"),
+            R(F.col("__v") / F.col("__total"), 9).alias("share_of_total"),
+        )
+    )
+
+
+_Q92_SQL = """
+WITH per AS (
+  SELECT user_id, event_type, sum(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type,
+       floor(v * 1000.0 + 0.5) / 1000.0 AS type_value,
+       floor((v / sum(v) OVER (PARTITION BY user_id)) * 1000000.0 + 0.5) / 1000000.0
+         AS share_of_user,
+       floor((v / (SELECT sum(value) FROM events)) * 1000000000.0 + 0.5) / 1000000000.0
+         AS share_of_total
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
 # q77 — skew-safe salted aggregation (oracle = the plain group-by)
 # --------------------------------------------------------------------------
 
@@ -644,4 +686,6 @@ SPECS = [
               "gaps-and-islands calendar streaks (day - row_number island id)"),
     QuerySpec("q91_latest_wins", q91_latest_wins, _Q91_SQL,
               "CDC latest-wins compaction (current snapshot from a change log)"),
+    QuerySpec("q92_ratio_to_report", q92_ratio_to_report, _Q92_SQL,
+              "ratio-to-report shares (per-user window + broadcast grand total)"),
 ]
