@@ -45,18 +45,25 @@ def ensure_session_confs(spark: SparkSession) -> None:
             log.warning("could not apply session conf %s=%s: %s", k, v, exc)
 
 
-def _first_parquet_file(path: str) -> str:
+def _first_parquet_file(path: str) -> str | None:
     """Resolve a file / directory / glob path to one concrete parquet
-    data file (for footer sniffing)."""
+    data file (for footer sniffing). Recurses into partitioned /
+    nested layouts (Hive dirs like ``month=2024-01/part-*.parquet``);
+    returns None when nothing is found — the caller falls back to a
+    plain typed read and lets Spark's reader produce its (clearer)
+    error for genuinely missing tables."""
     roots = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
     for root in roots:
         if os.path.isfile(root):
             return root
         if os.path.isdir(root):
             files = sorted(_glob.glob(os.path.join(root, "*.parquet")))
+            if not files:  # partitioned/nested layout Spark can still read
+                files = sorted(_glob.glob(os.path.join(root, "**", "*.parquet"),
+                                          recursive=True))
             if files:
                 return files[0]
-    raise FileNotFoundError(f"no parquet file at {path}")
+    return None
 
 
 @_functools.lru_cache(maxsize=1024)
@@ -95,6 +102,8 @@ def parquet_timestamp_unit(path: str, column: str) -> str | None:
     drifts. Sniffing the footer makes the reader self-describing.
     """
     f = _first_parquet_file(path)
+    if f is None:
+        return None
     return _ts_unit_cached(f, column, os.stat(f).st_mtime_ns)
 
 

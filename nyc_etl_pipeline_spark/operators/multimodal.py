@@ -101,7 +101,7 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
                 height = int.from_bytes(payload[i + 5 : i + 7], "big")
                 width = int.from_bytes(payload[i + 7 : i + 9], "big")
                 channels = payload[i + 9]
-                if width and height:
+                if width and height and channels:  # SOF with 0 components is malformed
                     return width, height, channels
                 return None
             i += 2 + seg_len

@@ -50,7 +50,10 @@ def scd2_from_log(
         .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
         .drop("__prev")
     )
-    w2 = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    # Same tie-broken order as the change-detection window: two retained
+    # changes sharing a timestamp within a key would otherwise get a
+    # nondeterministic lead() assignment.
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
     return changes.select(
         *key_cols,
         F.col(attr_col),

@@ -4,10 +4,13 @@ Spark's foreachBatch gives at-least-once semantics: after a failure,
 the SAME (batch_id, data) pair can be delivered again. File sinks get
 exactly-once from the checkpoint + commit-log protocol; an external
 RDBMS does not — the sink itself must deduplicate redeliveries. The
-standard pattern, implemented here, is a transaction-log table keyed
-by (sink name, batch_id): a batch commits its marker row in the same
-logical step as its data, and a redelivered batch_id is skipped
-outright.
+pattern implemented here is a transaction-log table keyed by
+(sink name, batch_id, attempt): every delivery attempt tags its data
+rows with a fresh attempt id, and the commit marker — written LAST —
+records which attempt won. Readers join data to markers on
+(batch_id, attempt), so orphan rows from a crash between data write
+and marker are excluded by construction, with no reliance on row
+distinctness (legitimately identical rows within a batch survive).
 
 The reference appends to MySQL/SQL Server with no such guard
 (gold.py:46-54 — its documented duplicate-on-rerun quirk Q6); this is
@@ -16,10 +19,33 @@ the streaming-grade fix for the same class of bug.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 COMMIT_LOG_SUFFIX = "__commits"
+
+# markers that identify a "table does not exist" error across the
+# dialects jdbc_dialects supports (SQLSTATE 42X05 Derby, 42S02 MySQL,
+# 42P01 Postgres, plus vendor message texts). Deliberately NOT a bare
+# "not found": Derby's "database not found" (XJ004) is a connection
+# error that must propagate, not read as an empty commit log.
+_MISSING_TABLE_MARKERS = (
+    "42x05", "42s02", "42p01", "ora-00942", "invalid object name",
+    "table_or_view_not_found", "table or view not found",
+)
+
+
+def _is_missing_table(exc: Exception) -> bool:
+    msg = str(exc).lower()
+    if any(m in msg for m in _MISSING_TABLE_MARKERS):
+        return True
+    # "<table/view/relation> ... does not exist" — but not a missing
+    # database/schema, which is an environment error
+    return "does not exist" in msg and any(
+        w in msg for w in ("table", "view", "relation")
+    )
 
 
 def _committed_batches(spark, url: str, log_table: str, sink: str, props: dict) -> set[int]:
@@ -27,8 +53,13 @@ def _committed_batches(spark, url: str, log_table: str, sink: str, props: dict) 
 
     try:
         log = jdbc_read(spark, url, log_table, props)
-    except Exception:  # noqa: BLE001 — first batch: log table doesn't exist yet
-        return set()
+    except Exception as exc:  # noqa: BLE001 — inspected, re-raised unless missing-table
+        # Only "table doesn't exist yet" (the first batch) may be
+        # swallowed; a transient JDBC error must NOT be treated as an
+        # empty commit log or an already-committed batch re-appends.
+        if _is_missing_table(exc):
+            return set()
+        raise
     # filter driver-side: the log is one row per batch (tiny), and a
     # pushed-down string comparison would hit dialect collation traps
     # (e.g. Derby CLOB vs CHAR)
@@ -46,17 +77,19 @@ def jdbc_batch_writer(
     """foreachBatch callback writing each micro-batch to a JDBC table
     EXACTLY ONCE under redelivery.
 
-    Protocol per (sink, batch_id):
-      1. if the commit log already holds the id -> skip (redelivery);
-      2. append the batch rows tagged with batch_id;
-      3. append the commit marker LAST.
-    A crash between 2 and 3 leaves orphan rows tagged with an
-    uncommitted batch_id; the redelivered batch then re-appends — so
-    consumers read through `dedup_uncommitted` (or filter to committed
-    batch_ids) for the exactly-once view. The marker, not the data
-    write, is the commit point. Scale: the log table holds one row per
-    batch — trivially small; the only non-append operation is the
-    committed-set read, one tiny query per batch.
+    Protocol per delivery:
+      1. if the commit log already holds this batch_id -> skip
+         (clean redelivery);
+      2. append the batch rows tagged with (batch_id, fresh attempt id);
+      3. append the commit marker (sink, batch_id, attempt) LAST.
+    A crash between 2 and 3 leaves orphan rows under an attempt id that
+    never reaches the log; the redelivered batch writes under a NEW
+    attempt id and commits it. `committed_view` joins data to markers
+    on (batch_id, attempt), so exactly one attempt's rows are visible —
+    even when a batch legitimately contains identical rows. The marker,
+    not the data write, is the commit point. Scale: the log table holds
+    one row per batch — trivially small; the only non-append operation
+    is the committed-set read, one tiny query per batch.
 
     Usage:
         q = (agg.writeStream.foreachBatch(jdbc_batch_writer(url, "t", props))
@@ -71,39 +104,52 @@ def jdbc_batch_writer(
         spark = df.sparkSession
         if batch_id in _committed_batches(spark, url, log_table, sink, properties):
             return
+        attempt = uuid.uuid4().hex
+        # bounded VARCHAR instead of the dialect's unbounded-text
+        # default (Derby: CLOB) so the ids stay comparable/indexable
+        data_props = dict(properties)
+        data_props.setdefault("createTableColumnTypes", "__attempt VARCHAR(32)")
         jdbc_write(
-            df.withColumn("batch_id", F.lit(batch_id).cast("bigint")),
+            df.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .withColumn("__attempt", F.lit(attempt)),
             url,
             table,
-            properties,
+            data_props,
             mode="append",
         )
-        marker = spark.createDataFrame([(sink, batch_id)], "sink string, batch_id bigint")
-        # bounded VARCHAR instead of the dialect's unbounded-text
-        # default (Derby: CLOB) so the sink name stays comparable/
-        # indexable in any dialect
+        marker = spark.createDataFrame(
+            [(sink, batch_id, attempt)],
+            "sink string, batch_id bigint, attempt string",
+        )
         log_props = dict(properties)
-        log_props.setdefault("createTableColumnTypes", "sink VARCHAR(128)")
+        log_props.setdefault(
+            "createTableColumnTypes", "sink VARCHAR(128), attempt VARCHAR(32)"
+        )
         jdbc_write(marker, url, log_table, log_props, mode="append")
 
     return write_batch
 
 
 def committed_view(spark, url: str, table: str, properties: dict[str, str], sink_name: str | None = None) -> DataFrame:
-    """Exactly-once read view: rows of `table` whose batch_id has a
-    commit marker (orphans from a crash between data and marker are
-    excluded; their redelivered copies are included once)."""
+    """Exactly-once read view: rows of `table` whose (batch_id,
+    attempt) has a commit marker. Orphan attempts from a crash between
+    data and marker carry an uncommitted attempt id and are excluded;
+    the committed attempt's rows pass through verbatim — including
+    legitimately identical rows within a batch."""
     from nyc_etl_pipeline_spark.io import jdbc_read
 
     sink = sink_name or table
     log_table = f"{table}{COMMIT_LOG_SUFFIX}"
     data = jdbc_read(spark, url, table, properties)
     log = jdbc_read(spark, url, log_table, properties).filter(F.col("sink") == sink)
-    committed = log.select(F.col("batch_id").alias("__cb")).distinct()
-    joined = data.join(
-        F.broadcast(committed), data.batch_id == F.col("__cb"), "left_semi"
+    committed = log.select(
+        F.col("batch_id").alias("__cb"), F.col("attempt").alias("__ca")
+    ).distinct()
+    return (
+        data.join(
+            F.broadcast(committed),
+            (data.batch_id == F.col("__cb")) & (data["__attempt"] == F.col("__ca")),
+            "left_semi",
+        )
+        .drop("__attempt")
     )
-    # a marker commits exactly one delivery; if orphan rows from a
-    # pre-marker crash coexist with the redelivered copy, they are
-    # identical by construction — dropDuplicates restores one copy
-    return joined.dropDuplicates()

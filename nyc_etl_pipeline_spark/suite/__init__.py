@@ -30,6 +30,36 @@ class QuerySpec:
     doc: str = ""
 
 
+# Names that have appeared in at least one driver CORRECTNESS_r{1..4}.json.
+# The driver gate only checks the FIRST 50 entries of all_specs(); ordering
+# never-driver-checked queries first rotates fresh evidence into that window
+# each round without losing local-sweep coverage of the rest
+# (VERDICT r4 item 1).
+_DRIVER_CHECKED: frozenset[str] = frozenset({
+    "q01_monthly_sales_report", "q02_weekly_sales_report", "q03_clean_project",
+    "q04_dim_upsert_anti", "q05_watermark_incremental", "q06_date_dim",
+    "q07_fact_datejoin", "q08_top_customers", "q09_window_rank", "q10_rollup",
+    "q11_semi_join", "q12_pivot_linestatus", "q13_events_tumbling",
+    "q14_events_sliding", "q15_sessionize", "q16_json_extract",
+    "q17_exact_dedup", "q18_ngram_jaccard_pairs", "q19_text_quality",
+    "q20_lang_id", "q21_doc_fingerprint", "q22_multimodal_bytes",
+    "q23_minhash_lsh_pairs", "q24_simhash_near_pairs", "q25_embedding_topk",
+    "q26_embedding_neardup", "q27_lsh_bucketed_pairs", "q28_asof_join",
+    "q29_range_join", "q30_cube", "q31_unpivot", "q32_set_ops",
+    "q33_distinct_aggs", "q34_approx_aggs", "q35_ivf_topk",
+    "q36_grouped_map_zscore", "q37_grouped_agg_geomean",
+    "q38_correlated_subquery", "q39_string_gauntlet", "q40_datetime_gauntlet",
+    "q41_neardup_clusters", "q42_percentiles", "q43_tpch_q1",
+    "q44_data_profile", "q45_array_ops", "q46_udtf_word_counts",
+    "q47_ngram_jaccard_capped", "q48_incremental_dedup", "q49_outer_joins",
+    "q56_sq8_topk", "q57_arrow_zscore", "q69_window_gauntlet",
+    "q70_gapfill_hours", "q75_ewma", "q77_salted_agg", "q78_scd2_intervals",
+    "q79_session_window", "q84_anomaly_bands", "q85_variant_props",
+    "q89_xml_roundtrip", "q90_activity_streaks", "q91_latest_wins",
+    "q92_ratio_to_report",
+})
+
+
 def all_specs() -> list[QuerySpec]:
     from nyc_etl_pipeline_spark.suite import (
         advanced,
@@ -47,7 +77,7 @@ def all_specs() -> list[QuerySpec]:
         vectors,
     )
 
-    return (
+    specs = (
         relational.SPECS
         + events.SPECS
         + textops.SPECS
@@ -62,6 +92,11 @@ def all_specs() -> list[QuerySpec]:
         + corpus.SPECS
         + graphq.SPECS
     )
+    # Stable partition: never-driver-checked first (so they land inside the
+    # driver's 50-query window), previously-green rows after.
+    fresh = [s for s in specs if s.name not in _DRIVER_CHECKED]
+    seen = [s for s in specs if s.name in _DRIVER_CHECKED]
+    return fresh + seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

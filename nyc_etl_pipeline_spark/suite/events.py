@@ -641,18 +641,18 @@ def q78_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q78_SQL = """
 WITH ordered AS (
-  SELECT user_id, event_type, ts,
+  SELECT user_id, event_type, ts, event_id,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events
 ),
 changes AS (
-  SELECT user_id, event_type, ts FROM ordered
+  SELECT user_id, event_type, ts, event_id FROM ordered
   WHERE prev IS NULL OR prev <> event_type
 )
 SELECT user_id, event_type,
        ts AS valid_from,
-       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
-       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
 FROM changes
 """
 

@@ -149,10 +149,11 @@ def test_jdbc_streaming_sink_exactly_once_under_redelivery(spark, derby_url, sf_
     from nyc_etl_pipeline_spark.io import jdbc_write
 
     jdbc_write(
-        agg.withColumn("batch_id", F.lit(1).cast("bigint")),
+        agg.withColumn("batch_id", F.lit(1).cast("bigint"))
+        .withColumn("__attempt", F.lit("deadbeef" * 4)),
         derby_url, "evt_counts", props, mode="append",
-    )  # orphan rows (no marker)
-    write(agg, 1)  # redelivery commits
+    )  # orphan rows: data written under an attempt id that never got a marker
+    write(agg, 1)  # redelivery commits under a fresh attempt id
     view = committed_view(spark, derby_url, "evt_counts", props)
     assert view.count() == 2 * agg.count()  # batches 0 and 1, once each
     assert view.groupBy("event_type", "batch_id").count().filter("count > 1").count() == 0
@@ -195,3 +196,35 @@ def test_jdbc_streaming_sink_via_real_stream(spark, derby_url, sf_dir, tmp_path)
         for r in committed_view(spark, derby_url, "stream_counts", props).collect()
     }
     assert first == second and len(first) == 5
+
+
+def test_committed_view_preserves_identical_rows(spark, derby_url):
+    """A batch may legitimately contain identical rows (e.g. a
+    non-aggregated append sink). The attempt-tagged protocol must keep
+    every copy of the committed attempt — the old full-row
+    dropDuplicates would have collapsed them."""
+    from nyc_etl_pipeline_spark.streaming.sinks import committed_view, jdbc_batch_writer
+
+    props = _props()
+    dupes = spark.createDataFrame([Row(k=1, v="a"), Row(k=1, v="a"), Row(k=2, v="b")])
+    write = jdbc_batch_writer(derby_url, "raw_rows", props)
+    write(dupes, 0)
+    write(dupes, 0)  # redelivery: skipped
+    view = committed_view(spark, derby_url, "raw_rows", props)
+    assert view.count() == 3  # both identical (1,"a") rows survive
+    assert "__attempt" not in view.columns
+
+
+def test_missing_table_detection_is_narrow():
+    """Only a missing TABLE may read as 'first batch, empty commit
+    log'; connection/database errors must propagate (a transient JDBC
+    failure read as an empty log would re-append a committed batch)."""
+    from nyc_etl_pipeline_spark.streaming.sinks import _is_missing_table
+
+    assert _is_missing_table(Exception("ERROR 42X05: Table/View 'T__COMMITS' does not exist."))
+    assert _is_missing_table(Exception("[TABLE_OR_VIEW_NOT_FOUND] The table or view cannot be found"))
+    assert _is_missing_table(Exception('relation "t__commits" does not exist'))
+    assert _is_missing_table(Exception("Invalid object name 't__commits'"))
+    assert not _is_missing_table(Exception("ERROR XJ004: Database 'db' not found."))
+    assert not _is_missing_table(Exception("Connection refused: connect"))
+    assert not _is_missing_table(Exception("ERROR 08006: A network protocol error was encountered"))

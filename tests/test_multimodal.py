@@ -76,6 +76,8 @@ def test_parse_image_header_formats():
     assert MM.parse_image_header(_gif_bytes(320, 200)) == (320, 200, 3)
     assert MM.parse_image_header(b"not an image at all") is None
     assert MM.parse_image_header(b"\xff\xd8\xff\xff\xff") is None  # truncated JPEG
+    # malformed SOF advertising zero components must not decode_ok
+    assert MM.parse_image_header(_jpeg_bytes(64, 64, n_components=0)) is None
 
 
 def test_decode_image_meta_real_headers(spark):
