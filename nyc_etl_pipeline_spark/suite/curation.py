@@ -51,7 +51,14 @@ FROM reach GROUP BY node
 
 def q42_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT percentiles (linear interpolation) — the ground truth the
-    q34 sketches approximate."""
+    q34 sketches approximate.
+
+    NOT a gate/bench entry since round 5: `F.percentile` buffers every
+    group value in executor memory, which is the dataset itself when
+    groups are few — a scale-killer formulation. It survives only as
+    the oracle ANCHOR for q58's distributed-sort formulation
+    (tests/test_advanced_ops.py::test_percentile_formulations_agree
+    pins both algorithms to the same DuckDB-checked digits)."""
     li = read_testdata(spark, sf_dir, "lineitem")
     return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         R(F.percentile("l_extendedprice", 0.25), 3).alias("p25"),
@@ -167,8 +174,6 @@ def q58_percentiles_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPECS = [
     QuerySpec("q41_neardup_clusters", q41_neardup_clusters, _Q41_SQL,
               "connected-components canonical-doc selection over near-dup pairs"),
-    QuerySpec("q42_percentiles", q42_percentiles, _Q42_SQL,
-              "exact percentiles (linear interpolation)"),
     QuerySpec("q43_tpch_q1", q43_tpch_q1, _Q43_SQL, "TPC-H Q1 pricing summary"),
     QuerySpec("q44_data_profile", q44_data_profile, _profile_sql(),
               "per-column null/distinct profile, single-pass"),

@@ -117,3 +117,29 @@ def test_observed_write_collects_metrics_in_one_pass(spark, sf_dir, tmp_path):
     assert got["n_null_dates"] == 0
     want = round(orders.agg(F.sum("o_totalprice")).first()[0], 3)
     assert abs(got["total_price"] - want) < 1e-6
+
+
+def test_percentile_formulations_agree(spark, sf_dir):
+    """q42 (F.percentile, in-memory per-group buffer) is demoted from
+    the gate since round 5 — it survives as the ANCHOR for q58's
+    spillable distributed-sort formulation. Both must agree to the
+    last rounded digit with each other AND with DuckDB's
+    quantile_cont on the same data."""
+    import duckdb
+
+    from nyc_etl_pipeline_spark.suite.curation import (
+        _Q42_SQL,
+        q42_percentiles,
+        q58_percentiles_sorted,
+    )
+
+    anchor = {r["returnflag"]: (r["p25"], r["p50"], r["p75"], r["p99"])
+              for r in q42_percentiles(spark, sf_dir).collect()}
+    sorted_form = {r["returnflag"]: (r["p25"], r["p50"], r["p75"], r["p99"])
+                   for r in q58_percentiles_sorted(spark, sf_dir).collect()}
+    assert anchor == sorted_form
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'")
+    duck = {r[0]: tuple(r[1:]) for r in con.sql(_Q42_SQL).fetchall()}
+    assert anchor == duck
