@@ -358,6 +358,399 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q93 — TPC-H Q2 shape: correlated scalar MIN. "Cheapest EUROPE supplier
+# per part": unit cost = l_extendedprice / l_quantity; keep the
+# (part, supplier) rows achieving the per-part minimum cost among
+# suppliers in EUROPE. The fixture has no partsupp, so lineitem is the
+# part-supplier bridge. The correlated subquery
+# (SELECT min(cost) WHERE partkey = outer.partkey) decorrelates to an
+# aggregate + equi-join on partkey — the plan Catalyst produces and the
+# only one that scales: one shuffle for the per-part min, one for the
+# join back, no per-row re-scan. Cross-engine float safety: cost is a
+# single IEEE division both engines evaluate identically, and MIN
+# selects an existing value (no arithmetic), so the equality join on
+# the min cost is bit-exact.
+# --------------------------------------------------------------------------
+
+def q93_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    li = _t(spark, sf_dir, "lineitem")
+    costs = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("__cost"),
+        )
+    )
+    min_cost = costs.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("__cost").alias("__min_cost")
+    )
+    return (
+        costs.join(
+            min_cost,
+            (costs.p_partkey == F.col("__pk")) & (costs.__cost == F.col("__min_cost")),
+        )
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            R(F.col("s_acctbal"), 3).alias("supp_acctbal"),
+            F.col("n_name").alias("nation_name"),
+            R(F.col("__cost"), 6).alias("min_cost"),
+        )
+        .dropDuplicates()
+    )
+
+
+_Q93_SQL = """
+WITH costs AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         l_extendedprice / l_quantity AS cost
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  JOIN part     ON l_partkey = p_partkey
+  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+)
+SELECT DISTINCT
+       c.p_partkey AS partkey,
+       c.p_name AS part_name,
+       c.s_suppkey AS suppkey,
+       c.s_name AS supp_name,
+       floor((c.s_acctbal) * 1000.0 + 0.5) / 1000.0 AS supp_acctbal,
+       c.n_name AS nation_name,
+       floor((c.cost) * 1000000.0 + 0.5) / 1000000.0 AS min_cost
+FROM costs c
+WHERE c.cost = (SELECT min(c2.cost) FROM costs c2 WHERE c2.p_partkey = c.p_partkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# q94 — TPC-H Q4: order priority checking (EXISTS -> left-semi join).
+# Orders placed in 1997Q3 where at least one line shipped more than
+# 60 days after the order date. The correlated EXISTS carries a
+# non-equi residual (the date comparison references the outer row), so
+# it must plan as a LEFT SEMI hash join on orderkey with the date
+# predicate as join residual — exactly one probe of lineitem, no
+# re-scan per order. Both date filters prune the orders scan.
+# --------------------------------------------------------------------------
+
+def q94_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate.cast("date"), 60)),
+        "left_semi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("orderpriority")).agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_Q94_SQL = """
+SELECT o_orderpriority AS orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o.o_orderkey
+                AND l_shipdate > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q95 — TPC-H Q11 shape: HAVING over a global scalar subquery.
+# "Parts that concentrate volume": per-part total quantity exceeding
+# 0.06% of the global total. The scalar total broadcasts to every
+# group (no shuffle for the comparison). Float safety: l_quantity is
+# integer-valued, so both engines' sums are EXACT (order-independent
+# under 2^53) and the threshold comparison is deterministic — revenue
+# is reported but never compared.
+# --------------------------------------------------------------------------
+
+Q95_FRACTION = 0.0006
+
+
+def q95_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum("l_quantity").alias("total_qty"),
+        R(F.sum(_rev()), 3).alias("revenue"),
+    )
+    total = li.agg(F.sum("l_quantity").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("total_qty") > Q95_FRACTION * F.col("__total"))
+        .select("partkey", R(F.col("total_qty"), 3).alias("total_qty"), "revenue")
+    )
+
+
+_Q95_SQL = f"""
+SELECT l_partkey AS partkey,
+       floor((CAST(sum(l_quantity) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_qty,
+       floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
+FROM lineitem
+GROUP BY 1
+HAVING sum(l_quantity) > {Q95_FRACTION} * (SELECT sum(l_quantity) FROM lineitem)
+"""
+
+
+# --------------------------------------------------------------------------
+# q96 — TPC-H Q13: customer order-count distribution (left join + count,
+# then re-aggregate). The LEFT join keeps zero-order customers (count
+# 0 rows appear in the histogram); counting o_orderkey (not *) makes
+# the null join rows count as zero. Two shuffles total: custkey for
+# the join+first agg, c_count for the histogram — the second input is
+# at most |distinct counts| rows.
+# --------------------------------------------------------------------------
+
+def q96_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_Q96_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY 1
+) per_cust
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q97 — TPC-H Q15: top supplier (max over a revenue view). The view
+# aggregates a quarter of lineitem per supplier; the max is a scalar
+# broadcast back onto the view — no second scan of lineitem, no
+# global sort. Ties (several suppliers at the exact max) all surface,
+# as in the spec.
+# --------------------------------------------------------------------------
+
+def q97_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(_rev()).alias("__rev")
+    )
+    top = (
+        rev.crossJoin(F.broadcast(rev.agg(F.max("__rev").alias("__max"))))
+        .filter(F.col("__rev") == F.col("__max"))
+    )
+    return top.join(F.broadcast(s), top.suppkey == s.s_suppkey).select(
+        "suppkey",
+        F.col("s_name").alias("supp_name"),
+        R(F.col("__rev"), 3).alias("total_revenue"),
+    )
+
+
+_Q97_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS suppkey,
+         sum(l_extendedprice * (1 - l_discount)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT r.suppkey AS suppkey,
+       s_name AS supp_name,
+       floor((CAST(r.total_rev AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_revenue
+FROM revenue r JOIN supplier ON r.suppkey = s_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+"""
+
+
+# --------------------------------------------------------------------------
+# q98 — TPC-H Q16 shape: NOT IN -> left-anti join. Distinct supplier
+# count per (brand, type) for mid-size parts, excluding "complaint"
+# suppliers (negative account balance stands in for the spec's
+# comment LIKE '%Customer%Complaints%'). The NOT IN subquery is
+# uncorrelated over a non-null key, so it plans as a broadcast
+# LEFT ANTI join — the only safe NOT IN form (a nullable key would
+# need null-aware anti join). lineitem is the part-supplier bridge.
+# --------------------------------------------------------------------------
+
+def q98_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    ps = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), on="l_suppkey", how="left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    )
+    return ps.groupBy(
+        F.col("p_brand").alias("brand"), F.col("p_type").alias("ptype"),
+        F.col("p_size").alias("psize"),
+    ).agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+
+
+_Q98_SQL = """
+SELECT p_brand AS brand, p_type AS ptype, p_size AS psize,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q99 — TPC-H Q17: small-quantity-order revenue (correlated per-group
+# AVG). Lines of one brand whose quantity is below 20% of that part's
+# average quantity; report sum(extendedprice)/7 as "avg yearly". The
+# correlated (SELECT 0.2*avg(l_quantity) WHERE partkey = outer)
+# decorrelates to a per-part aggregate joined back — and because the
+# part filter cuts to ~1/25 of parts, the per-part avg table is tiny
+# and broadcasts. Float safety: quantities are integer-valued, so
+# avg = exact_sum/count is identical cross-engine, as is 0.2*avg.
+# --------------------------------------------------------------------------
+
+def q99_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = branded.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__thresh")
+    )
+    small = branded.join(
+        F.broadcast(avg_qty),
+        (branded.l_partkey == F.col("__pk"))
+        & (branded.l_quantity < F.col("__thresh")),
+    )
+    return small.agg(
+        R(F.sum("l_extendedprice") / 7.0, 3).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q99_SQL = """
+SELECT floor((CAST(sum(l_extendedprice) AS DOUBLE) / 7.0) * 1000.0 + 0.5) / 1000.0 AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem l1 JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# q100 — TPC-H Q20 shape: per-group scalar threshold -> dominant
+# suppliers. Suppliers shipping more than TWICE their fair share of a
+# part's total quantity (fair share = part total / number of suppliers
+# of that part), for 'small%' parts — partsupp.availqty is stood in by
+# the shipped-quantity bridge, and the fair-share multiple (rather than
+# the spec's absolute 50%) keeps the predicate non-vacuous at every SF:
+# with ~N suppliers per part an absolute majority never happens in the
+# uniform fixture. Plan: one shuffle aggregates to (part, supplier)
+# grain, then window SUM/COUNT over partkey on the ALREADY-AGGREGATED
+# rows (≤ one row per part-supplier pair) compute the per-part total
+# and supplier count — cheaper than a second scan-level aggregate +
+# join. Quantities are integer-valued => supp_qty * n_supp and
+# 2 * part_qty are both EXACT doubles => deterministic comparison.
+# --------------------------------------------------------------------------
+
+Q100_FAIR_SHARE_MULT = 2.0
+
+
+def q100_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    ps = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        ps.withColumn("__part_qty", F.sum("supp_qty").over(w))
+        .withColumn("__n_supp", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("supp_qty") * F.col("__n_supp")
+            > Q100_FAIR_SHARE_MULT * F.col("__part_qty")
+        )
+    )
+    return (
+        dominant.join(F.broadcast(s), dominant.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation_name"),
+            R(F.col("supp_qty"), 3).alias("supp_qty"),
+            R(F.col("__part_qty"), 3).alias("part_qty"),
+        )
+    )
+
+
+_Q100_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+  GROUP BY 1, 2
+),
+tot AS (SELECT l_partkey, sum(supp_qty) AS part_qty, count(*) AS n_supp
+        FROM ps GROUP BY 1)
+SELECT ps.l_partkey AS partkey,
+       ps.l_suppkey AS suppkey,
+       s_name AS supp_name,
+       n_name AS nation_name,
+       floor((CAST(ps.supp_qty AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS supp_qty,
+       floor((CAST(tot.part_qty AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS part_qty
+FROM ps
+JOIN tot ON ps.l_partkey = tot.l_partkey
+JOIN supplier ON ps.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE ps.supp_qty * tot.n_supp > {Q100_FAIR_SHARE_MULT} * tot.part_qty
+"""
+
+
 SPECS = [
     QuerySpec("q61_tpch_q3", q61_tpch_q3, _Q61_SQL,
               "TPC-H Q3: selective filters + top-k over a 3-way join"),
@@ -371,4 +764,20 @@ SPECS = [
               "TPC-H Q21 shape: chained EXISTS/NOT EXISTS semi+anti joins"),
     QuerySpec("q88_tpch_q22", q88_tpch_q22, _Q88_SQL,
               "TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti join"),
+    QuerySpec("q93_tpch_q2", q93_tpch_q2, _Q93_SQL,
+              "TPC-H Q2 shape: correlated scalar MIN decorrelated to agg+join"),
+    QuerySpec("q94_tpch_q4", q94_tpch_q4, _Q94_SQL,
+              "TPC-H Q4: EXISTS with non-equi residual -> left-semi join"),
+    QuerySpec("q95_tpch_q11", q95_tpch_q11, _Q95_SQL,
+              "TPC-H Q11 shape: HAVING over broadcast global scalar"),
+    QuerySpec("q96_tpch_q13", q96_tpch_q13, _Q96_SQL,
+              "TPC-H Q13: left-join count distribution (zero-order customers kept)"),
+    QuerySpec("q97_tpch_q15", q97_tpch_q15, _Q97_SQL,
+              "TPC-H Q15: max over a revenue view, scalar broadcast back"),
+    QuerySpec("q98_tpch_q16", q98_tpch_q16, _Q98_SQL,
+              "TPC-H Q16 shape: NOT IN -> left-anti + count distinct"),
+    QuerySpec("q99_tpch_q17", q99_tpch_q17, _Q99_SQL,
+              "TPC-H Q17: correlated per-group AVG decorrelated to broadcast join"),
+    QuerySpec("q100_tpch_q20", q100_tpch_q20, _Q100_SQL,
+              "TPC-H Q20 shape: dominant supplier via window over aggregated grain"),
 ]

@@ -287,3 +287,75 @@ def test_q88_broadcasts_threshold_and_anti_joins(spark, sf_dir):
     plan = P.explain_str(q88_tpch_q22(spark, sf_dir), "simple")
     assert P.has_broadcast_join(plan), plan
     assert "LeftAnti" in plan, plan
+
+
+def test_q93_min_cost_decorrelates_to_agg_join(spark, sf_dir):
+    """Q2 shape: the correlated scalar MIN must plan as one aggregate
+    + equi-join on partkey — no per-row subquery, no cartesian; all
+    dims broadcast."""
+    from nyc_etl_pipeline_spark.suite.tpch import q93_tpch_q2
+
+    plan = P.explain_str(q93_tpch_q2(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert P.has_broadcast_join(plan), plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_q94_exists_plans_left_semi(spark, sf_dir):
+    """Q4: EXISTS with a non-equi date residual -> LEFT SEMI hash join
+    on orderkey, date filters pushed to the orders scan."""
+    from nyc_etl_pipeline_spark.suite.tpch import q94_tpch_q4
+
+    plan = P.explain_str(q94_tpch_q4(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    pushed = P.pushed_filters(plan)
+    assert any("o_orderdate" in p for p in pushed), plan
+
+
+def test_q95_q97_scalar_broadcasts(spark, sf_dir):
+    """Q11/Q15 shapes: the global scalar (total / max over a view)
+    must broadcast back — no shuffle of the big side to compare
+    against one number."""
+    from nyc_etl_pipeline_spark.suite.tpch import q95_tpch_q11, q97_tpch_q15
+
+    for q in (q95_tpch_q11, q97_tpch_q15):
+        plan = P.explain_str(q(spark, sf_dir), "simple")
+        assert P.has_broadcast_join(plan) or "BroadcastNestedLoop" in plan, plan
+        assert "CartesianProduct" not in plan
+
+
+def test_q98_not_in_plans_left_anti(spark, sf_dir):
+    """Q16 shape: NOT IN over the non-null supplier key -> broadcast
+    LEFT ANTI join + distinct aggregate."""
+    from nyc_etl_pipeline_spark.suite.tpch import q98_tpch_q16
+
+    plan = P.explain_str(q98_tpch_q16(spark, sf_dir), "simple")
+    assert "LeftAnti" in plan, plan
+    assert P.has_broadcast_join(plan), plan
+
+
+def test_q99_per_group_avg_broadcasts(spark, sf_dir):
+    """Q17: the per-part 0.2*avg table (bounded by the brand filter)
+    broadcasts back onto the branded lines."""
+    from nyc_etl_pipeline_spark.suite.tpch import q99_tpch_q17
+
+    plan = P.explain_str(q99_tpch_q17(spark, sf_dir), "simple")
+    assert P.has_broadcast_join(plan), plan
+
+
+def test_q100_window_over_aggregated_grain(spark, sf_dir):
+    """Q20 shape: the per-part total/count windows must consume the
+    (part, supplier) HashAggregate output — aggregate first, window
+    over the reduced grain, never a window over raw lineitem."""
+    from nyc_etl_pipeline_spark.suite.tpch import q100_tpch_q20
+
+    plan = P.explain_str(q100_tpch_q20(spark, sf_dir), "formatted")
+    assert "Window" in plan and "HashAggregate" in plan, plan
+    # the Window's child chain includes the aggregate, not a raw scan:
+    # in formatted output the Window node id is higher (later) than the
+    # partial aggregate over lineitem
+    import re
+
+    win = re.search(r"\((\d+)\) Window", plan)
+    agg = re.search(r"\((\d+)\) HashAggregate", plan)
+    assert win and agg and int(win.group(1)) > int(agg.group(1)), plan
