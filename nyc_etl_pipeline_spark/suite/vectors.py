@@ -210,6 +210,135 @@ FROM ranked WHERE rn <= {TOPK_K}
 """
 
 
+# --------------------------------------------------------------------------
+# q101 — product quantization, oracle-gated (VERDICT r4 item 6). The
+# fixture embeddings are incompressible noise (PQ's recall there is
+# meaningless — suite rationale above), so this query GENERATES a
+# deterministic clustered vector table in-query, identically
+# expressible in DuckDB: 256 vectors in 8 well-separated clusters,
+# component = integer center + two dyadic-rational offsets (1/16 and
+# 1/256 granularity). Every product/sum of components is an exact
+# double, so cosines are bit-identical across engines regardless of
+# summation order — the exact top-1 id + cosine are hard hash anchors.
+# PQ enters through q34-style contract booleans the oracle pins TRUE:
+#   pq_in_cluster  — all top-k ADC neighbors share the query's cluster
+#                    (PQ's coarse-retrieval contract);
+#   adc_within_tol — ADC rank-1 cosine within ADC_TOL of the exact
+#                    top-1 cosine (reconstruction quality).
+# A garbage codebook (wrong slicing, broken argmin, bad Lloyd) breaks
+# either boolean and the gate goes red.
+# --------------------------------------------------------------------------
+
+PQ_N = 256
+PQ_DIM = 16
+PQ_CLUSTERS = 8
+PQ_M = 4           # subspaces of 4 dims
+PQ_CODEBOOK = 8    # centroids per subspace
+PQ_TOPK = 5
+PQ_QUERIES = 8     # vec_id < 8 -> one query per cluster
+ADC_TOL = 0.05
+
+
+def _clustered_vectors(spark: SparkSession) -> DataFrame:
+    i = F.col("vec_id")
+
+    def comp(j: int):
+        center = ((i % PQ_CLUSTERS) * 31 + j * 7) % 13 - 6
+        a = (i * 17 + j * 23) % 16 - 8
+        b = (i * 91 + F.floor(i / 16).cast("long") * 13 + j * 41) % 16 - 8
+        return (
+            center.cast("double")
+            + a.cast("double") / 16.0
+            + b.cast("double") / 256.0
+        )
+
+    return (
+        spark.range(PQ_N)
+        .select(F.col("id").cast("int").alias("vec_id"))
+        .select(
+            "vec_id",
+            (i % PQ_CLUSTERS).alias("cluster"),
+            F.array(*[comp(j) for j in range(PQ_DIM)]).alias("embedding"),
+        )
+    )
+
+
+def q101_pq_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _clustered_vectors(spark)
+    queries = v.filter(F.col("vec_id") < PQ_QUERIES)
+    exact = SIM.cosine_topk(v, queries, k=PQ_TOPK)
+    books = SIM.pq_codebooks(
+        v, m=PQ_M, n_centroids=PQ_CODEBOOK, vec_col="embedding", seed=7
+    )
+    pq = SIM.pq_topk(
+        v, queries, k=PQ_TOPK, m=PQ_M, n_centroids=PQ_CODEBOOK, books=books
+    )
+    qclus = v.select(
+        F.col("vec_id").alias("query_id"), F.col("cluster").alias("q_cluster")
+    )
+    nclus = v.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cluster").alias("n_cluster")
+    )
+    per_q = (
+        pq.join(F.broadcast(nclus), on="neighbor_id")
+        .join(F.broadcast(qclus), on="query_id")
+        .groupBy("query_id")
+        .agg(
+            F.min((F.col("n_cluster") == F.col("q_cluster")).cast("int")).alias("__allin"),
+            F.max(F.when(F.col("rank") == 1, F.col("acosine"))).alias("__adc1"),
+        )
+    )
+    exact1 = exact.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("exact_top1"),
+        F.col("cosine").alias("top1_cosine"),
+    )
+    return (
+        exact1.join(per_q, on="query_id")
+        .join(F.broadcast(qclus), on="query_id")
+        .select(
+            "query_id",
+            F.col("q_cluster").alias("cluster"),
+            "exact_top1",
+            "top1_cosine",
+            (F.col("__allin") == 1).alias("pq_in_cluster"),
+            (F.abs(F.col("__adc1") - F.col("top1_cosine")) <= ADC_TOL).alias("adc_within_tol"),
+        )
+    )
+
+
+_Q101_GEN = f"""
+  SELECT CAST(i AS INT) AS vec_id, CAST(i % {PQ_CLUSTERS} AS INT) AS cluster,
+         list_transform(generate_series(0, {PQ_DIM - 1}),
+           j -> CAST((i % {PQ_CLUSTERS}) * 31 + j * 7 AS BIGINT) % 13 - 6
+                + CAST((i * 17 + j * 23) % 16 - 8 AS DOUBLE) / 16.0
+                + CAST((i * 91 + (i // 16) * 13 + j * 41) % 16 - 8 AS DOUBLE) / 256.0) AS emb
+  FROM range(0, {PQ_N}) t(i)
+"""
+
+_Q101_SQL = f"""
+WITH v AS ({_Q101_GEN}),
+pairs AS (
+  SELECT q.vec_id AS query_id, q.cluster AS q_cluster,
+         c.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, {PQ_DIM}), k -> q.emb[k] * c.emb[k]))
+         / (sqrt(list_sum(list_transform(generate_series(1, {PQ_DIM}), k -> q.emb[k] * q.emb[k])))
+          * sqrt(list_sum(list_transform(generate_series(1, {PQ_DIM}), k -> c.emb[k] * c.emb[k])))) AS cos
+  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {PQ_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, q_cluster AS cluster, neighbor_id AS exact_top1,
+       floor(cos * 10000.0 + 0.5) / 10000.0 AS top1_cosine,
+       TRUE AS pq_in_cluster,
+       TRUE AS adc_within_tol
+FROM ranked WHERE rn = 1
+"""
+
+
 SPECS = [
     QuerySpec("q25_embedding_topk", q25_embedding_topk, _Q25_SQL,
               "exact cosine top-k (broadcast queries, no corpus shuffle)"),
@@ -221,4 +350,6 @@ SPECS = [
               "IVF approximate top-k (quality-at-rank contract, oracle-checked)"),
     QuerySpec("q56_sq8_topk", q56_sq8_topk, _Q56_SQL,
               "SQ8 scalar-quantized top-k (deterministic, fully oracle-replicated)"),
+    QuerySpec("q101_pq_clustered", q101_pq_clustered, _Q101_SQL,
+              "PQ ADC retrieval on in-query clustered vectors (recall contract)"),
 ]
