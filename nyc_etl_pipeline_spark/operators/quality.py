@@ -70,6 +70,11 @@ def quantile_bucket(
 
     if exact:
         order = [F.col(score_col).asc()] + [F.col(c).asc() for c in (tie_cols or [])]
+        # single-partition BY DESIGN: exact=True exists only as the
+        # oracle-gate formulation (bit-exact ntile vs DuckDB); its
+        # WindowExec "No Partition Defined" warning is the documented
+        # cost of exactness. Production callers use exact=False below —
+        # no sort, no single partition, approximate edges.
         w = W.orderBy(*order)
         return df.withColumn("bucket", F.ntile(n_buckets).over(w))
     edges = df.agg(

@@ -203,6 +203,10 @@ def token_frequencies(
     freq = freq.persist()
     total = freq.agg(F.sum("freq").alias("__total"))
     top = freq.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(top_k)
+    # single-partition OK: the window input is `top` (<= top_k rows from
+    # TakeOrderedAndProject), never the vocabulary — the WindowExec
+    # "No Partition Defined" warning is K-bounded by construction
+    # (plan-pinned in test_plans.test_q73_zipf_window_is_topk_bounded)
     w = W.orderBy(F.col("freq").desc(), F.col("token").asc())
     return (
         top.crossJoin(F.broadcast(total))

@@ -186,3 +186,81 @@ def test_footer_sniff_partitioned_layout(spark, sf_dir, tmp_path):
     assert back.count() == e.count()
 
     assert parquet_timestamp_unit(str(tmp_path / "nope.parquet"), "ts") is None
+
+
+def test_warehouse_on_viewfs_root(spark, sf_dir, tmp_path):
+    """S8 hardening: exercise the Warehouse against a SECOND real
+    Hadoop FileSystem implementation (ViewFileSystem mount over the
+    local FS) — every FS op must go through the Hadoop FS API, not
+    os.path / posix assumptions."""
+    from nyc_etl_pipeline_spark.io import Warehouse
+
+    hconf = spark._jsc.hadoopConfiguration()
+    hconf.set(
+        "fs.viewfs.mounttable.whtest.link./wh",
+        (tmp_path / "backing").as_uri(),
+    )
+    wh = Warehouse(spark, "viewfs://whtest/wh")
+    o = read_testdata(spark, sf_dir, "orders")
+    assert not wh.exists("orders_v")
+    wh.overwrite(o, "orders_v")
+    assert wh.exists("orders_v")
+    assert wh.read("orders_v").count() == o.count()
+    wh.append(o.limit(10), "orders_v")
+    assert wh.read("orders_v").count() == o.count() + 10
+    # compact's rename-swap within one mount link delegates to the
+    # backing FS and must keep every row
+    wh.compact("orders_v", target_file_mb=512)
+    assert wh.read("orders_v").count() == o.count() + 10
+
+
+class _RenamelessFS:
+    """Wraps a real Hadoop FileSystem; rename() reports failure for
+    the call numbers in `fail_calls` (1-based) — the object-store
+    behavior class, where rename is copy+delete and can fail."""
+
+    def __init__(self, fs, fail_calls):
+        self._fs = fs
+        self._calls = 0
+        self._fail_calls = set(fail_calls)
+
+    def rename(self, src, dst):
+        self._calls += 1
+        if self._calls in self._fail_calls:
+            return False
+        return self._fs.rename(src, dst)
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+
+def test_compact_survives_renameless_fs(spark, sf_dir, tmp_path):
+    """If Warehouse ever assumes posix rename semantics (ignores the
+    return value, or deletes before the swap lands), this test sees
+    either data loss or a silent success. Contract: a failed rename
+    raises, and the ORIGINAL table stays fully readable."""
+    import pytest as _pytest
+
+    from nyc_etl_pipeline_spark.io import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = read_testdata(spark, sf_dir, "orders")
+    wh.overwrite(o.repartition(8), "t")
+    n = o.count()
+
+    # first rename fails (pure rename-less store): the table must
+    # never have been moved aside
+    orig = Warehouse._fs
+    wh._fs = lambda p: (orig(wh, p)[0], _RenamelessFS(orig(wh, p)[1], {1}))
+    with _pytest.raises(IOError):
+        wh.compact("t")
+    wh._fs = lambda p: orig(wh, p)
+    assert wh.read("t").count() == n
+
+    # swap-in rename fails mid-protocol (table already moved aside):
+    # compact must restore the original before raising
+    wh._fs = lambda p: (orig(wh, p)[0], _RenamelessFS(orig(wh, p)[1], {2}))
+    with _pytest.raises(IOError):
+        wh.compact("t")
+    wh._fs = lambda p: orig(wh, p)
+    assert wh.read("t").count() == n

@@ -359,3 +359,21 @@ def test_q100_window_over_aggregated_grain(spark, sf_dir):
     win = re.search(r"\((\d+)\) Window", plan)
     agg = re.search(r"\((\d+)\) HashAggregate", plan)
     assert win and agg and int(win.group(1)) > int(agg.group(1)), plan
+
+
+def test_q73_zipf_window_is_topk_bounded(spark, sf_dir):
+    """The Zipf cumulative-coverage window must consume the top-K
+    TakeOrderedAndProject head, never the full vocabulary — its
+    'No Partition Defined' warning is K-bounded by construction."""
+    from nyc_etl_pipeline_spark.suite.corpus import q73_token_zipf
+
+    plan = P.explain_str(q73_token_zipf(spark, sf_dir), "formatted")
+    assert "TakeOrderedAndProject" in plan and "Window" in plan, plan
+    import re
+
+    win = re.search(r"\((\d+)\) Window", plan)
+    top = re.search(r"\((\d+)\) TakeOrderedAndProject", plan)
+    # formatted-plan ids are assigned leaves-first: the Window node
+    # consuming the top-k head must have a HIGHER id than the
+    # TakeOrderedAndProject it reads from
+    assert win and top and int(win.group(1)) > int(top.group(1)), plan
