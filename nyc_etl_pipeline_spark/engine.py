@@ -202,18 +202,30 @@ class Engine:
     # ---- reports ---------------------------------------------------------
 
     def run_reports(self) -> None:
+        from nyc_etl_pipeline_spark.pipeline.reports import (
+            monthly_from_base,
+            shared_report_base,
+            weekly_from_base,
+        )
+
         fact = self.wh.read("fact_nyc").drop("month")
-        args = (
-            fact,
-            self.wh.read("dim_date"),
+        # One scan + one shuffle serve BOTH marts: the base is hash-
+        # partitioned on the 6 shared grouping keys (a subset of each
+        # mart's keys, so neither groupBy re-shuffles) and persisted
+        # across the two writes. See reports.py scale note.
+        base = shared_report_base(fact, self.wh.read("dim_date")).persist()
+        dims = (
             self.wh.read("dim_zone"),
             self.wh.read("dim_type"),
             self.wh.read("dim_vendor"),
             self.wh.read("dim_payment"),
             self.wh.read("dim_rate"),
         )
-        self.wh.overwrite(monthly_report(*args), "monthly_report")
-        self.wh.overwrite(weekly_report(*args), "weekly_report")
+        try:
+            self.wh.overwrite(monthly_from_base(base, *dims), "monthly_report")
+            self.wh.overwrite(weekly_from_base(base, *dims), "weekly_report")
+        finally:
+            base.unpersist()
 
     def run_all(
         self,

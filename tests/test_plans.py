@@ -377,3 +377,60 @@ def test_q73_zipf_window_is_topk_bounded(spark, sf_dir):
     # consuming the top-k head must have a HIGHER id than the
     # TakeOrderedAndProject it reads from
     assert win and top and int(win.group(1)) > int(top.group(1)), plan
+
+
+def test_shared_report_base_serves_both_marts_shuffle_free(spark):
+    """Engine.run_reports scale contract (reference README.md:162 crash
+    case): the persisted shared_report_base is hash-partitioned on the
+    6 grouping keys common to both marts, so the monthly AND weekly
+    aggregations each plan partial+final HashAggregate directly over
+    the InMemoryTableScan — zero ENSURE_REQUIREMENTS exchanges. One
+    scan + one shuffle serve both report writes."""
+    from nyc_etl_pipeline_spark.pipeline import build_date_dim
+    from nyc_etl_pipeline_spark.pipeline.reports import (
+        monthly_from_base,
+        shared_report_base,
+        weekly_from_base,
+    )
+
+    fact = spark.range(500).select(
+        (F.col("id") % 5 + 1).alias("PULocationID"),
+        (F.col("id") % 7 + 1).alias("DOLocationID"),
+        (F.col("id") % 2 + 1).alias("typeID"),
+        (F.col("id") % 2 + 1).alias("VendorID"),
+        (F.col("id") % 4 + 1).alias("RatecodeID"),
+        (F.col("id") % 3 + 1).alias("paymentID"),
+        (F.col("id") % 300 + 1).alias("date_puID"),
+        (F.col("id") % 4 + 1).cast("double").alias("passenger_count"),
+        (F.col("id") % 100 / 10.0).alias("trip_distance"),
+        (F.col("id") % 3600).cast("double").alias("trip_duration"),
+        (F.col("id") % 20 / 2.0).alias("tip_amount"),
+        F.lit(0.0).alias("tolls_amount"),
+        (F.col("id") % 50 + 3.0).alias("total_amount"),
+        (F.col("id") % 40 + 2.5).alias("fare_amount"),
+    )
+    zone = spark.createDataFrame(
+        [(i, "b", "z", "s") for i in range(1, 300)],
+        "LocationID int, Borough string, Zone string, service_zone string",
+    )
+    dims = [zone] + [
+        spark.createDataFrame([(i, "x") for i in range(1, 10)], f"{k} int, {v} string")
+        for k, v in [
+            ("typeID", "typeName"),
+            ("VendorID", "VendorName"),
+            ("paymentID", "payment_type"),
+            ("RatecodeID", "RatecodeName"),
+        ]
+    ]
+    base = shared_report_base(fact, build_date_dim(spark)).persist()
+    try:
+        base.count()
+        for mart in (monthly_from_base(base, *dims), weekly_from_base(base, *dims)):
+            plan = mart._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan, plan
+            # the only hash exchanges are prints of the cached
+            # REPARTITION_BY_COL plan; the aggregation adds none
+            assert "ENSURE_REQUIREMENTS" not in plan, plan
+            assert mart.count() > 0
+    finally:
+        base.unpersist()
