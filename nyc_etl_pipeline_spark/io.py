@@ -225,6 +225,13 @@ class Warehouse:
         hpath, fs = self._fs(self.path(table))
         return bool(fs.exists(hpath))
 
+    def size_bytes(self, table: str) -> int:
+        """On-disk bytes of a table (recursive), via the Hadoop FS API
+        so it works on any supported URI scheme. Used to size shuffle
+        partition counts to the data instead of a static conf."""
+        hpath, fs = self._fs(self.path(table))
+        return int(fs.getContentSummary(hpath).getLength())
+
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame:
         reader = self.spark.read.format(self.table_format)
         if schema is not None:
