@@ -751,6 +751,353 @@ WHERE ps.supp_qty * tot.n_supp > {Q100_FAIR_SHARE_MULT} * tot.part_qty
 """
 
 
+# --------------------------------------------------------------------------
+# q102 — TPC-H Q6: forecasting revenue change (pure scan-level agg)
+# --------------------------------------------------------------------------
+
+def q102_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pushdown query: every predicate (shipdate range,
+    discount bracket, quantity cap) is a parquet scan filter, the
+    aggregation is a single partial+final sum with no grouping key —
+    zero shuffles beyond the 1-row final merge. At 100 TB this is
+    bounded purely by scan bandwidth; row-group min/max statistics
+    skip whole chunks outside the date window."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        R(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 3).alias("revenue")
+    )
+
+
+_Q102_SQL = """
+SELECT floor((CAST(sum(l_extendedprice * l_discount) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# q103 — TPC-H Q7: volume shipping between two nations
+# --------------------------------------------------------------------------
+
+def q103_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nation-pair filter lands BEFORE the big join: supplier and
+    customer each join their (broadcast, 25-row) nation table and keep
+    only the two named nations, shrinking both to ~2/25 of their rows
+    — small enough to broadcast into the lineitem⋈orders spine. The
+    disjunctive pair predicate is evaluated on the two decorated
+    nation names, not re-joined. One big-big shuffle (lineitem⋈orders
+    on orderkey); everything else broadcasts."""
+    n = _t(spark, sf_dir, "nation")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_12", "NATION_11"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_12", "NATION_11"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_11"))
+            | ((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_12"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(R(F.sum(_rev()), 3).alias("revenue"))
+    )
+
+
+_Q103_SQL = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')
+    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q104 — TPC-H Q8: national market share
+# --------------------------------------------------------------------------
+
+def q104_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one supplier-nation's revenue within a customer-region
+    market. The region restriction prunes customer via two broadcast
+    hops (nation⋈region, both tiny) before the join spine; the share
+    is a conditional-sum / sum over the same grouped pass — one
+    aggregation, no self-join, no second scan. Rounded floor-form at
+    6 dp so both engines agree bit-for-bit on the ratio."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_in_region = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = F.col("__vol")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _rev().alias("__vol"),
+            F.col("supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            R(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+_Q104_SQL = """
+SELECT o_year,
+       floor((CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0.0 END) / sum(volume) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey  = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+    AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# q105 — TPC-H Q9 shape: product-type profit by nation and year.
+# Testdata has no partsupp, so ps_supplycost is proxied by
+# 0.1 * p_retailprice (a per-part constant, preserving the query's
+# join/agg shape: part-name filter, 4-way join, nation x year rollup).
+# --------------------------------------------------------------------------
+
+def q105_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part is filtered by a contains-predicate then broadcast;
+    supplier+nation fold to a 10-row broadcast map. The only shuffle
+    is lineitem⋈orders on orderkey, then the (25 nations x 7 years)
+    group-by — partial aggregation collapses almost everything
+    map-side. The profit expression stays JVM-side codegen."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    # The profit expression mixes subtraction into the sum, so a pure
+    # double SUM lands within 1 ulp of a rounding boundary for a few
+    # (nation, year) groups at sf0.01 and the floor-form round flips
+    # between engines. Summing per-row DECIMAL(20,6) casts is exact and
+    # order-independent on both engines — bit-identical regardless of
+    # partitioning.
+    amount = (_rev() - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")).cast(
+        "decimal(20,6)"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(R(F.sum(amount).cast("double"), 3).alias("sum_profit"))
+    )
+
+
+_Q105_SQL = """
+SELECT n_name AS nation,
+       year(o_orderdate) AS o_year,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity AS DECIMAL(20,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey  = p_partkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q106 — TPC-H Q12 shape: priority counts per line status. Testdata
+# has no l_shipmode/commitdate/receiptdate; l_linestatus plays the
+# mode role and the one-year window filters on l_shipdate — the
+# CASE-count-over-join skeleton is identical.
+# --------------------------------------------------------------------------
+
+def q106_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders⋈lineitem on orderkey is the single shuffle; the
+    conditional counts are a two-branch CASE folded into one grouped
+    pass over a 3-value key (partial agg collapses each partition to
+    ≤3 rows before the exchange)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_Q106_SQL = """
+SELECT l_linestatus AS linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q107 — TPC-H Q14: promotion effect (conditional share over a join)
+# --------------------------------------------------------------------------
+
+def q107_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One month of lineitem (scan-pruned) against broadcast part; the
+    promo share is numerator/denominator from the SAME ungrouped agg —
+    single pass, single 1-row result, no second scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = _rev()
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            R(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+_Q107_SQL = """
+SELECT floor((CAST(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+# --------------------------------------------------------------------------
+# q108 — TPC-H Q19 shape: discounted revenue under disjunctive
+# bracket predicates. Testdata lacks p_container/l_shipmode; the
+# surviving structure is the interesting part — an equi-join whose
+# residual is an OR of three (brand, size-range, quantity-range)
+# conjuncts that no single-column pushdown can express.
+# --------------------------------------------------------------------------
+
+def q108_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part broadcasts; the OR-of-ANDs predicate rides the join as a
+    residual condition evaluated inside codegen. Catalyst still pushes
+    the derivable single-column envelopes (quantity ≤ max bracket) to
+    the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#9") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), (F.col("l_partkey") == F.col("p_partkey")) & bracket)
+        .agg(R(F.sum(_rev()), 3).alias("revenue"))
+    )
+
+
+_Q108_SQL = """
+SELECT floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#9' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 SPECS = [
     QuerySpec("q61_tpch_q3", q61_tpch_q3, _Q61_SQL,
               "TPC-H Q3: selective filters + top-k over a 3-way join"),
@@ -780,4 +1127,18 @@ SPECS = [
               "TPC-H Q17: correlated per-group AVG decorrelated to broadcast join"),
     QuerySpec("q100_tpch_q20", q100_tpch_q20, _Q100_SQL,
               "TPC-H Q20 shape: dominant supplier via window over aggregated grain"),
+    QuerySpec("q102_tpch_q6", q102_tpch_q6, _Q102_SQL,
+              "TPC-H Q6: pure scan-level predicate pushdown + 1-row agg"),
+    QuerySpec("q103_tpch_q7", q103_tpch_q7, _Q103_SQL,
+              "TPC-H Q7: nation-pair volume, filters before the join spine"),
+    QuerySpec("q104_tpch_q8", q104_tpch_q8, _Q104_SQL,
+              "TPC-H Q8: market share via conditional-sum ratio, one pass"),
+    QuerySpec("q105_tpch_q9", q105_tpch_q9, _Q105_SQL,
+              "TPC-H Q9 shape: product profit rollup (retailprice cost proxy)"),
+    QuerySpec("q106_tpch_q12", q106_tpch_q12, _Q106_SQL,
+              "TPC-H Q12 shape: CASE-count priority split over the big join"),
+    QuerySpec("q107_tpch_q14", q107_tpch_q14, _Q107_SQL,
+              "TPC-H Q14: promo revenue share, numerator/denominator one agg"),
+    QuerySpec("q108_tpch_q19", q108_tpch_q19, _Q108_SQL,
+              "TPC-H Q19 shape: disjunctive bracket residual on broadcast join"),
 ]
