@@ -434,3 +434,44 @@ def test_shared_report_base_serves_both_marts_shuffle_free(spark):
             assert mart.count() > 0
     finally:
         base.unpersist()
+
+
+def test_q102_q6_predicates_reach_scan(spark, sf_dir):
+    """Q6 is the canonical pushdown query: quantity/discount/shipdate
+    predicates must all land in the parquet scan's PushedFilters."""
+    from nyc_etl_pipeline_spark.suite.tpch import q102_tpch_q6
+
+    plan = P.explain_str(q102_tpch_q6(spark, sf_dir))
+    pushed = " ".join(P.pushed_filters(plan))
+    assert "l_quantity" in pushed and "l_discount" in pushed and "l_shipdate" in pushed, plan
+
+
+def test_new_tpch_shapes_broadcast_small_sides(spark, sf_dir):
+    """Q7/Q9/Q14/Q19: nation-filtered supplier/customer, filtered part,
+    and the whole part table are all broadcast — the only shuffle in
+    each plan is lineitem⋈orders (Q7/Q9) or none at all (Q14/Q19)."""
+    from nyc_etl_pipeline_spark.suite.tpch import (
+        q103_tpch_q7,
+        q105_tpch_q9,
+        q107_tpch_q14,
+        q108_tpch_q19,
+    )
+
+    for fn in (q103_tpch_q7, q105_tpch_q9, q107_tpch_q14, q108_tpch_q19):
+        plan = P.explain_str(fn(spark, sf_dir))
+        assert P.has_broadcast_join(plan), f"{fn.__name__}: {plan}"
+
+
+def test_q104_market_share_is_single_pass(spark, sf_dir):
+    """Q8's share must come from conditional-sum/sum in ONE grouped
+    aggregation — no self-join of the yearly volumes (the naive
+    two-scan formulation doubles the whole join spine)."""
+    from nyc_etl_pipeline_spark.suite.tpch import q104_tpch_q8
+
+    plan = P.explain_str(q104_tpch_q8(spark, sf_dir), "formatted")
+    import re
+
+    # exactly one partial/final aggregate pair on o_year (2 HashAggregate
+    # nodes), not two pairs merged by a join
+    n_aggs = len(re.findall(r"\) HashAggregate", plan))
+    assert n_aggs == 2, f"expected 2 HashAggregate nodes, got {n_aggs}: {plan}"
