@@ -1,0 +1,111 @@
+"""Corpus retrieval: BM25 ranking and boolean posting-list search.
+
+The reference has no retrieval surface; these serve the
+training-data-curation use cases the engine targets — query-targeted
+corpus slices, contamination probes ("which documents mention these
+benchmark terms"), and quality-weighted subsampling.
+
+Scale design: the posting explode is filtered to the query's terms
+IMMEDIATELY (a handful of strings — the filter rides the generator
+output, so non-matching tokens never reach a shuffle), per-document
+length is carried through that same projection instead of re-joining
+the full corpus, and every per-term statistic (document frequency) is
+at most |query| rows — broadcast. One scan of the corpus, one shuffle
+keyed by (doc, term), a top-k TakeOrderedAndProject. No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.functions import round_half_up
+from nyc_etl_pipeline_spark.operators.text import tokens
+
+
+def query_postings(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc, term, dl) rows for tokens that appear in query_terms.
+
+    dl (whitespace token count of the whole document) rides the same
+    projection so downstream scoring never re-joins the corpus.
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.size(tokens(F.col(text_col))).cast("double").alias("dl"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term").isin(list(query_terms)))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 25,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 (Robertson idf, the Lucene `1 +` form
+    so idf stays positive even for terms in >half the corpus).
+
+    score(d) = Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+                 * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Corpus-level stats (N, avgdl) are a 1-row broadcast; per-term df
+    is ≤|query| rows, broadcast. Rounded floor-form at 6 dp for
+    cross-engine determinism; ties broken by doc id.
+    """
+    dl_all = docs.select(F.size(tokens(F.col(text_col))).cast("double").alias("dl"))
+    stats = dl_all.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        query_postings(docs, query_terms, text_col, id_col)
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / norm
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(round_half_up(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def boolean_and_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents containing ALL query terms (conjunctive posting-list
+    intersection): distinct (doc, term) matches grouped per doc,
+    kept when the distinct-term count equals |query|. Integer-only
+    output — no float parity risk."""
+    n_terms = len(set(query_terms))
+    return (
+        query_postings(docs, query_terms, text_col, id_col)
+        .select("doc", "term")
+        .distinct()
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") == n_terms)
+        .drop("n_matched")
+    )

@@ -194,3 +194,41 @@ def per_key_topn_sample(
         .filter(F.col("sample_rank") <= n)
         .drop("__pr")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_cols: list[str],
+    weight_col: str,
+    n: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of n rows —
+    inclusion probability proportional to weight (Efraimidis-Spirakis
+    A-Res: key = u^(1/w) with u uniform, keep the n largest keys).
+
+    u derives from the portable md5 bucket over (salt, id_cols):
+    reproducible across engines, runs, and task retries — a
+    rand()-based weighted sample silently changes membership under
+    speculative re-execution. Rows with non-positive weight are
+    excluded (they can never win).
+
+    Scale: pure per-row projection + top-n TakeOrderedAndProject
+    (per-partition heap, driver merge of n rows) — no global sort, no
+    window. The priority column is dropped from the output: ranking
+    is stable at any ulp (md5 gaps are ~1/rows^2, astronomically
+    above double noise), while emitting the float itself would be the
+    only cross-engine parity risk.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    joined = F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in id_cols])
+    u = (F.pmod(md5_long(joined), F.lit(_BUCKETS)).cast("double") + 0.5) / _BUCKETS
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__key", key)
+        .orderBy(F.desc("__key"), *[F.asc(c) for c in id_cols])
+        .limit(n)
+        .drop("__key")
+    )

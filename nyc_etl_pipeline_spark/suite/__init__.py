@@ -70,6 +70,7 @@ def all_specs() -> list[QuerySpec]:
         graphq,
         pandasops,
         relational,
+        retrieval,
         scalar,
         textops,
         tpch,
@@ -89,6 +90,7 @@ def all_specs() -> list[QuerySpec]:
         + complextypes.SPECS
         + training.SPECS
         + tpch.SPECS
+        + retrieval.SPECS
         + corpus.SPECS
         + graphq.SPECS
     )

@@ -1,0 +1,116 @@
+"""Retrieval + weighted-sampling gate queries over the documents
+table: BM25 top-k, conjunctive boolean search, Efraimidis-Spirakis
+weighted sample. Oracles generated from the SAME constants as the
+operators (query terms, k1/b, salt) so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.operators.retrieval import bm25_topk, boolean_and_search
+from nyc_etl_pipeline_spark.operators.sampling import weighted_sample
+from nyc_etl_pipeline_spark.suite import QuerySpec
+
+BM25_TERMS = ["join", "window", "hash", "stream"]
+BM25_K = 25
+BM25_K1 = 1.2
+BM25_B = 0.75
+BOOL_TERMS = ["customer", "stream", "batch"]
+WSAMPLE_N = 50
+WSAMPLE_SALT = "v1"
+
+# DuckDB fragment matching operators.text.tokens (trim + split on \s+,
+# empty string -> zero tokens).
+_TOK = "string_split_regex(trim(text), '\\s+')"
+_DL = f"CASE WHEN trim(text) = '' THEN 0.0 ELSE CAST(len({_TOK}) AS DOUBLE) END"
+
+
+def q109_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-form BM25 over the corpus for a fixed 4-term query —
+    see operators/retrieval.py for the scale shape (immediate term
+    filter on the posting explode, broadcast stats, top-k heap)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=BM25_K, k1=BM25_K1, b=BM25_B)
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents WHERE trim(text) <> ''
+),
+dl_all AS (SELECT {_DL} AS dl FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl_all
+),
+dl AS (SELECT doc_id, {_DL} AS dl FROM documents),
+tf AS (
+  SELECT tok.doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl.dl) AS dl
+  FROM tok JOIN dl USING (doc_id)
+  WHERE term IN ({terms})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+SELECT doc_id,
+       floor((CAST(sum(
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * {BM25_K1 + 1.0}) / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))
+       ) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_K}
+"""
+
+
+def q110_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive posting intersection: documents containing every
+    query term. Integer-only output."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return boolean_and_search(docs, BOOL_TERMS)
+
+
+def _bool_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BOOL_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest({_TOK}) AS term FROM documents WHERE trim(text) <> ''
+  ) WHERE term IN ({terms})
+)
+SELECT doc_id FROM tok GROUP BY doc_id HAVING count(*) = {len(set(BOOL_TERMS))}
+"""
+
+
+def q111_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample without replacement (A-Res keys on
+    the portable md5 uniform), weighted by document length — the
+    quality-weighted subsampling cut of a curation pipeline."""
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(docs, ["doc_id"], "n_chars", WSAMPLE_N, salt=WSAMPLE_SALT)
+
+
+def _wsample_sql() -> str:
+    from nyc_etl_pipeline_spark.operators.sampling import sql_bucket
+
+    bucket = sql_bucket(["doc_id"], WSAMPLE_SALT)
+    return f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE n_chars > 0
+ORDER BY pow(((({bucket}) + 0.5) / 1000000.0), 1.0 / CAST(n_chars AS DOUBLE)) DESC,
+         doc_id ASC
+LIMIT {WSAMPLE_N}
+"""
+
+
+SPECS = [
+    QuerySpec("q109_bm25_topk", q109_bm25_topk, _bm25_sql(),
+              "BM25 top-k retrieval (broadcast stats, filtered postings)"),
+    QuerySpec("q110_boolean_search", q110_boolean_search, _bool_sql(),
+              "conjunctive boolean search via posting intersection"),
+    QuerySpec("q111_weighted_sample", q111_weighted_sample, _wsample_sql(),
+              "deterministic weighted sample (Efraimidis-Spirakis A-Res)"),
+]

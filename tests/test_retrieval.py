@@ -1,0 +1,73 @@
+"""Invariants for retrieval + weighted-sampling operators beyond the
+oracle gate (q109-q111)."""
+
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark import plans as P
+from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.operators.retrieval import bm25_topk, boolean_and_search
+from nyc_etl_pipeline_spark.operators.sampling import weighted_sample
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "join join join window", "a", 22),
+            (2, "join window", "a", 11),
+            (3, "scan merge sort", "b", 15),
+            (4, "join window hash stream", "b", 23),
+            (5, "", "b", 0),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+
+
+def test_bm25_orders_by_query_coverage(spark):
+    top = bm25_topk(_docs(spark), ["join", "window", "hash", "stream"], k=5).collect()
+    ids = [r.doc_id for r in top]
+    # doc 4 contains all four query terms including the two rarest
+    # (hash/stream have df=1 -> highest idf): it must outrank the
+    # tf-heavy doc 1, and the empty doc never appears
+    assert ids[0] == 4, top
+    assert 5 not in ids
+    scores = [r.bm25 for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_topk_is_heap_not_global_sort(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    plan = P.explain_str(bm25_topk(docs, ["join", "window"], k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert P.has_broadcast_join(plan), plan
+
+
+def test_boolean_search_is_conjunctive(spark):
+    hits = boolean_and_search(_docs(spark), ["join", "window"]).collect()
+    assert sorted(r.doc_id for r in hits) == [1, 2, 4]
+    none = boolean_and_search(_docs(spark), ["join", "zzz"]).count()
+    assert none == 0
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    rows = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        # doc_id < 1000 -> weight 1; >= 1000 -> weight 50
+        F.when(F.col("id") < 1000, F.lit(1)).otherwise(F.lit(50)).alias("w"),
+    )
+    a = weighted_sample(rows, ["doc_id"], "w", 200).collect()
+    b = weighted_sample(rows, ["doc_id"], "w", 200).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]  # deterministic
+    heavy = sum(1 for r in a if r.doc_id >= 1000)
+    # weight-50 rows should dominate the sample decisively
+    assert heavy > 150, heavy
+    # different salt -> different (but still deterministic) membership
+    c = weighted_sample(rows, ["doc_id"], "w", 200, salt="v2").collect()
+    assert {r.doc_id for r in c} != {r.doc_id for r in a}
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    rows = spark.createDataFrame(
+        [(1, 0), (2, -3), (3, 5), (4, 5)], "doc_id long, w long"
+    )
+    got = {r.doc_id for r in weighted_sample(rows, ["doc_id"], "w", 10).collect()}
+    assert got == {3, 4}
