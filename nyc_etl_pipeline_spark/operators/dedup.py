@@ -599,3 +599,37 @@ def simhash_near_pairs(
         .dropDuplicates()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def canonical_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """The "keep best" finish of a dedup pipeline: one surviving
+    document per near-dup cluster — the member with the highest
+    score_col (ties broken by lowest id, so selection is total-order
+    deterministic). Output carries cluster_rep, the winner's id and
+    score, and the cluster size.
+
+    clusters is (id_col, cluster_rep) as produced by neardup_clusters
+    / neardup_clusters_twophase. Scale: one shuffle on cluster_rep;
+    the per-cluster window sorts only that cluster's members (near-dup
+    clusters are small by construction — a pathological giant cluster
+    means the pairing threshold is wrong, not the plan).
+    """
+    from pyspark.sql import Window as W
+
+    cols = keep_cols or []
+    joined = docs.select(id_col, score_col, *cols).join(clusters, id_col)
+    w = W.partitionBy("cluster_rep").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(W.partitionBy("cluster_rep")))
+        .filter(F.col("__rn") == 1)
+        .select("cluster_rep", id_col, score_col, "cluster_size", *cols)
+    )

@@ -171,6 +171,36 @@ def q58_percentiles_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q112_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup "keep best" finish: one surviving document per
+    near-dup cluster — longest text wins, id tie-break. Composes
+    q18's pair graph, q41's connected components, and
+    dedup.canonical_per_cluster."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    clusters = D.neardup_clusters(docs, pairs)
+    return D.canonical_per_cluster(docs, clusters, score_col="n_chars")
+
+
+_Q112_SQL = _Q41_SQL.replace(
+    """SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_rep
+FROM reach GROUP BY node""",
+    """, clus AS (
+  SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_rep
+  FROM reach GROUP BY node
+)
+SELECT cluster_rep, doc_id, n_chars, cluster_size FROM (
+  SELECT c.cluster_rep, d.doc_id, d.n_chars,
+         count(*) OVER (PARTITION BY c.cluster_rep) AS cluster_size,
+         row_number() OVER (PARTITION BY c.cluster_rep
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM clus c JOIN documents d USING (doc_id)
+) ranked
+WHERE rn = 1""",
+)
+assert _Q112_SQL != _Q41_SQL, "q112 oracle failed to extend q41's CTEs"
+
+
 SPECS = [
     QuerySpec("q41_neardup_clusters", q41_neardup_clusters, _Q41_SQL,
               "connected-components canonical-doc selection over near-dup pairs"),
@@ -179,4 +209,6 @@ SPECS = [
               "per-column null/distinct profile, single-pass"),
     QuerySpec("q58_percentiles_sorted", q58_percentiles_sorted, _Q42_SQL,
               "exact percentiles via spillable distributed sort (same oracle as q42)"),
+    QuerySpec("q112_cluster_canonical", q112_cluster_canonical, _Q112_SQL,
+              "dedup keep-best: canonical doc per near-dup cluster"),
 ]

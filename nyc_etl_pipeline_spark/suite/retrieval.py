@@ -106,6 +106,36 @@ LIMIT {WSAMPLE_N}
 """
 
 
+NLL_ALPHA = 0.5
+
+
+def q113_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scores: per-doc mean NLL under the
+    corpus's own add-alpha unigram model (operators/lm.py)."""
+    from nyc_etl_pipeline_spark.operators.lm import unigram_nll_scores
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return unigram_nll_scores(docs, alpha=NLL_ALPHA)
+
+
+def _nll_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+counts AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+totals AS (
+  SELECT sum(c) AS corpus_tokens, CAST(count(*) AS DOUBLE) AS vocab FROM counts
+)
+SELECT doc_id,
+       floor((CAST(-sum(tf * ln((c + {NLL_ALPHA}) / (corpus_tokens + {NLL_ALPHA} * vocab))) / sum(tf) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS nll,
+       CAST(sum(tf) AS BIGINT) AS n_tokens
+FROM tf JOIN counts USING (term) CROSS JOIN totals
+GROUP BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("q109_bm25_topk", q109_bm25_topk, _bm25_sql(),
               "BM25 top-k retrieval (broadcast stats, filtered postings)"),
@@ -113,4 +143,6 @@ SPECS = [
               "conjunctive boolean search via posting intersection"),
     QuerySpec("q111_weighted_sample", q111_weighted_sample, _wsample_sql(),
               "deterministic weighted sample (Efraimidis-Spirakis A-Res)"),
+    QuerySpec("q113_unigram_nll", q113_unigram_nll, _nll_sql(),
+              "perplexity-proxy scores under the corpus unigram LM"),
 ]

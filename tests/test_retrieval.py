@@ -71,3 +71,33 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     got = {r.doc_id for r in weighted_sample(rows, ["doc_id"], "w", 10).collect()}
     assert got == {3, 4}
+
+
+def test_unigram_nll_flags_out_of_distribution_doc(spark):
+    from nyc_etl_pipeline_spark.operators.lm import unigram_nll_scores
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps") for i in range(20)]
+        + [(99, "zymurgy qat xylyl")],  # rare tokens -> high NLL
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.nll for r in unigram_nll_scores(docs).collect()}
+    common = max(v for k, v in rows.items() if k != 99)
+    assert rows[99] > common, rows
+
+
+def test_canonical_per_cluster_keeps_longest(spark):
+    from nyc_etl_pipeline_spark.operators.dedup import canonical_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7)], "doc_id long, n_chars long"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, cluster_rep long"
+    )
+    out = {r.cluster_rep: r for r in
+           canonical_per_cluster(docs, clusters, "n_chars").collect()}
+    assert len(out) == 2
+    # cluster 1: docs 2 and 3 tie at 30 chars -> lowest id (2) wins
+    assert out[1].doc_id == 2 and out[1].cluster_size == 3
+    assert out[4].doc_id == 4 and out[4].cluster_size == 1
