@@ -118,3 +118,81 @@ def sql_pagerank_chain(
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT node, r AS rank_scaled FROM pr{n_iter}"
     )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    over the undirected simple graph induced by `edges` (direction,
+    weights, and self-loops dropped).
+
+    Uses the degree-ordered compact-forward algorithm — the standard
+    distributed formulation: orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, enumerate wedges
+    from each node's out-neighborhood, and close them with a semi-ish
+    join back to the oriented edge set. Orientation bounds a node's
+    out-degree by O(sqrt(m)) on any graph (arboricity bound), so the
+    wedge join never explodes on high-degree hubs the way the naive
+    id-ordered join does — THE property that matters at 100 TB of
+    edges. Output is orientation-invariant: each triangle is found
+    exactly once, so per-node counts equal the naive algorithm's (the
+    oracle uses the naive id-ordered form).
+
+    Returns (node, degree, triangles, clustering) where clustering =
+    2*triangles / (degree*(degree-1)), 0 for degree < 2, rounded
+    floor-form at 6 dp.
+    """
+    from nyc_etl_pipeline_spark.functions import round_half_up
+
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # total order for orientation: (degree, id)
+    rank = deg.select("node", F.struct(F.col("degree"), F.col("node")).alias("r"))
+    oriented = (
+        und.join(rank.select(F.col("node").alias("a"), F.col("r").alias("ra")), "a")
+        .join(rank.select(F.col("node").alias("b"), F.col("r").alias("rb")), "b")
+        .select(
+            F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(F.col("ra") < F.col("rb"), F.col("rb")).otherwise(F.col("ra")).alias("rv"),
+        )
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.rv") < F.col("e2.rv"))).select(
+        F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+    )
+    closing = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tris = wedges.join(closing, ["y", "z"])  # inner: each wedge closes at most once
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            round_half_up(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )

@@ -83,7 +83,71 @@ FROM pr JOIN nation n ON pr.node = n.n_nationkey
 """
 
 
+def q114_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle counts + local clustering coefficient over
+    the above-average-weight trade subgraph (the threshold sparsifies
+    the otherwise near-complete nation graph into structure worth
+    measuring). Spark runs the degree-ordered compact-forward
+    algorithm (operators/graph.triangle_counts — out-degree bounded by
+    sqrt(m), hub-safe at scale); the oracle counts the same triangles
+    with the naive id-ordered 3-way self-join. Identical output: a
+    triangle's membership doesn't depend on the enumeration order."""
+    from nyc_etl_pipeline_spark.operators.graph import triangle_counts
+
+    edges = _trade_edges(spark, sf_dir)
+    thresh = edges.agg(F.avg("weight").alias("__avg_w"))
+    strong = (
+        edges.crossJoin(F.broadcast(thresh))
+        .filter(F.col("weight") >= F.col("__avg_w"))
+        .select("src", "dst")
+    )
+    return triangle_counts(strong).select(
+        F.col("node").cast("int").alias("nationkey"),
+        "degree",
+        "triangles",
+        "clustering",
+    )
+
+
+_Q114_SQL = f"""
+WITH w_edges AS ({_EDGES_SQL}),
+strong AS (
+  SELECT src, dst FROM w_edges WHERE w >= (SELECT avg(w) FROM w_edges)
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM strong WHERE src <> dst
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT unnest([x, y, z]) AS node FROM tri
+  ) GROUP BY 1
+)
+SELECT CAST(deg.node AS INTEGER) AS nationkey,
+       deg.degree,
+       coalesce(per_node.triangles, 0) AS triangles,
+       floor((CASE WHEN deg.degree >= 2
+              THEN 2.0 * coalesce(per_node.triangles, 0)
+                   / (deg.degree * (deg.degree - 1))
+              ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS clustering
+FROM deg LEFT JOIN per_node ON deg.node = per_node.node
+"""
+
+
 SPECS = [
     QuerySpec("q76_pagerank_nations", q76_pagerank_nations, _q76_sql(),
               "fixed-point weighted PageRank, integer-exact oracle"),
+    QuerySpec("q114_triangle_clustering", q114_triangle_clustering, _Q114_SQL,
+              "degree-ordered triangle counting + clustering coefficient"),
 ]
