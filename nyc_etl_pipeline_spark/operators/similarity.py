@@ -615,3 +615,48 @@ def lsh_bucketed_pairs(
         .filter(F.col("__cos") >= threshold)
         .select("a_id", "b_id", F.round("__cos", 4).alias("cosine"))
     )
+
+
+def label_cohesion(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label embedding-cluster quality: mean cosine similarity of
+    each vector to its own label's centroid — the cohesion metric an
+    embedding-clustered curation pipeline monitors (a label whose
+    cohesion collapses is a mislabeled or noisy slice).
+
+    Long-format dataflow: (id, label, dim, val) via posexplode, so the
+    centroid is a plain (label, dim) average, the squared norms are
+    per-id / per-label sums, and the dot with the own-label centroid
+    is one join on (label, dim) followed by a per-id sum. Everything
+    is partial-aggregable JVM-side; nothing materializes a dim-sized
+    array on the driver, so the same plan holds for 64 or 4096 dims.
+    """
+    from nyc_etl_pipeline_spark.functions import round_half_up
+
+    ex = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).select("vid", "lbl", (F.col("pos") + 1).alias("dim"), F.col("val").cast("double").alias("val"))
+    cent = ex.groupBy("lbl", "dim").agg(F.avg("val").alias("c"))
+    cent_norm = cent.groupBy("lbl").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"))
+    per_vec = (
+        ex.join(cent, ["lbl", "dim"])
+        .groupBy("vid", "lbl")
+        .agg(
+            F.sum(F.col("val") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nv"),
+        )
+    )
+    return (
+        per_vec.join(F.broadcast(cent_norm), "lbl")
+        .groupBy(F.col("lbl").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            round_half_up(F.avg(F.col("dot") / (F.col("nv") * F.col("nc"))), 6).alias("cohesion"),
+        )
+    )

@@ -339,6 +339,36 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q115_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cohesion (mean own-centroid cosine) — the
+    cluster-quality monitor of an embedding-bucketed curation
+    pipeline. Long-format dataflow, see operators/similarity.py."""
+    from nyc_etl_pipeline_spark.operators.similarity import label_cohesion
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return label_cohesion(emb)
+
+
+_Q115_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, label, t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS val
+  FROM embeddings, range(1, {EMB_DIM + 1}) t(i)
+),
+cent AS (SELECT label, dim, avg(val) AS c FROM ex GROUP BY 1, 2),
+cn AS (SELECT label, sqrt(sum(c * c)) AS nc FROM cent GROUP BY 1),
+pv AS (
+  SELECT ex.vec_id, ex.label, sum(val * c) AS dot, sqrt(sum(val * val)) AS nv
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+  GROUP BY 1, 2
+)
+SELECT pv.label AS label,
+       count(*) AS n_vecs,
+       floor((avg(dot / (nv * nc))) * 1000000.0 + 0.5) / 1000000.0 AS cohesion
+FROM pv JOIN cn ON pv.label = cn.label
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("q25_embedding_topk", q25_embedding_topk, _Q25_SQL,
               "exact cosine top-k (broadcast queries, no corpus shuffle)"),
@@ -352,4 +382,6 @@ SPECS = [
               "SQ8 scalar-quantized top-k (deterministic, fully oracle-replicated)"),
     QuerySpec("q101_pq_clustered", q101_pq_clustered, _Q101_SQL,
               "PQ ADC retrieval on in-query clustered vectors (recall contract)"),
+    QuerySpec("q115_label_cohesion", q115_label_cohesion, _Q115_SQL,
+              "per-label centroid cohesion (embedding cluster quality)"),
 ]

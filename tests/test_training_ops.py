@@ -667,3 +667,19 @@ def test_cogrouped_asof_matches_jvm_asof(spark, sf_dir):
         tuple(str(x) for x in r) for r in df.select(jvm.columns).collect()
     )
     assert canon(cg) == canon(jvm)
+
+
+def test_label_cohesion_perfect_and_split_clusters(spark):
+    from nyc_etl_pipeline_spark.operators.similarity import label_cohesion
+
+    rows = (
+        # label 0: all vectors identical -> cohesion exactly 1
+        [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(5)]
+        # label 1: two orthogonal halves -> centroid equidistant, cohesion ~0.707
+        + [(10 + i, [0.0, 1.0, 0.0, 0.0], 1) for i in range(3)]
+        + [(20 + i, [0.0, 0.0, 1.0, 0.0], 1) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in label_cohesion(df).collect()}
+    assert out[0].cohesion == 1.0 and out[0].n_vecs == 5
+    assert abs(out[1].cohesion - 0.707107) < 1e-6 and out[1].n_vecs == 6
