@@ -60,3 +60,66 @@ def unigram_nll_scores(
             F.sum("tf").cast("long").alias("n_tokens"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 25,
+) -> DataFrame:
+    """Collocation (phrase) detection by pointwise mutual information
+    over adjacent word pairs — the statistic a tokenizer-vocabulary or
+    phrase-merging pass ranks candidate merges by:
+
+        pmi(a,b) = ln( (c_ab / B) / ((c_a / T) * (c_b / T)) )
+
+    with c_ab the bigram count, c_a/c_b unigram counts, B total
+    bigrams, T total tokens. min_count filters the unstable low-count
+    tail BEFORE the unigram joins, so only candidate phrases (a tiny
+    fraction of the bigram vocabulary) ever join — the unigram tables
+    shuffle once on the word key. Top-k by rounded PMI with bigram
+    tie-break via TakeOrderedAndProject.
+    """
+    from nyc_etl_pipeline_spark.functions import round_half_up
+    from nyc_etl_pipeline_spark.operators.text import ngrams_from_tokens, tokens
+
+    toks = docs.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    totals = uni.agg(F.sum("c").alias("t_tokens"))
+    big = (
+        toks.select(F.explode(ngrams_from_tokens(F.col("toks"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("double").alias("c_ab"))
+    )
+    btot = big.agg(F.sum("c_ab").alias("t_bigrams"))
+    cand = big.filter(F.col("c_ab") >= min_count).select(
+        "bigram",
+        "c_ab",
+        F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        (F.col("c_ab") / F.col("t_bigrams"))
+        / ((F.col("c_a") / F.col("t_tokens")) * (F.col("c_b") / F.col("t_tokens")))
+    )
+    return (
+        cand.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "bigram",
+            F.col("c_ab").cast("long").alias("n_pair"),
+            round_half_up(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(top_k)
+    )

@@ -163,3 +163,92 @@ def observed_write(
     observed = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
     write_fn(observed)
     return obs.get
+
+
+def expectations(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[list[str]] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    accepted: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Declarative data-quality checks (the dbt-test / Deequ
+    constraint surface): each rule yields one (rule, column,
+    n_violations) row; a clean table is all zeros. Integer-only
+    output.
+
+    Scale shape: every not_null / range / accepted rule folds into ONE
+    conditional-sum pass over the table (a single partial+final agg,
+    no per-rule scan); each uniqueness rule is its own group-by
+    (distinct key sets need their own shuffles by nature). Violations
+    are COUNTED, not materialized — the report is O(rules), never
+    O(rows); chase individual offenders with a filter once a count is
+    non-zero.
+    """
+    import functools
+    import operator as _op
+
+    conds: list[tuple[str, str, F.Column]] = []
+    for c in not_null or []:
+        conds.append(("not_null", c, F.col(c).isNull()))
+    for c, (lo, hi) in (ranges or {}).items():
+        conds.append(
+            ("range", c, ~F.col(c).between(lo, hi) | F.col(c).isNull())
+        )
+    for c, vals in (accepted or {}).items():
+        conds.append(("accepted_values", c, ~F.col(c).isin(vals) | F.col(c).isNull()))
+
+    parts: list[DataFrame] = []
+    if conds:
+        aggs = [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"__{i}")
+            for i, (_, _, cond) in enumerate(conds)
+        ]
+        one_pass = df.agg(*aggs)
+        rows = [
+            one_pass.select(
+                F.lit(rule).alias("rule"),
+                F.lit(col).alias("column"),
+                F.col(f"__{i}").alias("n_violations"),
+            )
+            for i, (rule, col, _) in enumerate(conds)
+        ]
+        parts.append(functools.reduce(lambda a, b: a.unionByName(b), rows))
+    for key in unique or []:
+        dup = (
+            df.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).cast("long").alias("n_violations"))
+            .select(
+                F.lit("unique").alias("rule"),
+                F.lit(",".join(key)).alias("column"),
+                "n_violations",
+            )
+        )
+        parts.append(dup)
+    if not parts:
+        raise ValueError("no expectation rules given")
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Orphan count: child rows whose key has no parent — a left-anti
+    join reduced to a single count row, same (rule, column,
+    n_violations) shape as `expectations` for unioning into one
+    report. NULL child keys are not orphans (SQL FK semantics)."""
+    orphans = (
+        child.filter(F.col(child_key).isNotNull())
+        .join(parent, F.col(child_key) == parent[parent_key], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    )
+    return orphans.select(
+        F.lit("ref_integrity").alias("rule"),
+        F.lit(child_key).alias("column"),
+        "n_violations",
+    )

@@ -201,6 +201,65 @@ WHERE rn = 1""",
 assert _Q112_SQL != _Q41_SQL, "q112 oracle failed to extend q41's CTEs"
 
 
+def q117_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report (the dbt-test / Deequ surface):
+    null/range/accepted-values rules fold into one conditional-sum
+    pass over orders, uniqueness its own group-by, plus a
+    lineitem→orders orphan check — all COUNTED, never materialized
+    (operators/quality.expectations)."""
+    from nyc_etl_pipeline_spark.operators.quality import (
+        expectations,
+        referential_integrity,
+    )
+
+    o = read_testdata(spark, sf_dir, "orders")
+    li = read_testdata(spark, sf_dir, "lineitem")
+    report = expectations(
+        o,
+        not_null=["o_custkey", "o_orderdate"],
+        unique=[["o_orderkey"]],
+        ranges={"o_totalprice": (0.0, 1_000_000.0)},
+        accepted={"o_orderpriority": [
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+        ]},
+    )
+    orphans = referential_integrity(li, o, "l_orderkey", "o_orderkey")
+    return report.unionByName(orphans)
+
+
+_Q117_SQL = """
+SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'not_null', 'o_orderdate',
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'range', 'o_totalprice',
+       CAST(sum(CASE WHEN NOT (o_totalprice BETWEEN 0.0 AND 1000000.0)
+                       OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'accepted_values', 'o_orderpriority',
+       CAST(sum(CASE WHEN o_orderpriority NOT IN
+                  ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+                       OR o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique', 'o_orderkey',
+       CAST(coalesce((SELECT sum(n - 1) FROM (
+         SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+       )), 0) AS BIGINT)
+UNION ALL
+SELECT 'ref_integrity', 'l_orderkey',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE l.l_orderkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+"""
+
+
 SPECS = [
     QuerySpec("q41_neardup_clusters", q41_neardup_clusters, _Q41_SQL,
               "connected-components canonical-doc selection over near-dup pairs"),
@@ -211,4 +270,6 @@ SPECS = [
               "exact percentiles via spillable distributed sort (same oracle as q42)"),
     QuerySpec("q112_cluster_canonical", q112_cluster_canonical, _Q112_SQL,
               "dedup keep-best: canonical doc per near-dup cluster"),
+    QuerySpec("q117_dq_expectations", q117_dq_expectations, _Q117_SQL,
+              "declarative data-quality expectations report"),
 ]

@@ -136,6 +136,55 @@ GROUP BY doc_id
 """
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 25
+
+
+def q116_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by PMI over adjacent word pairs — phrase
+    mining for tokenizer vocabulary induction (operators/lm.py)."""
+    from nyc_etl_pipeline_spark.operators.lm import pmi_collocations
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=PMI_MIN_COUNT, top_k=PMI_TOP_K)
+
+
+def _pmi_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT {_TOK} AS t FROM documents WHERE trim(text) <> ''
+),
+uni AS (
+  SELECT w, CAST(count(*) AS DOUBLE) AS c FROM (SELECT unnest(t) AS w FROM toks)
+  GROUP BY 1
+),
+totals AS (SELECT sum(c) AS t_tokens FROM uni),
+big AS (
+  SELECT bigram, CAST(count(*) AS DOUBLE) AS c_ab FROM (
+    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+           AS bigram
+    FROM toks
+  ) GROUP BY 1
+),
+btot AS (SELECT sum(c_ab) AS t_bigrams FROM big),
+cand AS (
+  SELECT bigram, c_ab,
+         string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2
+  FROM big WHERE c_ab >= {PMI_MIN_COUNT}
+)
+SELECT bigram,
+       CAST(c_ab AS BIGINT) AS n_pair,
+       floor((ln((c_ab / t_bigrams) / ((ua.c / t_tokens) * (ub.c / t_tokens)))) * 1000000.0 + 0.5) / 1000000.0 AS pmi
+FROM cand
+JOIN uni ua ON cand.w1 = ua.w
+JOIN uni ub ON cand.w2 = ub.w
+CROSS JOIN totals CROSS JOIN btot
+ORDER BY pmi DESC, bigram ASC
+LIMIT {PMI_TOP_K}
+"""
+
+
 SPECS = [
     QuerySpec("q109_bm25_topk", q109_bm25_topk, _bm25_sql(),
               "BM25 top-k retrieval (broadcast stats, filtered postings)"),
@@ -145,4 +194,6 @@ SPECS = [
               "deterministic weighted sample (Efraimidis-Spirakis A-Res)"),
     QuerySpec("q113_unigram_nll", q113_unigram_nll, _nll_sql(),
               "perplexity-proxy scores under the corpus unigram LM"),
+    QuerySpec("q116_pmi_collocations", q116_pmi_collocations, _pmi_sql(),
+              "PMI collocation mining over adjacent word pairs"),
 ]

@@ -101,3 +101,47 @@ def test_canonical_per_cluster_keeps_longest(spark):
     # cluster 1: docs 2 and 3 tie at 30 chars -> lowest id (2) wins
     assert out[1].doc_id == 2 and out[1].cluster_size == 3
     assert out[4].doc_id == 4 and out[4].cluster_size == 1
+
+
+def test_pmi_ranks_planted_collocation_first(spark):
+    from nyc_etl_pipeline_spark.operators.lm import pmi_collocations
+
+    # "alpha beta" always adjacent; filler words use INDEPENDENT
+    # coordinates (i mod 7 vs i div 7) so no filler bigram is
+    # perfectly correlated the way the planted pair is
+    rows = [(i, f"alpha beta x{i % 7} y{i // 7} common common") for i in range(49)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = pmi_collocations(docs, min_count=5, top_k=3).collect()
+    assert top[0].bigram == "alpha beta", top
+    assert top[0].n_pair == 49
+
+
+def test_expectations_counts_planted_violations(spark):
+    from nyc_etl_pipeline_spark.operators.quality import (
+        expectations,
+        referential_integrity,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A", 100),
+            (1, -5.0, "B", None),   # dup key, range violation, null ref
+            (2, 20.0, "Z", 300),    # bad accepted value
+            (3, None, "A", 999),    # null price
+        ],
+        "k long, price double, status string, fk long",
+    )
+    rep = {(r.rule, r.column): r.n_violations for r in expectations(
+        df,
+        not_null=["price"],
+        unique=[["k"]],
+        ranges={"price": (0.0, 100.0)},
+        accepted={"status": ["A", "B"]},
+    ).collect()}
+    assert rep[("not_null", "price")] == 1
+    assert rep[("unique", "k")] == 1          # one extra row beyond the first
+    assert rep[("range", "price")] == 2       # -5.0 and NULL
+    assert rep[("accepted_values", "status")] == 1
+    parent = spark.createDataFrame([(100,), (300,)], "pk long")
+    ri = referential_integrity(df, parent, "fk", "pk").first()
+    assert ri.n_violations == 1               # 999 orphan; NULL fk not counted
