@@ -2,18 +2,26 @@
 table — the composition the individual operators exist for:
 
   1. exact dedup            (digest group-by; q17 semantics)
-  2. near-dup clustering    (n-gram Jaccard pairs -> connected
-                             components; keep cluster representative)
+  2. near-dup keep-best     (n-gram Jaccard pairs -> connected
+                             components -> canonical_per_cluster:
+                             the LONGEST member survives, not an
+                             arbitrary min-id; q112 semantics)
   3. decontamination        (n-gram overlap vs a benchmark corpus)
   4. quality + language     (JVM-side scoring; keep en docs >= cutoff)
-  5. PII redaction          (email/phone/SSN -> typed placeholders)
-  6. normalization          (canonical text for downstream hashing)
-  7. per-source rebalance   (deterministic per-key top-N cap — no
+  5. LM outlier gate        (unigram-NLL perplexity proxy vs the
+                             corpus's own model; q113 semantics —
+                             drops statistical outliers the
+                             feature-based score misses)
+  6. PII redaction          (email/phone/SSN -> typed placeholders)
+  7. normalization          (canonical text for downstream hashing)
+  8. per-source rebalance   (deterministic per-key top-N cap — no
                              domain may dominate the corpus)
-  8. deterministic split    (train/val/test, portable hash — stable
+  9. weighted downsample    (optional corpus-size target: A-Res
+                             quality-weighted sample, q111 semantics)
+ 10. deterministic split    (train/val/test, portable hash — stable
                              under growth and retries)
-  9. partitioned write      (split-partitioned parquet lakehouse dir)
- 10. context chunking       (fixed-stride windows, the pre-tokenizer
+ 11. partitioned write      (split-partitioned parquet lakehouse dir)
+ 12. context chunking       (fixed-stride windows, the pre-tokenizer
                              shape — `chunk_split` on any split)
 
 Every stage is a pure DataFrame transform from `operators/`; the whole
@@ -47,6 +55,7 @@ QUALITY_CUTOFF = 0.5
 CONTAM_THRESHOLD = 0.5
 NGRAM_N = 3
 JACCARD_THRESHOLD = 0.5
+NLL_CUTOFF = 8.0  # drop docs whose mean unigram NLL exceeds this (outliers)
 
 
 def curate(
@@ -55,17 +64,21 @@ def curate(
     quality_cutoff: float = QUALITY_CUTOFF,
     langs: tuple[str, ...] = ("en",),
     per_source_cap: int | None = None,
+    target_corpus_size: int | None = None,
 ) -> dict[str, DataFrame]:
     """documents(doc_id, text, ...) -> {split: curated DataFrame}."""
+    from nyc_etl_pipeline_spark.operators.lm import unigram_nll_scores
+
     # 1. exact dedup: keep the canonical (min-id) copy of each digest
     canon = D.exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
     docs1 = docs.join(canon, on="doc_id", how="left_semi")
 
-    # 2. near-dup clustering: keep each cluster's representative
+    # 2. near-dup keep-best: the longest member of each cluster
+    # survives (id tie-break) — q112 semantics
     pairs = D.ngram_jaccard_pairs(docs1, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
     clusters = D.neardup_clusters(docs1, pairs)
-    reps = clusters.filter(F.col("doc_id") == F.col("cluster_rep")).select("doc_id")
-    docs2 = docs1.join(reps, on="doc_id", how="left_semi")
+    best = D.canonical_per_cluster(docs1, clusters, score_col="n_chars").select("doc_id")
+    docs2 = docs1.join(best, on="doc_id", how="left_semi")
 
     # 3. decontamination vs the benchmark corpus
     contam = D.contamination_scores(
@@ -74,24 +87,43 @@ def curate(
     clean_ids = contam.filter(~F.col("is_contaminated")).select("doc_id")
     docs3 = docs2.join(clean_ids, on="doc_id", how="left_semi")
 
-    # 4-6. scalar gauntlet: quality gate, language gate, redact, normalize
-    curated = (
+    # 4. feature-based quality + language gates (fused into one
+    # codegen projection with the later scalar stages)
+    gated = (
         docs3.withColumn("quality", TX.quality_score(F.col("text")))
         .withColumn("lang_pred", TX.lang_id(F.col("text")))
         .filter((F.col("quality") >= quality_cutoff) & F.col("lang_pred").isin(*langs))
-        .withColumn("text_redacted", TX.redact_pii(F.col("text")))
+    )
+
+    # 5. LM outlier gate: perplexity-proxy NLL under the surviving
+    # corpus's own unigram model — statistical outliers (wrong
+    # character set, boilerplate soup) score far above the corpus mean
+    nll = unigram_nll_scores(gated).select("doc_id", "nll")
+    gated = gated.join(nll, "doc_id").filter(F.col("nll") <= NLL_CUTOFF)
+
+    # 6-7. redact + normalize
+    curated = (
+        gated.withColumn("text_redacted", TX.redact_pii(F.col("text")))
         .withColumn("text_norm", TX.normalize_text(F.col("text_redacted")))
         .withColumn("n_tokens", TX.whitespace_token_count(F.col("text_norm")))
     )
 
-    # 7. per-source rebalance: cap any one source's share (deterministic
+    # 8. per-source rebalance: cap any one source's share (deterministic
     # md5 priority, so re-runs and retries keep the same docs)
     if per_source_cap is not None:
         curated = sampling.per_key_topn_sample(
             curated, ["source"], per_source_cap, ["doc_id"]
         ).drop("sample_rank")
 
-    # 8. deterministic split (portable: auditable outside Spark)
+    # 9. optional weighted downsample to a target corpus size — longer
+    # (already-quality-gated) documents are proportionally likelier to
+    # survive; deterministic under retries (A-Res on the portable md5)
+    if target_corpus_size is not None:
+        curated = sampling.weighted_sample(
+            curated, ["doc_id"], "n_tokens", target_corpus_size
+        )
+
+    # 10. deterministic split (portable: auditable outside Spark)
     return sampling.split(
         curated, ["doc_id"], {"train": 0.9, "val": 0.05, "test": 0.05}, portable=True
     )

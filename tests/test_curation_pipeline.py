@@ -107,3 +107,30 @@ def test_curation_rebalance_and_chunking(spark, sf_dir):
     for did, parts in by_doc.items():
         rebuilt = "".join(p[:150] for p in parts[:-1]) + parts[-1]
         assert rebuilt == texts[did], did
+
+
+def test_curation_weighted_downsample_and_nll_gate(spark, sf_dir):
+    mod = _load()
+    docs = read_testdata(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0)
+    candidates = docs.filter(F.col("doc_id") % 17 != 0)
+
+    target = 100
+    splits = mod.curate(candidates, benchmark, target_corpus_size=target)
+    frames = list(splits.values())
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    union = union.cache()
+    n = union.count()
+    assert 0 < n <= target
+    # NLL gate: every survivor's score is within the cutoff
+    assert union.filter(F.col("nll") > mod.NLL_CUTOFF).count() == 0
+    # deterministic: the same curate call keeps the same documents
+    again = mod.curate(candidates, benchmark, target_corpus_size=target)
+    au = list(again.values())[0]
+    for f in list(again.values())[1:]:
+        au = au.unionByName(f)
+    ids_a = {r.doc_id for r in union.select("doc_id").collect()}
+    ids_b = {r.doc_id for r in au.select("doc_id").collect()}
+    assert ids_a == ids_b
