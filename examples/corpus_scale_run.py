@@ -1,0 +1,129 @@
+"""Corpus-scale probe: the LLM-pipeline operators at volume.
+
+Synthesizes N documents (default 1M, ~60 tokens each — tens of GB of
+text at the default) ENTIRELY executor-side with Spark column
+expressions (no storage, no Python loop, deterministic under
+retries), planting exact duplicates and trailing-token near-dup
+mutations, then times each pipeline operator at that scale:
+
+  exact dedup, MinHash+LSH near-dup pairs, SimHash near-dup pairs,
+  BM25 top-k, unigram-NLL scoring, weighted sampling.
+
+The point is scale EVIDENCE, not correctness (the sf oracle gate does
+correctness): each operator's runtime here is the single-node bound a
+1000-executor cluster divides. Prints one line per op.
+
+Usage: python examples/corpus_scale_run.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark import get_spark
+
+VOCAB = 2000        # distinct fake words
+DOC_TOKENS = 60     # tokens per document
+DUP_EVERY = 50      # id % DUP_EVERY == 1 -> exact copy of id-1
+NEAR_EVERY = 10     # id % NEAR_EVERY == 2 -> near-dup of id-2 (tail mutated)
+
+
+def synth_docs(spark: SparkSession, n_docs: int, seed: int = 11) -> DataFrame:
+    """Deterministic word-soup corpus with planted duplicate structure.
+
+    Each token is vocab word `w<k>` with k = xxhash64(base, i, seed) %
+    VOCAB, built by a JVM-side transform over a sequence — generation
+    runs at scan speed on executors. Exact dups share their neighbor's
+    base id entirely; near-dups share the base for the first 5/6 of
+    tokens and mutate the tail.
+    """
+    base = (
+        F.when(F.col("id") % DUP_EVERY == 1, F.col("id") - 1)
+        .otherwise(F.when(F.col("id") % NEAR_EVERY == 2, F.col("id") - 2)
+                   .otherwise(F.col("id")))
+    )
+    mutated_from = F.when(
+        (F.col("id") % NEAR_EVERY == 2) & (F.col("id") % DUP_EVERY != 1), F.col("id")
+    ).otherwise(F.col("__base"))
+    cut = int(DOC_TOKENS * 5 / 6)
+    word = lambda src, i: F.concat(  # noqa: E731
+        F.lit("w"), F.pmod(F.xxhash64(src, i, F.lit(seed)), F.lit(VOCAB))
+    )
+    return (
+        spark.range(n_docs)
+        .withColumn("__base", base)
+        .withColumn("__mut", mutated_from)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(DOC_TOKENS)),
+                    lambda i: F.when(i <= cut, word(F.col("__base"), i)).otherwise(
+                        word(F.col("__mut"), i)
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    spark = get_spark(
+        app_name="corpus-scale-probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    from nyc_etl_pipeline_spark.operators import dedup as D
+    from nyc_etl_pipeline_spark.operators.lm import unigram_nll_scores
+    from nyc_etl_pipeline_spark.operators.retrieval import bm25_topk
+    from nyc_etl_pipeline_spark.operators.sampling import weighted_sample
+
+    docs = synth_docs(spark, n_docs).persist()
+    t0 = time.perf_counter()
+    n = docs.count()
+    print(f"synth+persist: {n:,} docs in {time.perf_counter() - t0:.1f}s")
+
+    def timed(label: str, fn):
+        t = time.perf_counter()
+        out = fn()
+        print(f"{label}: {out} in {time.perf_counter() - t:.1f}s")
+
+    timed("exact_dedup", lambda: f"{D.exact_dedup(docs).count():,} digests")
+    timed(
+        "minhash_lsh_pairs",
+        lambda: f"{D.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.5).count():,} pairs",
+    )
+    # 16-bit blocks (n_blocks=4): at 1M docs the default 8-bit blocks
+    # leave only 256 buckets per block (~4k docs each -> ~10^10
+    # candidate pairs, a quadratic collapse); 65536 buckets keep the
+    # bucket join linear-ish. The price is recall only to Hamming<=3.
+    timed(
+        "simhash_near_pairs",
+        lambda: f"{D.simhash_near_pairs(docs, max_hamming=3, n_blocks=4).count():,} pairs",
+    )
+    timed(
+        "bm25_topk",
+        lambda: f"top-{bm25_topk(docs, ['w0', 'w1', 'w2', 'w3'], k=25).count()}",
+    )
+    timed(
+        "unigram_nll",
+        lambda: "avg nll %.4f" % unigram_nll_scores(docs).agg(F.avg("nll")).first()[0],
+    )
+    timed(
+        "weighted_sample",
+        lambda: f"{weighted_sample(docs, ['doc_id'], 'n_chars', 10_000).count():,} sampled",
+    )
+    docs.unpersist()
+
+
+if __name__ == "__main__":
+    main()

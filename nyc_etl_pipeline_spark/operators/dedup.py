@@ -559,6 +559,14 @@ def simhash_near_pairs(
     pigeonhole), then verified with bit_count on the XOR.
 
     Default 8 blocks of 8 bits guarantees recall for max_hamming <= 7.
+
+    SCALE KNOB — block width bounds the bucket count: 8-bit blocks
+    give only 256 buckets per block, so past ~10^5 documents every
+    bucket holds thousands of docs and the candidate join goes
+    quadratic (measured: 17 s at 100k docs, runaway at 1M). For large
+    corpora use n_blocks=4 (16-bit blocks, 65536 buckets — recall to
+    Hamming <= 3), or move to a 128-bit signature if both wide blocks
+    and a high Hamming budget are required.
     """
     if max_hamming > n_blocks - 1:
         raise ValueError("block trick guarantees recall only for max_hamming <= n_blocks-1")

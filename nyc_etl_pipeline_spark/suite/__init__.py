@@ -95,8 +95,19 @@ def all_specs() -> list[QuerySpec]:
         + graphq.SPECS
     )
     # Stable partition: never-driver-checked first (so they land inside the
-    # driver's 50-query window), previously-green rows after.
-    fresh = [s for s in specs if s.name not in _DRIVER_CHECKED]
+    # driver's 50-query window), previously-green rows after. Within the
+    # fresh block, LOWEST query number first — when fresh queries outnumber
+    # the window, the ones waiting longest for driver evidence win a slot
+    # and this round's additions (which just earned fresh local-sweep runs)
+    # wait for the next rotation.
+    def _qnum(name: str) -> int:
+        digits = "".join(ch for ch in name.split("_")[0] if ch.isdigit())
+        return int(digits) if digits else 10**6
+
+    fresh = sorted(
+        (s for s in specs if s.name not in _DRIVER_CHECKED),
+        key=lambda s: _qnum(s.name),
+    )
     seen = [s for s in specs if s.name in _DRIVER_CHECKED]
     return fresh + seen
 
