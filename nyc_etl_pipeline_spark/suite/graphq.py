@@ -145,9 +145,57 @@ FROM deg LEFT JOIN per_node ON deg.node = per_node.node
 """
 
 
+# q118 — hop-bounded BFS over the strong trade subgraph via a
+# RECURSIVE CTE. The SAME SQL text runs on BOTH engines (Spark 4.1
+# ships WITH RECURSIVE; the query is written in the ANSI intersection
+# of the two dialects) — the strongest possible SQL-surface parity
+# statement: not a re-expression, the identical query. Recursion is
+# hop-bounded (r.hop < 3) so the cyclic graph terminates under UNION
+# ALL on both engines; min(hop) per node is the BFS distance.
+_Q118_SQL = """
+WITH RECURSIVE w_edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+strong AS (
+  SELECT src, dst FROM w_edges WHERE w >= (SELECT avg(w) FROM w_edges)
+),
+und AS (
+  SELECT src, dst FROM strong UNION SELECT dst, src FROM strong
+),
+reach(node, hop) AS (
+  SELECT CAST(13 AS INTEGER) AS node, CAST(0 AS INTEGER) AS hop
+  UNION ALL
+  SELECT CAST(u.dst AS INTEGER), CAST(r.hop + 1 AS INTEGER)
+  FROM reach r JOIN und u ON u.src = r.node
+  WHERE r.hop < 3
+)
+SELECT CAST(node AS INTEGER) AS nationkey, CAST(min(hop) AS INTEGER) AS dist
+FROM reach
+GROUP BY node
+"""
+
+
+def q118_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS distances from nation 13 (well-connected at every SF) over the strong trade subgraph —
+    executed as the IDENTICAL recursive SQL the DuckDB oracle runs
+    (see _Q118_SQL). The iterative DataFrame formulations of the same
+    idea are q76 (PageRank) and q41/q52 (connected components); this
+    entry pins the declarative recursive-CTE surface itself."""
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        read_testdata(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q118_SQL)
+
+
 SPECS = [
     QuerySpec("q76_pagerank_nations", q76_pagerank_nations, _q76_sql(),
               "fixed-point weighted PageRank, integer-exact oracle"),
     QuerySpec("q114_triangle_clustering", q114_triangle_clustering, _Q114_SQL,
               "degree-ordered triangle counting + clustering coefficient"),
+    QuerySpec("q118_recursive_bfs", q118_recursive_bfs, _Q118_SQL,
+              "hop-bounded BFS via WITH RECURSIVE — same SQL on both engines"),
 ]
