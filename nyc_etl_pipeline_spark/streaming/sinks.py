@@ -153,3 +153,33 @@ def committed_view(spark, url: str, table: str, properties: dict[str, str], sink
         )
         .drop("__attempt")
     )
+
+
+def stream_to_warehouse(
+    df: DataFrame,
+    warehouse,
+    table: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming append into a Warehouse parquet table
+    via Spark's FILE sink — the streaming half of the lakehouse write
+    path. Unlike the JDBC sink above, no hand-rolled commit log is
+    needed: the file sink's checkpoint + _spark_metadata transaction
+    log makes replayed batches idempotent BY PROTOCOL (a batch's files
+    are only visible once its metadata entry commits), and a restart
+    from the same checkpoint resumes exactly where it stopped.
+
+    Returns the started StreamingQuery; caller awaits termination.
+    available_now=True drains everything currently available then
+    stops — the incremental-batch trigger a scheduled ingest job uses.
+    """
+    writer = (
+        df.writeStream.format(warehouse.table_format)
+        .option("path", warehouse.path(table))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

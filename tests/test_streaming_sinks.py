@@ -99,3 +99,42 @@ def test_warehouse_compaction(spark, sf_dir, tmp_path):
     n_after = len(glob.glob(wh.path("orders_frag") + "/*.parquet"))
     assert n_after < 5
     assert wh.read("orders_frag").count() == o.count()
+
+
+def test_stream_to_warehouse_exactly_once_across_restart(spark, sf_dir, tmp_path):
+    """The file sink's checkpoint + _spark_metadata protocol must make
+    (a) a re-run with no new data a no-op, and (b) a restart after new
+    files arrive append ONLY the new events — never replays."""
+    from nyc_etl_pipeline_spark.streaming.events import open_event_stream
+    from nyc_etl_pipeline_spark.streaming.sinks import stream_to_warehouse
+
+    events = read_testdata(spark, sf_dir, "events")
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    src = tmp_path / "src"
+    src.mkdir()
+    half1.write.parquet(str(src / "a"))
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = open_event_stream(spark, f"{str(src)}/*", sample=str(src / "a"))
+        q = stream_to_warehouse(stream, wh, "events_ingest", ckpt)
+        q.awaitTermination()
+
+    run_once()
+    n1 = wh.read("events_ingest").count()
+    assert n1 == half1.count()
+
+    run_once()  # restart with NO new data: must not duplicate
+    assert wh.read("events_ingest").count() == n1
+
+    half2.write.parquet(str(src / "b"))
+    run_once()  # restart with new files: appends exactly the delta
+    assert wh.read("events_ingest").count() == events.count()
+    # no event ingested twice
+    dup = (
+        wh.read("events_ingest").groupBy("event_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
