@@ -14,6 +14,8 @@ correctness): each operator's runtime here is the single-node bound a
 1000-executor cluster divides. Prints one line per op.
 
 Usage: python examples/corpus_scale_run.py [n_docs]
+(set SPARK_GRAFT_DRIVER_MEM=24g for n_docs >= 1M — the signature
+persists outgrow the 4g local default)
 """
 
 from __future__ import annotations

@@ -264,3 +264,21 @@ def test_compact_survives_renameless_fs(spark, sf_dir, tmp_path):
         wh.compact("t")
     wh._fs = lambda p: orig(wh, p)
     assert wh.read("t").count() == n
+
+
+def test_warehouse_size_bytes_tracks_data(spark, sf_dir, tmp_path):
+    from nyc_etl_pipeline_spark.io import Warehouse, read_testdata
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    o = read_testdata(spark, sf_dir, "orders")
+    wh.overwrite(o.limit(100), "t_small")
+    wh.overwrite(o, "t_big")
+    small, big = wh.size_bytes("t_small"), wh.size_bytes("t_big")
+    assert 0 < small < big
+    import os
+    real = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(wh.path("t_big")) for f in fs
+        if not f.startswith(".")
+    )
+    assert big == real
