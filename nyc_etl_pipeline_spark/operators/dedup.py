@@ -102,6 +102,74 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(k >= n, grams).otherwise(F.array().cast("array<string>")))
 
 
+def positional_windows(toks: Column, k: int) -> Column:
+    """ALL contiguous k-token windows of a materialized token array —
+    positional, NOT distinct (the same passage appearing twice in one
+    document yields two windows). Same element_at assembly as
+    `shingles_from_tokens` (see its docstring for why `toks` must be a
+    staged projection); the only difference is the absence of
+    array_distinct, because passage-level dedup counts *occurrences*."""
+    m = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(m - k, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )
+    return F.when(m >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def duplicated_passage_stats(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-level exact duplicate detection: how much of each
+    document consists of k-token passages that also appear verbatim in
+    at least one OTHER document.
+
+    The sub-document analogue of exact dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"
+    approximated at fixed window granularity instead of suffix
+    arrays): a window is "duplicated" when its k-gram hash occurs in
+    >= 2 distinct documents. Returns one row per document with >= 1
+    window: (doc_id, n_windows, n_dup_windows, dup_frac).
+
+    Scale shape: windows are built per-row inside a `transform` (no
+    token-array duplication through the explode), keyed by the 60-bit
+    `md5_long` hash (8-byte shuffle keys, oracle-reproducible). Two
+    hash-partitioned aggregations + one equi-join on the hash — the
+    duplicated-hash set is a tiny fraction of all windows, and AQE
+    handles hot-window skew. No per-group buffering anywhere.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t"))
+    # Windows table feeds BOTH the duplicated-hash set and the per-doc
+    # rollup; persist so the explode+hash runs once (same rationale as
+    # ngram_jaccard_pairs; blocks freed by the ContextCleaner).
+    wins = (
+        toks.select("doc_id", F.explode(positional_windows(F.col("__t"), k)).alias("__w"))
+        .select("doc_id", md5_long("__w").alias("__h"))
+        .persist()
+    )
+    dup = (
+        wins.groupBy("__h")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__h", F.lit(1).alias("__dup"))
+    )
+    return (
+        wins.join(dup, on="__h", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).cast("bigint").alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            round_half_up(F.col("n_dup_windows") / F.col("n_windows"), 4),
+        )
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams of a raw text column. Column-level API —
     cannot stage a projection, so the token array is re-evaluated per

@@ -12,7 +12,7 @@ from nyc_etl_pipeline_spark.io import read_testdata
 from nyc_etl_pipeline_spark.operators import dedup as D
 from nyc_etl_pipeline_spark.operators import text as TX
 from nyc_etl_pipeline_spark.functions import round_half_up as R
-from nyc_etl_pipeline_spark.functions import sql_md5_long
+from nyc_etl_pipeline_spark.functions import sql_md5_long, sql_round_half_up
 from nyc_etl_pipeline_spark.suite import QuerySpec
 
 NGRAM_N = 3
@@ -419,6 +419,43 @@ WHERE {hamming} <= {SIMHASH_MAX_HAMMING}
 """
 
 
+# --------------------------------------------------------------------------
+# q119 — passage-level exact duplicate detection (k-token windows)
+# --------------------------------------------------------------------------
+
+PASSAGE_K = 8
+
+
+def q119_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-passage stats: the fraction of k-token
+    windows whose exact content also occurs in another document (the
+    sub-document dedup signal of Lee et al. 2021, window-granular)."""
+    return D.duplicated_passage_stats(
+        read_testdata(spark, sf_dir, "documents"), k=PASSAGE_K
+    )
+
+
+_Q119_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {PASSAGE_K - 1})) AS i
+  FROM toks WHERE len(t) >= {PASSAGE_K}
+),
+wins AS (
+  SELECT doc_id,
+         {sql_md5_long(f"array_to_string(list_slice(t, i, i + {PASSAGE_K - 1}), ' ')")} AS h
+  FROM pos
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       {sql_round_half_up("sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*)", 4)} AS dup_frac
+FROM wins w LEFT JOIN dup d ON w.h = d.h
+GROUP BY 1
+"""
+
+
 def q48_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-corpus dedup: docs with id >= 250 are the arriving
     batch, id < 250 the loaded corpus; survivors are batch docs whose
@@ -458,6 +495,8 @@ SPECS = [
               "hot-shingle-capped Jaccard (the web-scale configuration, oracle-gated)"),
     QuerySpec("q48_incremental_dedup", q48_incremental_dedup, _Q48_SQL,
               "batch-vs-corpus incremental dedup on digest index"),
+    QuerySpec("q119_passage_dedup", q119_passage_dedup, _Q119_SQL,
+              "passage-level exact dup detection (k-token window hashes)"),
     QuerySpec("q23_minhash_lsh_pairs", q23_minhash_lsh_pairs, _q23_sql(),
               "MinHash+LSH near-dup (md5-derived chain; oracle rebuilds bands)"),
     QuerySpec("q24_simhash_near_pairs", q24_simhash_near_pairs, _q24_sql(),

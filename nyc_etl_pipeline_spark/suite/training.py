@@ -18,6 +18,7 @@ from nyc_etl_pipeline_spark.functions import round_half_up as R
 from nyc_etl_pipeline_spark.functions import sql_round_half_up
 from nyc_etl_pipeline_spark.io import read_testdata
 from nyc_etl_pipeline_spark.operators import dedup as D
+from nyc_etl_pipeline_spark.operators import incremental as INC
 from nyc_etl_pipeline_spark.operators import packing
 from nyc_etl_pipeline_spark.operators import sampling
 from nyc_etl_pipeline_spark.operators import text as TX
@@ -498,6 +499,142 @@ FROM b
 """
 
 
+# --------------------------------------------------------------------------
+# q120 — incremental mart maintenance (mergeable partial aggregates)
+# --------------------------------------------------------------------------
+
+MART_CUTOFF = "1997-01-01"  # base batch < cutoff, delta batch >= cutoff
+MART_MEASURES = ["l_quantity", "l_extendedprice"]
+
+
+def q120_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly mart maintained INCREMENTALLY: lineitem is split at
+    MART_CUTOFF into an already-loaded base and an arriving delta;
+    each side produces mergeable per-(month, returnflag) partial
+    states (sum/cnt/min/max) which are merged and finalized. The
+    oracle aggregates the full table directly — hash equality proves
+    merge(partial(base), partial(delta)) == recompute(base ∪ delta),
+    the identity a 100 TB mart relies on to pay delta-sized cost."""
+    li = read_testdata(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_trunc("month", F.col("l_shipdate"))
+    )
+    keys = ["ship_month", "l_returnflag"]
+    cutoff = F.lit(MART_CUTOFF).cast("timestamp")
+    parts = [
+        INC.partial_aggregate(li.filter(F.col("l_shipdate") < cutoff), keys, MART_MEASURES),
+        INC.partial_aggregate(li.filter(F.col("l_shipdate") >= cutoff), keys, MART_MEASURES),
+    ]
+    return INC.finalize(INC.merge_partials(parts, keys, MART_MEASURES), MART_MEASURES)
+
+
+def _q120_sql() -> str:
+    per_measure = ",\n       ".join(
+        f"""{sql_round_half_up(f'sum({m})')} AS sum_{m},
+       CAST(count({m}) AS BIGINT) AS cnt_{m},
+       min({m}) AS min_{m},
+       max({m}) AS max_{m},
+       {sql_round_half_up(f'sum({m}) / count({m})')} AS avg_{m}"""
+        for m in MART_MEASURES
+    )
+    return f"""
+SELECT date_trunc('month', l_shipdate) AS ship_month,
+       l_returnflag,
+       count(*) AS n_rows,
+       {per_measure}
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q121 — week-over-week PSI distribution drift (pipeline monitoring)
+# --------------------------------------------------------------------------
+
+PSI_BIN_WIDTH = 50.0
+PSI_EPS = 1e-6
+
+
+def q121_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift of the `value` distribution,
+    week over week, per event_type — the monitoring signal a data
+    pipeline uses to catch upstream distribution shifts before they
+    poison a training set. Bins are fixed-width (value/50), PSI is
+    sum over bins of (p - q) * ln((p+eps)/(q+eps)) with epsilon
+    smoothing for bins present in only one week.
+
+    Scale shape: two hash aggregations (bin counts, week totals) and
+    one full-outer equi-join of consecutive-week distributions on
+    (event_type, bin) — all key-partitioned; the distributions
+    themselves are O(types x bins), tiny regardless of input rows."""
+    ev = read_testdata(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.weekofyear("ts").alias("wk"),
+        F.floor(F.col("value") / PSI_BIN_WIDTH).cast("int").alias("bin"),
+    )
+    cnt = binned.groupBy("event_type", "wk", "bin").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("event_type", "wk").agg(F.sum("c").alias("t"))
+    dist = cnt.join(tot, ["event_type", "wk"]).select(
+        "event_type", "wk", "bin", (F.col("c") / F.col("t")).alias("p")
+    )
+    # Weeks eligible for a comparison: those whose predecessor week
+    # also appears for the same event_type (inner join of week sets).
+    weeks = dist.select("event_type", "wk").distinct()
+    valid = weeks.join(
+        weeks.select("event_type", (F.col("wk") + 1).alias("wk")),
+        ["event_type", "wk"],
+    )
+    cur = dist.join(valid, ["event_type", "wk"], "left_semi")
+    prev = dist.select(
+        "event_type", (F.col("wk") + 1).alias("wk"), "bin", F.col("p").alias("q")
+    ).join(valid, ["event_type", "wk"], "left_semi")
+    j = cur.join(prev, ["event_type", "wk", "bin"], "full")
+    p = F.coalesce(F.col("p"), F.lit(0.0))
+    q = F.coalesce(F.col("q"), F.lit(0.0))
+    contrib = (p - q) * F.log((p + PSI_EPS) / (q + PSI_EPS))
+    return (
+        j.groupBy("event_type", "wk")
+        .agg(F.sum(contrib).alias("__psi"))
+        .select("event_type", "wk", R(F.col("__psi"), 4).alias("psi"))
+    )
+
+
+_Q121_SQL = f"""
+WITH binned AS (
+  SELECT event_type, CAST(weekofyear(ts) AS INTEGER) AS wk,
+         CAST(floor(value / {PSI_BIN_WIDTH}) AS INTEGER) AS bin
+  FROM events
+),
+cnt AS (SELECT event_type, wk, bin, count(*) AS c FROM binned GROUP BY 1, 2, 3),
+tot AS (SELECT event_type, wk, sum(c) AS t FROM cnt GROUP BY 1, 2),
+dist AS (
+  SELECT c.event_type, c.wk, c.bin, c.c * 1.0 / t.t AS p
+  FROM cnt c JOIN tot t ON c.event_type = t.event_type AND c.wk = t.wk
+),
+weeks AS (SELECT DISTINCT event_type, wk FROM dist),
+valid AS (
+  SELECT a.event_type, a.wk FROM weeks a
+  JOIN weeks b ON a.event_type = b.event_type AND a.wk = b.wk + 1
+),
+cur AS (SELECT d.* FROM dist d SEMI JOIN valid v ON d.event_type = v.event_type AND d.wk = v.wk),
+prev AS (
+  SELECT d.event_type, d.wk + 1 AS wk, d.bin, d.p AS q FROM dist d
+  WHERE EXISTS (SELECT 1 FROM valid v WHERE v.event_type = d.event_type AND v.wk = d.wk + 1)
+),
+j AS (
+  SELECT coalesce(cur.event_type, prev.event_type) AS event_type,
+         coalesce(cur.wk, prev.wk) AS wk,
+         coalesce(cur.p, 0.0) AS p, coalesce(prev.q, 0.0) AS q
+  FROM cur FULL JOIN prev
+    ON cur.event_type = prev.event_type AND cur.wk = prev.wk AND cur.bin = prev.bin
+)
+SELECT event_type, wk,
+       {sql_round_half_up(f'sum((p - q) * ln((p + {PSI_EPS}) / (q + {PSI_EPS})))', 4)} AS psi
+FROM j
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("q50_split_assign", q50_split_assign, _q50_sql(),
               "deterministic portable train/val/test split"),
@@ -521,4 +658,8 @@ SPECS = [
               "Gopher-style repetition signals (top-token / dup-bigram)"),
     QuerySpec("q68_shard_shuffle", q68_shard_shuffle, _q68_sql(),
               "deterministic shard shuffle for training-example order"),
+    QuerySpec("q120_incremental_mart", q120_incremental_mart, _q120_sql(),
+              "incremental mart via mergeable partial aggregates (merge == recompute)"),
+    QuerySpec("q121_psi_drift", q121_psi_drift, _Q121_SQL,
+              "week-over-week PSI distribution drift per event type"),
 ]

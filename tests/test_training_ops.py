@@ -683,3 +683,89 @@ def test_label_cohesion_perfect_and_split_clusters(spark):
     out = {r.label: r for r in label_cohesion(df).collect()}
     assert out[0].cohesion == 1.0 and out[0].n_vecs == 5
     assert abs(out[1].cohesion - 0.707107) < 1e-6 and out[1].n_vecs == 6
+
+
+# ---- passage-level dedup -------------------------------------------------
+
+def test_passage_dedup_planted_duplicate(spark):
+    """A 10-token passage planted verbatim in two docs is flagged in
+    both; a doc of unique tokens has zero duplicated windows; docs
+    shorter than k produce no row."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        Row(doc_id=1, text=f"{shared} one two three"),
+        Row(doc_id=2, text=f"zero {shared}"),
+        Row(doc_id=3, text="u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+        Row(doc_id=4, text="too short"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in D.duplicated_passage_stats(
+            spark.createDataFrame(rows), k=8
+        ).collect()
+    }
+    assert 4 not in out  # 2 tokens < k -> no windows
+    # doc 1: 13 tokens -> 6 windows; the first 3 (inside `shared`,
+    # which has 10 tokens -> windows at offsets 0..2) also occur in
+    # doc 2 -> 3 duplicated.
+    assert out[1]["n_windows"] == 6 and out[1]["n_dup_windows"] == 3
+    # doc 2: 11 tokens -> 4 windows; offsets 1..3 are inside shared.
+    assert out[2]["n_windows"] == 4 and out[2]["n_dup_windows"] == 3
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[1]["dup_frac"] == 0.5
+
+
+def test_passage_dedup_counts_repeats_within_doc(spark):
+    """A passage repeated twice in doc A and once in doc B counts BOTH
+    occurrences in A (positional windows, not distinct shingles)."""
+    p = "p1 p2 p3 p4 p5 p6 p7 p8"
+    rows = [
+        Row(doc_id=1, text=f"{p} x {p}"),
+        Row(doc_id=2, text=p),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in D.duplicated_passage_stats(
+            spark.createDataFrame(rows), k=8
+        ).collect()
+    }
+    # doc 1: 17 tokens -> 10 windows; exactly the two verbatim copies
+    # of p match doc 2 (windows straddling 'x' are unique).
+    assert out[1]["n_dup_windows"] == 2
+    assert out[2]["n_windows"] == 1 and out[2]["n_dup_windows"] == 1
+
+
+# ---- incremental mart maintenance ----------------------------------------
+
+def test_partial_merge_equals_direct_any_split(spark):
+    """merge(partials of ANY disjoint split) == partial(whole), incl.
+    null measures (cnt counts non-null; sum skips nulls) and a batch
+    contributing a brand-new key."""
+    from nyc_etl_pipeline_spark.operators import incremental as INC
+
+    rows = [
+        Row(k="a", x=1.0), Row(k="a", x=None), Row(k="a", x=2.5),
+        Row(k="b", x=4.0), Row(k="b", x=-1.0), Row(k="c", x=None),
+        Row(k="d", x=7.0),  # only ever in batch 3
+    ]
+    df = spark.createDataFrame(rows)
+    direct = INC.finalize(
+        INC.partial_aggregate(df, ["k"], ["x"]), ["x"]
+    ).orderBy("k").collect()
+    splits = [
+        df.filter(F.col("x") < 2),          # nulls excluded here...
+        df.filter(F.col("x") >= 2),
+        df.filter(F.col("x").isNull()),     # ...and arrive in their own batch
+    ]
+    merged = INC.finalize(
+        INC.merge_partials(
+            [INC.partial_aggregate(s, ["k"], ["x"]) for s in splits], ["k"], ["x"]
+        ),
+        ["x"],
+    ).orderBy("k").collect()
+    assert [r.asDict() for r in direct] == [r.asDict() for r in merged]
+    by_k = {r["k"]: r for r in merged}
+    assert by_k["a"]["n_rows"] == 3 and by_k["a"]["cnt_x"] == 2
+    assert by_k["a"]["avg_x"] == 1.75
+    assert by_k["c"]["cnt_x"] == 0 and by_k["c"]["sum_x"] is None
+    assert by_k["d"]["n_rows"] == 1
