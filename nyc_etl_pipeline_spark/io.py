@@ -190,7 +190,9 @@ class Warehouse:
     re-running a month is idempotent — fixing reference quirk Q6
     (append-only JDBC sinks, duplicated rows on re-run).
 
-    ``table_format`` defaults to parquet. Pass ``"delta"`` (requires
+    ``table_format`` defaults to parquet; ``"orc"`` uses Spark's
+    built-in ORC reader/writer (same predicate pushdown + dynamic
+    partition overwrite semantics). Pass ``"delta"`` (requires
     the optional delta-spark package — see ``delta_available``) for
     ACID commits: on object stores, parquet compact()'s rename-swap is
     not atomic, while a table format commits via its transaction log —
@@ -199,7 +201,7 @@ class Warehouse:
     ``configure_spark_with_delta_pip``)."""
 
     def __init__(self, spark: SparkSession, root: str, table_format: str = "parquet"):
-        if table_format not in ("parquet", "delta"):
+        if table_format not in ("parquet", "orc", "delta"):
             raise ValueError(f"unsupported table format: {table_format}")
         if table_format == "delta" and not delta_available():
             raise ImportError(
@@ -303,7 +305,10 @@ class Warehouse:
         jvm = self.spark._jvm
         for stale in (tmp, old):
             fs.delete(jvm.org.apache.hadoop.fs.Path(stale), True)
-        self.spark.read.parquet(path).repartition(n).write.parquet(tmp)
+        (
+            self.spark.read.format(self.table_format).load(path)
+            .repartition(n).write.format(self.table_format).save(tmp)
+        )
         if not fs.rename(hpath, jvm.org.apache.hadoop.fs.Path(old)):
             raise IOError(f"compact: could not move {path} aside")
         if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):

@@ -448,6 +448,57 @@ WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
 """
 
 
+# --------------------------------------------------------------------------
+# q122 — Z-order clustering key (multi-dimensional data-skipping layout)
+# --------------------------------------------------------------------------
+
+ZORDER_BITS = 16
+ZORDER_SAMPLE_MOD = 97  # keep the gated output to ~1/97 of lineitem
+
+
+def q122_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order clustering key the layout optimizer sorts by
+    (operators/layout.py): bucket l_partkey and l_suppkey into 2^16
+    ranks and interleave their bits. The key itself is pure integer
+    math, so the oracle replicates it bit-for-bit; the physical
+    data-skipping effect it exists for is measured in
+    tests/test_scale.py (per-row-group min/max width contract)."""
+    from nyc_etl_pipeline_spark.operators import layout
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    keyed = layout.zorder_key(li, "l_partkey", "l_suppkey", ZORDER_BITS)
+    return keyed.filter(F.col("l_orderkey") % ZORDER_SAMPLE_MOD == 0).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zkey"
+    )
+
+
+def _q122_sql() -> str:
+    from nyc_etl_pipeline_spark.operators.layout import (
+        sql_bucketize,
+        sql_interleave_bits,
+    )
+
+    b1 = sql_bucketize(
+        "l_partkey", "(SELECT min(l_partkey) FROM lineitem)",
+        "(SELECT max(l_partkey) FROM lineitem)", ZORDER_BITS,
+    )
+    b2 = sql_bucketize(
+        "l_suppkey", "(SELECT min(l_suppkey) FROM lineitem)",
+        "(SELECT max(l_suppkey) FROM lineitem)", ZORDER_BITS,
+    )
+    return f"""
+WITH keyed AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         {b1} AS b1, {b2} AS b2
+  FROM lineitem
+  WHERE l_orderkey % {ZORDER_SAMPLE_MOD} = 0
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       {sql_interleave_bits("b1", "b2", ZORDER_BITS)} AS zkey
+FROM keyed
+"""
+
+
 SPECS = [
     QuerySpec("q28_asof_join", q28_asof_join, _Q28_SQL,
               "as-of join (backward inclusive) via tagged-union window"),
@@ -468,4 +519,6 @@ SPECS = [
               "blocked fuzzy matching via levenshtein (entity resolution)"),
     QuerySpec("q69_window_gauntlet", q69_window_gauntlet, _Q69_SQL,
               "window gauntlet: lead/ntile/percent_rank/cume_dist/nth_value"),
+    QuerySpec("q122_zorder_key", q122_zorder_key, _q122_sql(),
+              "Z-order clustering key (Morton interleave of rank buckets)"),
 ]

@@ -282,3 +282,39 @@ def test_warehouse_size_bytes_tracks_data(spark, sf_dir, tmp_path):
         if not f.startswith(".")
     )
     assert big == real
+
+
+def test_warehouse_orc_format_end_to_end(spark, sf_dir, tmp_path):
+    """Warehouse(table_format='orc'): overwrite / read / append /
+    dynamic-partition overwrite / compact all work through the same
+    code paths as parquet (the format string is the only difference)."""
+    from nyc_etl_pipeline_spark.io import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "orc_wh"), table_format="orc")
+    orders = read_testdata(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    wh.overwrite(orders, "orders", partition_by=["o_year"])
+    assert wh.exists("orders")
+    assert wh.read("orders").count() == orders.count()
+
+    # dynamic partition overwrite: rewriting one year is idempotent
+    years = [r[0] for r in orders.select("o_year").distinct().collect()]
+    one_year = orders.filter(F.col("o_year") == years[0])
+    wh.overwrite_partitions(one_year, "orders", ["o_year"])
+    assert wh.read("orders").count() == orders.count()
+
+    # append then compact back to one file per spark partition set
+    wh.append(one_year, "orders", partition_by=["o_year"])
+    assert wh.read("orders").count() == orders.count() + one_year.count()
+    n = wh.compact("orders", target_file_mb=512)
+    assert n == 1
+    assert wh.read("orders").count() == orders.count() + one_year.count()
+
+
+def test_warehouse_rejects_unknown_format(spark, tmp_path):
+    import pytest
+    from nyc_etl_pipeline_spark.io import Warehouse
+
+    with pytest.raises(ValueError, match="unsupported table format"):
+        Warehouse(spark, str(tmp_path), table_format="avro")

@@ -102,3 +102,76 @@ def test_aqe_splits_skewed_join_partition(spark):
         left.join(right, "k").select(F.sum(F.col("v") + F.col("w")).alias("s")).collect()[0]["s"]
     )
     assert got == want
+
+
+# ---- Z-order layout: measured data-skipping contract ---------------------
+
+def _rowgroup_widths(path, cols):
+    """Per-row-group normalized (max-min)/full_range width for each
+    column, straight from parquet footer statistics — the exact
+    numbers a scan's row-group pruner uses."""
+    import glob
+    import pyarrow.parquet as pq
+
+    spans = {c: [] for c in cols}
+    full = {c: [None, None] for c in cols}
+    metas = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            row = {}
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in spans:
+                    st = col.statistics
+                    row[name] = (st.min, st.max)
+                    lo, hi = full[name]
+                    full[name] = [
+                        st.min if lo is None else min(lo, st.min),
+                        st.max if hi is None else max(hi, st.max),
+                    ]
+            metas.append(row)
+    out = {}
+    for c in cols:
+        lo, hi = full[c]
+        out[c] = [
+            (m[c][1] - m[c][0]) / max(1, hi - lo) for m in metas if c in m
+        ]
+    return out
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order-clustered parquet keeps row-group min/max ranges narrow
+    on BOTH interleaved columns; a single-column sort leaves the other
+    column's ranges at ~the full domain (no skipping possible). This
+    is the physical contract behind q122's key."""
+    from nyc_etl_pipeline_spark.operators import layout
+
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    z_path = str(tmp_path / "li_z")
+    lin_path = str(tmp_path / "li_lin")
+    layout.zorder_write(li, z_path, "l_partkey", "l_suppkey", n_files=16)
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(lin_path)
+    )
+
+    z = _rowgroup_widths(z_path, ["l_partkey", "l_suppkey"])
+    lin = _rowgroup_widths(lin_path, ["l_partkey", "l_suppkey"])
+
+    def avg(xs):
+        return sum(xs) / len(xs)
+
+    # Linear layout: partkey is tightly clustered, suppkey is not.
+    assert avg(lin["l_partkey"]) < 0.3
+    assert avg(lin["l_suppkey"]) > 0.8
+    # Z-order: BOTH dimensions materially narrower than the full
+    # domain -> a filter on either column can prune row groups.
+    assert avg(z["l_partkey"]) < 0.5
+    assert avg(z["l_suppkey"]) < 0.5
+    # And suppkey skipping is strictly better than the linear layout.
+    assert avg(z["l_suppkey"]) < avg(lin["l_suppkey"]) / 2
