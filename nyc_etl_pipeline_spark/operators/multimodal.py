@@ -114,6 +114,73 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
     return None
 
 
+def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Pure-python RIFF/WAVE header parse -> (n_channels, sample_rate,
+    bits_per_sample, n_frames), or None for malformed bytes. Walks the
+    chunk list (fmt before/after data both occur in the wild) — header
+    fields only, no sample decode, so no audio library is required."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if channels >= 1 and rate >= 1 and block_align >= 1:
+                fmt = (channels, rate, bits, block_align)
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize % 2)  # RIFF chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    channels, rate, bits, block_align = fmt
+    return channels, rate, bits, data_size // block_align
+
+
+AUDIO_META_SCHEMA = (
+    "asset_id long, media_type string, n_channels int, sample_rate int, "
+    "bits_per_sample int, n_frames long, duration_ms double, decode_ok boolean"
+)
+
+
+def decode_audio_meta(assets: DataFrame) -> DataFrame:
+    """Per-asset audio metadata decode via mapInPandas — the audio
+    sibling of `decode_image_meta`. WAV headers are parsed for real
+    (pure python, `parse_wav_header`); compressed formats (mp3/ogg)
+    would plug into the same loop with a real audio library and are
+    reported decode_ok=False here. Malformed bytes are data, not bugs.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, mt, payload in zip(pdf["asset_id"], pdf["media_type"], pdf["payload"]):
+                meta = (
+                    parse_wav_header(bytes(payload)) if payload is not None else None
+                )
+                if meta is None:
+                    out.append((aid, mt, None, None, None, None, None, False))
+                else:
+                    ch, rate, bits, frames = meta
+                    out.append(
+                        (aid, mt, ch, rate, bits, frames, frames * 1000.0 / rate, True)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "media_type", "n_channels", "sample_rate",
+                    "bits_per_sample", "n_frames", "duration_ms", "decode_ok",
+                ],
+            )
+
+    return assets.mapInPandas(decode, schema=AUDIO_META_SCHEMA)
+
+
 def fake_assets_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic binary asset table derived from the documents
     fixture (no real media in the container): payload = UTF-8 bytes of

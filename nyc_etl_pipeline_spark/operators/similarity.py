@@ -617,6 +617,60 @@ def lsh_bucketed_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style embedding dedup (Abbas et al. 2023): partition
+    the corpus into semantic buckets (sign-random-projection LSH, the
+    cheap stand-in for their k-means clustering), pick one
+    representative per bucket (min id — deterministic), and flag every
+    other member whose cosine to the representative exceeds
+    `threshold` for removal.
+
+    Returns the removal report for every NON-representative vector:
+    (id, bucket, rep_id, cosine, dropped). Representatives are always
+    kept and don't appear in the output.
+
+    Scale shape: unlike `lsh_bucketed_pairs`, this never joins a
+    bucket against itself — each member compares against exactly ONE
+    representative vector, so cost is linear in corpus size (one
+    bucketing projection, one small group-by for reps, two equi-joins)
+    regardless of bucket skew. That is the property that makes
+    semantic dedup runnable at 100 TB where pairwise in-bucket
+    rescoring is not.
+    """
+    dim = _probe_dim(df, vec_col, dim)
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__bucket", lsh_bucket(F.col("__v"), n_planes, dim))
+    reps = v.groupBy("__bucket").agg(F.min("__id").alias("rep_id"))
+    rep_vecs = (
+        v.join(reps, on="__bucket")
+        .filter(F.col("__id") == F.col("rep_id"))
+        .select("__bucket", "rep_id", F.col("__v").alias("__rv"))
+    )
+    cos = cosine(F.col("__v"), F.col("__rv"))
+    from nyc_etl_pipeline_spark.functions import round_half_up
+
+    return (
+        v.join(rep_vecs, on="__bucket")
+        .filter(F.col("__id") != F.col("rep_id"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__bucket").alias("bucket"),
+            "rep_id",
+            round_half_up(cos, 4).alias("cosine"),
+            (cos >= threshold).alias("dropped"),
+        )
+    )
+
+
 def label_cohesion(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -369,6 +369,39 @@ GROUP BY 1
 """
 
 
+SEMDEDUP_COSINE = 0.1  # random 64-dim cosines have sd ~0.125 -> real mix
+
+
+def q123_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style linear-cost embedding dedup: every vector is
+    compared against its LSH bucket's single representative (min id),
+    never pairwise — the removal report (cosine + dropped flag) is
+    fully replicated by the oracle from the same md5-derived
+    hyperplanes, so the semantic-dedup decision itself is gated."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, threshold=SEMDEDUP_COSINE, n_planes=LSH_PLANES)
+
+
+def _q123_sql() -> str:
+    planes = SIM.plane_sign_vectors(LSH_PLANES, EMB_DIM)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {planes[p]}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(LSH_PLANES)
+    )
+    cos = _COS_SQL.format(a="b.e", b="rv.re")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bk AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
+reps AS (SELECT bucket, min(vec_id) AS rep_id FROM bk GROUP BY 1),
+rv AS (SELECT r.bucket, r.rep_id, b.e AS re FROM reps r JOIN bk b ON b.vec_id = r.rep_id)
+SELECT b.vec_id, b.bucket, rv.rep_id,
+       floor(({cos}) * 10000.0 + 0.5) / 10000.0 AS cosine,
+       ({cos}) >= {SEMDEDUP_COSINE} AS dropped
+FROM bk b JOIN rv ON b.bucket = rv.bucket
+WHERE b.vec_id <> rv.rep_id
+"""
+
+
 SPECS = [
     QuerySpec("q25_embedding_topk", q25_embedding_topk, _Q25_SQL,
               "exact cosine top-k (broadcast queries, no corpus shuffle)"),
@@ -382,6 +415,8 @@ SPECS = [
               "SQ8 scalar-quantized top-k (deterministic, fully oracle-replicated)"),
     QuerySpec("q101_pq_clustered", q101_pq_clustered, _Q101_SQL,
               "PQ ADC retrieval on in-query clustered vectors (recall contract)"),
+    QuerySpec("q123_semantic_dedup", q123_semantic_dedup, _q123_sql(),
+              "SemDeDup-style linear embedding dedup vs bucket representative"),
     QuerySpec("q115_label_cohesion", q115_label_cohesion, _Q115_SQL,
               "per-label centroid cohesion (embedding cluster quality)"),
 ]

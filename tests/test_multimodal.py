@@ -143,3 +143,43 @@ def test_payload_stats_match_text_bytes(spark, sf_dir, assets):
     )
     bad = joined.filter(F.col("n_bytes") != F.col("text_bytes")).count()
     assert bad == 0
+
+
+def _wav_bytes(channels, rate, bits, n_frames, seed=0):
+    """Real WAV payload via the stdlib wave module (no codec libs)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(bits // 8)
+        w.setframerate(rate)
+        w.writeframes(bytes((seed + i) % 251 for i in range(n_frames * channels * (bits // 8))))
+    return buf.getvalue()
+
+
+def test_parse_wav_header_real_and_malformed():
+    ok = MM.parse_wav_header(_wav_bytes(2, 16000, 16, 1234))
+    assert ok == (2, 16000, 16, 1234)
+    mono = MM.parse_wav_header(_wav_bytes(1, 44100, 8, 500, seed=7))
+    assert mono == (1, 44100, 8, 500)
+    assert MM.parse_wav_header(b"RIFFxxxxWAVE") is None  # no chunks
+    assert MM.parse_wav_header(b"\x00" * 64) is None
+    assert MM.parse_wav_header(b"") is None
+
+
+def test_decode_audio_meta_mapinpandas(spark):
+    rows = [
+        (1, "audio/wav", _wav_bytes(2, 16000, 16, 16000), "mem://a/1"),
+        (2, "audio/wav", _wav_bytes(1, 8000, 8, 4000, seed=3), "mem://a/2"),
+        (3, "audio/mpeg", b"\xff\xfb\x90corrupt-or-compressed", "mem://a/3"),
+        (4, "audio/wav", None, "mem://a/4"),
+    ]
+    assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in MM.decode_audio_meta(assets).collect()}
+    assert got[1]["decode_ok"] and got[1]["sample_rate"] == 16000
+    assert got[1]["n_frames"] == 16000 and got[1]["duration_ms"] == 1000.0
+    assert got[2]["n_channels"] == 1 and got[2]["duration_ms"] == 500.0
+    assert not got[3]["decode_ok"] and got[3]["sample_rate"] is None
+    assert not got[4]["decode_ok"]
