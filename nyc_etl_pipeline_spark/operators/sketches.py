@@ -1,0 +1,109 @@
+"""Count-min sketch: fixed-size, mergeable frequency summaries.
+
+At 100 TB the exact token-frequency table is itself huge; a CMS is a
+d x w counter grid (here 4 x 256 = 1 KB of longs) that answers
+"how often does token t occur?" with est >= true and
+est <= true + eps*N (eps ~ e/w) at high probability. Two sketches
+over different shards MERGE by cell-wise addition — the property that
+lets every executor build a partial sketch map-side and a single
+reduce produce the corpus sketch (the same algebraic-merge story as
+operators/incremental.py, for a fixed-size summary).
+
+Hashes are `md5_long` over a per-row salt prefix, so the whole sketch
+— and any point estimate read from it — is bit-reproducible in DuckDB
+(q124 gates estimates against exact counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.functions import md5_long, sql_md5_long
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_bucket(token: Column, row_i: int, width: int, salt: str = "cms") -> Column:
+    """Row-i hash bucket of a token: md5_long over a salted prefix,
+    mod width. Independent rows come from distinct salt prefixes."""
+    return F.pmod(md5_long(F.concat(F.lit(f"{salt}{row_i}:"), token)), F.lit(width))
+
+
+def sql_cms_bucket(token_expr: str, row_i: int, width: int, salt: str = "cms") -> str:
+    """DuckDB fragment computing the identical bucket as `cms_bucket`."""
+    prefixed = "'" + salt + str(row_i) + ":' || " + token_expr
+    return f"({sql_md5_long(prefixed)} % {width})"
+
+
+def cms_build(
+    tokens_df: DataFrame,
+    token_col: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build the sketch from a one-token-per-row table in ONE pass:
+    each token explodes into `depth` (row_i, bucket) cells via inline
+    (struct-array) expansion, then a single map-side-combinable
+    group-by sums cells. Output: (row_i, bucket, cnt) — at most
+    depth*width rows no matter the corpus size."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                cms_bucket(F.col(token_col), i, width, salt).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        tokens_df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row_i").alias("row_i"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge partial sketches by cell-wise addition (associative,
+    commutative — shard order can never change an estimate)."""
+    from functools import reduce
+
+    return (
+        reduce(lambda a, b: a.unionByName(b), sketches)
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    token_col: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point estimates for the query tokens: min over rows of the
+    row's counter at that token's bucket. The query side re-computes
+    each row's bucket, unpivots to (token, row_i, bucket), and joins
+    the sketch on (row_i, bucket) — the sketch is depth*width rows, so
+    Spark broadcasts it and the lookup never shuffles the queries."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                cms_bucket(F.col(token_col), i, width, salt).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probes = queries.select(token_col, F.explode(cells).alias("c")).select(
+        token_col, F.col("c.row_i").alias("row_i"), F.col("c.bucket").alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), on=["row_i", "bucket"])
+        .groupBy(token_col)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )

@@ -335,6 +335,67 @@ FROM idx
 """
 
 
+# --------------------------------------------------------------------------
+# q124 — count-min-sketch heavy hitters vs exact counts
+# --------------------------------------------------------------------------
+
+CMS_TOP_K = 20
+
+
+def q124_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact top-K tokens with their count-min-sketch estimates
+    read back from a 4x256 sketch built in one pass. The sketch math
+    is md5-deterministic, so the oracle rebuilds the identical grid
+    and the ESTIMATES themselves are gated — plus the CMS soundness
+    invariant (estimate never underestimates) as an explicit boolean.
+    At 100 TB the sketch (1K cells) replaces the full frequency table
+    wherever only point lookups are needed, and partial sketches merge
+    by cell-wise addition (operators/sketches.cms_merge)."""
+    from nyc_etl_pipeline_spark.operators import sketches as SKC
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token")).persist()
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    top = exact.orderBy(F.desc("true_count"), F.asc("token")).limit(CMS_TOP_K)
+    est = SKC.cms_estimate(SKC.cms_build(toks), top.select("token"))
+    return top.join(est, on="token").select(
+        "token",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("true_count")).alias("no_underestimate"),
+    )
+
+
+def _q124_sql() -> str:
+    from nyc_etl_pipeline_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        sql_cms_bucket,
+    )
+
+    grid = "\n    UNION ALL ".join(
+        f"SELECT {i} AS row_i, {sql_cms_bucket('token', i, CMS_WIDTH)} AS bucket FROM tok"
+        for i in range(CMS_DEPTH)
+    )
+    lookups = ",\n         ".join(
+        f"(SELECT cnt FROM sketch s WHERE s.row_i = {i} "
+        f"AND s.bucket = {sql_cms_bucket('t.token', i, CMS_WIDTH)})"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+tok AS (SELECT unnest(t) AS token FROM toks),
+exact AS (SELECT token, count(*) AS true_count FROM tok GROUP BY 1),
+top AS (SELECT token, true_count FROM exact ORDER BY true_count DESC, token ASC LIMIT {CMS_TOP_K}),
+cells AS ({grid}),
+sketch AS (SELECT row_i, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2)
+SELECT t.token, t.true_count,
+       least({lookups}) AS cms_estimate,
+       least({lookups}) >= t.true_count AS no_underestimate
+FROM top t
+"""
+
+
 SPECS = [
     QuerySpec("q71_url_parse", q71_url_parse, _Q71_SQL,
               "URL host/domain/path parse + canonical dedup key"),
@@ -348,4 +409,6 @@ SPECS = [
               "deterministic per-key top-N sample (portable md5 priority)"),
     QuerySpec("q82_chunk_windows", q82_chunk_windows, _Q82_SQL,
               "fixed-stride context-window chunking (sequence+posexplode, no UDF)"),
+    QuerySpec("q124_cms_heavy_hitters", q124_cms_heavy_hitters, _q124_sql(),
+              "count-min-sketch point estimates gated against exact counts"),
 ]
