@@ -396,7 +396,32 @@ FROM top t
 """
 
 
+# --------------------------------------------------------------------------
+# q125 — BPE merge-table training (iterative; no single-SQL oracle)
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 24
+
+
+def q125_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table over the corpus: distributed
+    word-frequency pass + bounded driver-side merge loop
+    (operators/bpe.py). Iterative pair-merging has no single-statement
+    SQL form, so this entry carries no oracle (driver records the
+    rows-only check); determinism and parity with a from-scratch
+    reference implementation are pinned in tests/test_bpe.py."""
+    from nyc_etl_pipeline_spark.operators import bpe
+
+    merges = bpe.bpe_train(read_testdata(spark, sf_dir, "documents"), n_merges=BPE_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )
+
+
 SPECS = [
+    QuerySpec("q125_bpe_merges", q125_bpe_merges, None,
+              "BPE tokenizer merge-table training (iterative, rows-only gate)"),
     QuerySpec("q71_url_parse", q71_url_parse, _Q71_SQL,
               "URL host/domain/path parse + canonical dedup key"),
     QuerySpec("q72_domain_stats", q72_domain_stats, _Q72_SQL,

@@ -1,0 +1,66 @@
+"""BPE tokenizer training/encoding: deterministic merges, encode
+round-trip, distributed-vs-reference parity, driver-bound guard."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.operators import bpe
+
+
+def test_bpe_learns_expected_merges_on_classic_corpus():
+    # the textbook example: 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3
+    wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = bpe.bpe_train_from_word_freqs(wf, n_merges=4)
+    # 'es' appears 9x (newest+widest) — the uncontested first merge;
+    # then 'es'+'t' (9), then 'est'+'</w>' (9).
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", "</w>")
+
+
+def test_bpe_tie_break_is_deterministic():
+    wf = [("ab", 3), ("cd", 3)]
+    merges = bpe.bpe_train_from_word_freqs(wf, n_merges=1)
+    # counts tie at 3 for ('a','b'), ('c','d'), ('b','</w>'), ('d','</w>')
+    assert merges[0] == ("a", "b")  # lexicographically smallest pair
+
+
+def test_bpe_encode_word_reconstructs_and_compresses():
+    wf = [("hello", 10), ("help", 5)]
+    merges = bpe.bpe_train_from_word_freqs(wf, n_merges=6)
+    ranks = {p: i for i, p in enumerate(merges)}
+    subs = bpe.bpe_encode_word("hello", ranks)
+    assert "".join(subs) == "hello" + bpe.END_OF_WORD
+    assert len(subs) < len("hello") + 1  # merges actually applied
+    # unseen word still encodes (falls back toward characters)
+    unseen = bpe.bpe_encode_word("help", ranks)
+    assert "".join(unseen) == "help" + bpe.END_OF_WORD
+
+
+def test_bpe_train_distributed_matches_reference(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, n_merges=12)
+    # reference: same algorithm over a locally-computed freq table
+    local = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .groupBy("w").count().collect()
+    )
+    ref = bpe.bpe_train_from_word_freqs(
+        sorted((r["w"], r["count"]) for r in local), 12
+    )
+    assert merges == ref
+    enc = bpe.bpe_encode(docs, merges)
+    row = enc.agg(
+        F.sum("n_words").alias("w"), F.sum("n_subwords").alias("s")
+    ).first()
+    assert row["s"] >= row["w"]  # every word is >= 1 subword
+    # 12 merges over a 30-ish-word vocab compress substantially
+    assert row["s"] < row["w"] * 6
+
+
+def test_bpe_train_guards_driver_memory(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="distinct words exceeds"):
+        bpe.bpe_train(docs, n_merges=2, max_distinct_words=3)

@@ -475,3 +475,66 @@ def test_q104_market_share_is_single_pass(spark, sf_dir):
     # nodes), not two pairs merged by a join
     n_aggs = len(re.findall(r"\) HashAggregate", plan))
     assert n_aggs == 2, f"expected 2 HashAggregate nodes, got {n_aggs}: {plan}"
+
+
+# ---- round-5 late additions: q119-q124 plan shapes -----------------------
+
+def test_q122_zorder_key_is_scan_plus_broadcast_stats(spark, sf_dir):
+    """The Z-order key computation must be a projection over ONE scan
+    of lineitem plus a broadcast of the 1-row min/max stats — never a
+    window or a re-sort of the data."""
+    from nyc_etl_pipeline_spark.operators import layout
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    keyed = layout.zorder_key(li, "l_partkey", "l_suppkey")
+    plan = P.explain_str(keyed)
+    assert P.has_broadcast_join(plan), plan
+    assert "Window" not in plan, plan
+    # only the stats aggregation exchanges; the data path itself never
+    # shuffles (broadcast exchange + the agg's single-row exchange)
+    assert "Sort" not in plan.split("== Physical Plan ==")[-1].split("+- ")[0], plan
+
+
+def test_q123_semantic_dedup_has_no_self_join_blowup(spark, sf_dir):
+    """semantic_dedup joins members to ONE representative per bucket —
+    the rep side is an aggregated (bucket-distinct) relation, so no
+    plan node ever pairs a bucket with itself row-by-row. Detect the
+    O(|bucket|^2) regression by asserting the join keys include the
+    aggregated rep relation (HashAggregate feeding the join)."""
+    from nyc_etl_pipeline_spark.operators import similarity as SIM
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    out = SIM.semantic_dedup(emb, threshold=0.1, n_planes=6)
+    plan = P.explain_str(out)
+    assert "HashAggregate" in plan, plan
+    # the member-vs-member pattern of lsh_bucketed_pairs dedups pairs
+    # afterwards; its absence here is the linear-cost signature
+    assert "dropDuplicates" not in plan and plan.count("SortMergeJoin") <= 2, plan
+
+
+def test_q124_cms_lookup_broadcasts_sketch(spark, sf_dir):
+    """The sketch is depth*width rows; the estimate join must
+    broadcast it rather than shuffling the probe side."""
+    from nyc_etl_pipeline_spark.operators import sketches as SKC
+    from nyc_etl_pipeline_spark.operators import text as TX
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    sketch = SKC.cms_build(toks)
+    est = SKC.cms_estimate(sketch, toks.limit(5))
+    assert P.has_broadcast_join(P.explain_str(est))
+
+
+def test_q119_passage_windows_stage_token_projection(spark, sf_dir):
+    """Window generation must consume a STAGED token array (one
+    split() per document), not re-tokenize per element_at read — the
+    14x shingle lesson (dedup.shingles_from_tokens docstring). The
+    staged projection shows up as the token alias feeding the
+    generator; re-tokenization would inline split() into the explode."""
+    from nyc_etl_pipeline_spark.operators import dedup as D
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = D.duplicated_passage_stats(docs, k=8)
+    plan = P.explain_str(out)
+    # exactly one split() site in the whole plan (the staged projection)
+    assert plan.count("split(") <= 2, plan
