@@ -183,3 +183,41 @@ def stream_to_warehouse(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sketch_maintainer(warehouse, table: str, token_col: str = "token"):
+    """foreachBatch function maintaining a corpus count-min sketch
+    incrementally: each micro-batch writes its PARTIAL sketch into a
+    batch_id partition of a Warehouse table (dynamic partition
+    overwrite), so a replayed batch overwrites its own partition
+    instead of double-counting — exactly-once by idempotent partition
+    rewrite, no commit log needed. The queryable corpus sketch is the
+    cell-wise sum over all partitions (`merged_sketch`), bounded by
+    depth*width*n_batches rows until a compaction folds history.
+
+    This is the streaming face of the mergeable-summary family
+    (operators/sketches.py, operators/incremental.py): partial states
+    commute, so batch arrival order and replay cannot change the
+    merged result.
+    """
+    from nyc_etl_pipeline_spark.operators import sketches as SKC
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = SKC.cms_build(batch_df, token_col=token_col).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        if warehouse.exists(table):
+            warehouse.overwrite_partitions(partial, table, ["batch_id"])
+        else:
+            warehouse.overwrite(partial, table, partition_by=["batch_id"])
+
+    return write_batch
+
+
+def merged_sketch(warehouse, table: str) -> DataFrame:
+    """The corpus-level sketch: cell-wise sum of every batch partial."""
+    return (
+        warehouse.read(table)
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

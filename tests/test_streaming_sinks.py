@@ -138,3 +138,50 @@ def test_stream_to_warehouse_exactly_once_across_restart(spark, sf_dir, tmp_path
         wh.read("events_ingest").groupBy("event_id").count().filter(F.col("count") > 1).count()
     )
     assert dup == 0
+
+
+def test_streaming_cms_sketch_maintenance_exactly_once(spark, sf_dir, tmp_path):
+    """Per-batch partial sketches land in batch_id partitions; a
+    replayed batch overwrites its own partition (no double count) and
+    the merged sketch equals the batch-built sketch over all data."""
+    from nyc_etl_pipeline_spark.operators import sketches as SKC
+    from nyc_etl_pipeline_spark.streaming.sinks import (
+        merged_sketch,
+        sketch_maintainer,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = read_event_stream(spark, sf_dir).select(
+        F.col("event_type").alias("token")
+    )
+    writer = sketch_maintainer(wh, "cms", token_col="token")
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    events = read_testdata(spark, sf_dir, "events").select(
+        F.col("event_type").alias("token")
+    )
+    expect = sorted(map(tuple, SKC.cms_build(events).collect()))
+    got = sorted(map(tuple, merged_sketch(wh, "cms").collect()))
+    assert got == expect
+
+    # replay batch 0 verbatim: partition overwrite -> merged unchanged
+    writer(events, 0)
+    assert sorted(map(tuple, merged_sketch(wh, "cms").collect())) == expect
+
+    # a genuinely new batch merges additively
+    writer(events.limit(100), 1)
+    expect2 = sorted(
+        map(
+            tuple,
+            SKC.cms_merge(
+                [SKC.cms_build(events), SKC.cms_build(events.limit(100))]
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, merged_sketch(wh, "cms").collect())) == expect2
