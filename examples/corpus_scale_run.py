@@ -124,6 +124,36 @@ def main() -> None:
         "weighted_sample",
         lambda: f"{weighted_sample(docs, ['doc_id'], 'n_chars', 10_000).count():,} sampled",
     )
+
+    # round-5 additions -----------------------------------------------------
+    from nyc_etl_pipeline_spark.operators import sketches as SKC
+    from nyc_etl_pipeline_spark.operators import similarity as SIM
+
+    # passage-level dedup: ~n_docs * (DOC_TOKENS - 7) hashed windows
+    timed(
+        "passage_dedup",
+        lambda: "%s docs >50%% duplicated"
+        % f"{D.duplicated_passage_stats(docs, k=8).filter(F.col('dup_frac') > 0.5).count():,}",
+    )
+    # CMS: corpus-sized explode, but the output is 4x256 cells
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    timed(
+        "cms_build",
+        lambda: f"{SKC.cms_build(toks).count():,} cells",
+    )
+    # semantic dedup over synthetic executor-side embeddings (64-dim,
+    # xxhash-derived, near-dups share their base doc's vector exactly)
+    emb = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (F.pmod(F.xxhash64(F.col("text"), i), F.lit(1000)) / 500.0 - 1.0),
+        ).alias("embedding"),
+    )
+    timed(
+        "semantic_dedup",
+        lambda: f"{SIM.semantic_dedup(emb, threshold=0.95, n_planes=8).filter('dropped').count():,} dropped",
+    )
     docs.unpersist()
 
 
