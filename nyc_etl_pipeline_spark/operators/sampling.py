@@ -232,3 +232,66 @@ def weighted_sample(
         .limit(n)
         .drop("__key")
     )
+
+
+def mixture_fractions(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    total_out: int,
+) -> DataFrame:
+    """Per-source keep THRESHOLDS realizing a target training mixture:
+    a source with weight w should contribute total_out * w / sum(w)
+    examples. Sources absent from `weights` are dropped (weight 0);
+    a source smaller than its target keeps everything — downsampling
+    only, never upsampling (repeating data is an epochs/loader
+    decision, not a sampling one, and duplicating rows here would
+    silently break dedup invariants downstream).
+
+    Output: (source, n_src, threshold) where threshold is the portable
+    md5-bucket cutoff in [0, 1M]. One tiny aggregate over the corpus;
+    the expression order of the float math is fixed so any engine
+    reproduces the exact integer threshold (see suite/training.py
+    q126's oracle)."""
+    for name, wt in weights.items():
+        if wt < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0, got {wt}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+    w = F.lit(0.0)
+    for name, wt in sorted(weights.items()):
+        w = F.when(F.col(source_col) == name, F.lit(float(wt))).otherwise(w)
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_src"))
+    desired = F.lit(float(total_out)) * w / F.lit(wsum)
+    return counts.withColumn(
+        "threshold",
+        F.least(
+            F.lit(_BUCKETS).cast("bigint"),
+            F.floor(desired / F.col("n_src") * F.lit(float(_BUCKETS))).cast("bigint"),
+        ),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    total_out: int,
+    key_cols: list[str],
+    salt: str = "v1",
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic mixture-weighted downsample: join each row to its
+    source's threshold (broadcast — thresholds are one row per source)
+    and keep rows whose stable bucket falls under it. Pure
+    projection+filter after a broadcast join: no shuffle of the
+    corpus, retry-stable, reproducible outside Spark with
+    portable=True."""
+    thr = mixture_fractions(df, source_col, weights, total_out)
+    bucket = _bucket(key_cols, salt, portable)
+    return (
+        df.join(F.broadcast(thr.select(source_col, "threshold")), on=source_col)
+        .filter(bucket < F.col("threshold"))
+        .drop("threshold")
+    )

@@ -635,6 +635,63 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q126 — training-mixture downsample (target source weights)
+# --------------------------------------------------------------------------
+
+MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0, "src4": 0.5}
+MIX_TOTAL = 120
+MIX_SALT = "mix-r5"
+
+
+def q126_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source membership report of a mixture-weighted downsample:
+    sources get examples proportional to their target weights (src0
+    oversampled 4x vs src2), unlisted sources drop entirely, and no
+    source is ever upsampled. The keep decision is the portable md5
+    bucket, so the oracle replicates the exact kept set — counts AND
+    id checksum are gated."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    kept = sampling.mixture_sample(
+        docs, "source", MIX_WEIGHTS, MIX_TOTAL, ["doc_id"],
+        salt=MIX_SALT, portable=True,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+def _q126_sql() -> str:
+    wsum = float(sum(MIX_WEIGHTS.values()))
+    wcase = (
+        "CASE "
+        + " ".join(
+            f"WHEN source = '{name}' THEN {float(wt)}"
+            for name, wt in sorted(MIX_WEIGHTS.items())
+        )
+        + " ELSE 0.0 END"
+    )
+    bucket = sampling.sql_bucket(["doc_id"], MIX_SALT)
+    # identical float expression ORDER as mixture_fractions:
+    # ((total * w) / wsum) / n_src * BUCKETS, then floor -> bigint
+    return f"""
+WITH counts AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+thr AS (
+  SELECT source,
+         least(1000000, CAST(floor({float(MIX_TOTAL)} * {wcase} / {wsum}
+               / n_src * 1000000.0) AS BIGINT)) AS threshold
+  FROM counts
+),
+kept AS (
+  SELECT d.doc_id, d.source
+  FROM documents d JOIN thr t ON d.source = t.source
+  WHERE {bucket} < t.threshold
+)
+SELECT source, count(*) AS n_kept, sum(doc_id) AS id_sum
+FROM kept GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("q50_split_assign", q50_split_assign, _q50_sql(),
               "deterministic portable train/val/test split"),
@@ -662,4 +719,6 @@ SPECS = [
               "incremental mart via mergeable partial aggregates (merge == recompute)"),
     QuerySpec("q121_psi_drift", q121_psi_drift, _Q121_SQL,
               "week-over-week PSI distribution drift per event type"),
+    QuerySpec("q126_mixture_sample", q126_mixture_sample, _q126_sql(),
+              "mixture-weighted deterministic downsample (target source weights)"),
 ]

@@ -80,3 +80,44 @@ def test_per_key_topn_deterministic_and_bounded(spark, sf_dir):
     # not a fixed head)
     c = per_key_topn_sample(docs, ["source"], 3, ["doc_id"], salt="v2")
     assert ra != sorted(map(tuple, c.collect()))
+
+
+def test_mixture_sample_respects_weights_and_never_upsamples(spark, sf_dir):
+    from nyc_etl_pipeline_spark.operators.sampling import (
+        mixture_fractions,
+        mixture_sample,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    weights = {"src0": 4.0, "src1": 2.0, "src2": 1.0}
+    kept = mixture_sample(docs, "source", weights, 60, ["doc_id"], salt="t")
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # unlisted sources are dropped entirely
+    assert set(by_src) <= set(weights)
+    # target shares: src0 ~ 60*4/7 > per-source population (25) -> capped
+    thr = {
+        r["source"]: r["threshold"]
+        for r in mixture_fractions(docs, "source", weights, 60).collect()
+    }
+    assert thr["src0"] == 1_000_000  # capped at keep-everything
+    assert thr["src1"] < 1_000_000 and thr["src2"] < thr["src1"]
+    assert by_src["src0"] == 25  # never upsampled beyond population
+    # determinism: same salt -> identical kept set
+    again = mixture_sample(docs, "source", weights, 60, ["doc_id"], salt="t")
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in again.select("doc_id").collect()
+    )
+
+
+def test_mixture_sample_rejects_bad_weights(spark, sf_dir):
+    import pytest
+    from nyc_etl_pipeline_spark.operators.sampling import mixture_sample
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="sum to a positive"):
+        mixture_sample(docs, "source", {}, 10, ["doc_id"])
+    with pytest.raises(ValueError, match="must be >= 0"):
+        mixture_sample(docs, "source", {"src0": -1.0}, 10, ["doc_id"])
