@@ -272,6 +272,127 @@ def minhash_signatures(
     return sh.groupBy(F.col("__id").alias(id_col)).agg(*_minhash_signature_cols(num_hashes))
 
 
+def _melt_bands(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(__id, band_idx, band_key) from a signature table. Band key =
+    md5 of the comma-joined row values: one compact string key per
+    band, identical in any engine that can concat + md5 (the key only
+    needs equality semantics, so a hex string is fine)."""
+    band_cols = [
+        F.md5(F.concat_ws(",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("__id", *band_cols)
+    return banded.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("__id", "bk.band_idx", "bk.band_key")
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band_idx, band_key) LSH index rows — the STORED artifact
+    of near-dup dedup at scale: the corpus is indexed once (and the
+    index appended per accepted batch); arriving batches join their
+    bands against it instead of ever re-signaturing the corpus.
+    Pass `sh` to reuse an already-built shingle table."""
+    rows = num_hashes // bands
+    if sh is None:
+        sh = _shingle_table(df, id_col, text_col, n)
+    sig = sh.groupBy("__id").agg(*_minhash_signature_cols(num_hashes))
+    return _melt_bands(sig, bands, rows).withColumnRenamed("__id", id_col)
+
+
+def _doc_shingle_arrays(sh: DataFrame) -> DataFrame:
+    """Per-doc hashed-shingle set + size, for O(|A|+|B|) exact
+    verification via array_intersect (never a row-level shingle
+    cross join per candidate pair)."""
+    return sh.groupBy("__id").agg(
+        F.collect_set("__sh").alias("__arr"), F.count(F.lit(1)).alias("__n")
+    )
+
+
+def incremental_neardup_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Batch-vs-corpus NEAR-dup dedup — the MinHash companion of
+    `incremental_exact_dedup` (q48): keep only arriving documents that
+    are not a near-duplicate (verified n-gram Jaccard >= threshold) of
+    (a) any corpus document, or (b) any EARLIER (lower-id) document in
+    the same batch. Returns the surviving new_docs rows.
+
+    Within-batch the rule is the greedy pairwise filter (first id
+    wins); transitive chains are deliberately NOT collapsed here —
+    clustering whole near-dup families is `neardup_clusters`' job,
+    while the incremental gate must stay a single bounded pass.
+
+    Scale shape: candidates come from equi-joins on (band_idx,
+    band_key) — batch bands vs the corpus band INDEX (stored, see
+    `minhash_band_table`; rebuilt here from `corpus` for the
+    self-contained form) and batch vs itself. Only candidate ids'
+    shingle arrays are materialized for verification (semi-join
+    pruned). Cost is proportional to the BATCH plus its candidate
+    fan-out, never to corpus size.
+    """
+    new_sh = _shingle_table(new_docs, id_col, text_col, n).persist()
+    cor_sh = _shingle_table(corpus, id_col, text_col, n)
+    nb = minhash_band_table(new_docs, id_col, text_col, n, num_hashes, bands, sh=new_sh)
+    cb = minhash_band_table(corpus, id_col, text_col, n, num_hashes, bands, sh=cor_sh)
+
+    vs_corpus = (
+        nb.select(F.col(id_col).alias("new_id"), "band_idx", "band_key")
+        .join(cb.select(F.col(id_col).alias("other_id"), "band_idx", "band_key"),
+              on=["band_idx", "band_key"])
+        .select("new_id", "other_id")
+    )
+    within = (
+        nb.select(F.col(id_col).alias("new_id"), "band_idx", "band_key")
+        .join(nb.select(F.col(id_col).alias("other_id"), "band_idx", "band_key"),
+              on=["band_idx", "band_key"])
+        .filter(F.col("other_id") < F.col("new_id"))
+        .select("new_id", "other_id")
+    )
+    cands = vs_corpus.unionByName(within).dropDuplicates()
+
+    arrays = _doc_shingle_arrays(new_sh.unionByName(cor_sh))
+    new_side = arrays.select(
+        F.col("__id").alias("new_id"), F.col("__arr").alias("__arr_a"), F.col("__n").alias("__na")
+    )
+    other_side = arrays.select(
+        F.col("__id").alias("other_id"), F.col("__arr").alias("__arr_b"), F.col("__n").alias("__nb")
+    )
+    ovc = F.size(F.array_intersect("__arr_a", "__arr_b"))
+    jac = ovc / (F.col("__na") + F.col("__nb") - ovc)
+    dropped = (
+        cands.join(new_side, on="new_id")
+        .join(other_side, on="other_id")
+        .filter(jac >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .dropDuplicates()
+    )
+    return new_docs.join(dropped, on=id_col, how="left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -304,22 +425,7 @@ def minhash_lsh_pairs(
     # band key = md5 of the comma-joined row values: one compact string
     # key per band, identical in any engine that can concat + md5 (the
     # key only needs equality semantics, so a hex string is fine).
-    band_cols = [
-        F.md5(F.concat_ws(",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col).alias("__id"), *band_cols)
-    melted = banded.select(
-        "__id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_key"))
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("__id", "bk.band_idx", "bk.band_key")
+    melted = _melt_bands(sig.withColumnRenamed(id_col, "__id"), bands, rows)
 
     a = melted.select(F.col("__id").alias("a_id"), "band_idx", "band_key")
     b = melted.select(F.col("__id").alias("b_id"), "band_idx", "band_key")

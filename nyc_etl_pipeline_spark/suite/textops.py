@@ -478,6 +478,81 @@ FROM survivors s JOIN first_ids f ON s.h = f.h AND s.doc_id = f.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q127 — incremental NEAR-dup dedup (batch vs corpus band index)
+# --------------------------------------------------------------------------
+
+INCR_SPLIT = 250  # doc_id < INCR_SPLIT plays the loaded corpus (as q48)
+
+
+def q127_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q48's near-dup companion: arriving docs (id >= 250) survive
+    only if no verified-Jaccard near-dup exists in the corpus
+    (id < 250) or earlier in the batch. The whole MinHash chain —
+    shingle hash, signature constants, band keys, exact verification
+    — is replicated in the oracle, so the incremental accept/reject
+    decision itself is under the gate."""
+    d = read_testdata(spark, sf_dir, "documents")
+    survivors = D.incremental_neardup_dedup(
+        d.filter(F.col("doc_id") >= INCR_SPLIT),
+        d.filter(F.col("doc_id") < INCR_SPLIT),
+        n=NGRAM_N,
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+    return survivors.select("doc_id", "lang", "source")
+
+
+def _q127_sql() -> str:
+    p = D.MERSENNE31
+    rows = MINHASH_NUM // MINHASH_BANDS
+    mh_exprs = []
+    for i in range(MINHASH_NUM):
+        a, b = D.minhash_base_coeffs(i)
+        mh_exprs.append(f"min(({a} * hm + {b}) % {p}) AS mh_{i}")
+    band_rows = "\nUNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({cat}) AS band_key FROM sig".format(
+            b=b, cat=" || ',' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
+sh AS (SELECT doc_id, {sql_md5_long("s")} AS h FROM sh0),
+hm_t AS (SELECT doc_id, h, h % {p} AS hm FROM sh),
+sig AS (SELECT doc_id, {", ".join(mh_exprs)} FROM hm_t GROUP BY doc_id),
+bands_t AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS other_id
+  FROM bands_t n
+  JOIN bands_t o ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+  WHERE n.doc_id >= {INCR_SPLIT}
+    AND (o.doc_id < {INCR_SPLIT} OR (o.doc_id >= {INCR_SPLIT} AND o.doc_id < n.doc_id))
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+ov AS (
+  SELECT c.new_id, c.other_id, count(*) AS ov
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.new_id
+  JOIN sh b ON b.doc_id = c.other_id AND a.h = b.h
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT ov.new_id
+  FROM ov
+  JOIN sizes sa ON ov.new_id = sa.doc_id
+  JOIN sizes sb ON ov.other_id = sb.doc_id
+  WHERE ov.ov * 1.0 / (sa.n + sb.n - ov.ov) >= {JACCARD_THRESHOLD}
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id >= {INCR_SPLIT}
+  AND d.doc_id NOT IN (SELECT new_id FROM dropped)
+"""
+
+
 SPECS = [
     QuerySpec("q17_exact_dedup", q17_exact_dedup, _Q17_SQL,
               "exact dedup via md5 digest group-by"),
@@ -497,6 +572,8 @@ SPECS = [
               "batch-vs-corpus incremental dedup on digest index"),
     QuerySpec("q119_passage_dedup", q119_passage_dedup, _Q119_SQL,
               "passage-level exact dup detection (k-token window hashes)"),
+    QuerySpec("q127_incremental_neardup", q127_incremental_neardup, _q127_sql(),
+              "batch-vs-corpus MinHash near-dup dedup (band-index join)"),
     QuerySpec("q23_minhash_lsh_pairs", q23_minhash_lsh_pairs, _q23_sql(),
               "MinHash+LSH near-dup (md5-derived chain; oracle rebuilds bands)"),
     QuerySpec("q24_simhash_near_pairs", q24_simhash_near_pairs, _q24_sql(),

@@ -799,3 +799,44 @@ def test_cms_merge_equals_whole_and_never_underestimates(spark, sf_dir):
     # tokens a violation is ~never — treat as deterministic here.
     bound = 2.718281828 / SKC.CMS_WIDTH * n_total
     assert all(r["cms_estimate"] <= r["true_count"] + bound for r in joined)
+
+
+# ---- incremental near-dup dedup ------------------------------------------
+
+def test_incremental_neardup_planted_cases(spark):
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+        Row(doc_id=2, text="completely different corpus content about databases"),
+    ])
+    batch = spark.createDataFrame([
+        # near-dup of corpus doc 1 (one trailing token changed)
+        Row(doc_id=10, text="the quick brown fox jumps over the lazy dog tonight"),
+        # novel
+        Row(doc_id=11, text="a wholly original sentence with unique vocabulary"),
+        # 12 and 13 near-dup each other -> earlier id 12 survives
+        Row(doc_id=12, text="spark engines shuffle partitions across executors quickly"),
+        Row(doc_id=13, text="spark engines shuffle partitions across executors slowly"),
+    ])
+    survivors = {
+        r["doc_id"]
+        for r in D.incremental_neardup_dedup(
+            batch, corpus, n=3, num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    assert survivors == {11, 12}
+
+
+def test_incremental_neardup_empty_corpus_is_self_dedup(spark):
+    batch = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta"),
+        Row(doc_id=2, text="alpha beta gamma delta epsilon zeta eta iota"),
+        Row(doc_id=3, text="unrelated content entirely from another domain"),
+    ])
+    corpus = batch.limit(0)
+    survivors = {
+        r["doc_id"]
+        for r in D.incremental_neardup_dedup(
+            batch, corpus, n=3, num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    assert survivors == {1, 3}
