@@ -247,6 +247,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment(A in B) = |A∩B| / |A|.
+    Jaccard misses a short document quoted wholesale inside a much
+    longer one (the union dilutes the score); containment is the
+    standard signal for quote/boilerplate/subset detection. Returns
+    (a_id, b_id, cont_a_in_b, cont_b_in_a) for pairs where EITHER
+    direction reaches `threshold`, a_id < b_id, scores rounded to 3.
+
+    Same inverted-shingle-index shape (and the same `max_doc_freq`
+    hot-shingle scale knob) as `ngram_jaccard_pairs` — only the final
+    scoring expression differs."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(freq.filter(F.col("__df") <= max_doc_freq), on="__sh", how="inner").select(
+            "__id", "__sh"
+        )
+    sh = sh.persist()  # sizes + both join sides (see ngram_jaccard_pairs)
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col("__id").alias("a_id"), "__sh")
+    b = sh.select(F.col("__id").alias("b_id"), "__sh")
+    overlap = (
+        a.join(b, on="__sh", how="inner")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("__ov"))
+    )
+    sa = sizes.select(F.col("__id").alias("a_id"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("b_id"), F.col("__n").alias("__nb"))
+    c_ab = F.col("__ov") / F.col("__na")
+    c_ba = F.col("__ov") / F.col("__nb")
+    return (
+        overlap.join(sa, on="a_id")
+        .join(sb, on="b_id")
+        .filter((c_ab >= threshold) | (c_ba >= threshold))
+        .select(
+            "a_id",
+            "b_id",
+            round_half_up(c_ab, 3).alias("cont_a_in_b"),
+            round_half_up(c_ba, 3).alias("cont_b_in_a"),
+        )
+    )
+
+
 def _minhash_signature_cols(num_hashes: int) -> list[Column]:
     """k universal-hash min-aggregates over the base shingle hash h:
     mh_i = min((a_i * h + b_i) mod p). h is the non-negative md5_long

@@ -479,6 +479,44 @@ FROM survivors s JOIN first_ids f ON s.h = f.h AND s.doc_id = f.doc_id
 
 
 # --------------------------------------------------------------------------
+# q128 — asymmetric n-gram containment pairs (quote/subset detection)
+# --------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q128_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-dup: containment(A in B) = |A∩B|/|A| catches a
+    short document quoted inside a longer one where Jaccard's union
+    dilutes the score below any useful threshold."""
+    return D.ngram_containment_pairs(
+        read_testdata(spark, sf_dir, "documents"),
+        n=NGRAM_N,
+        threshold=CONTAINMENT_THRESHOLD,
+    )
+
+
+_Q128_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+ov AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ov
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       {sql_round_half_up('ov * 1.0 / sa.n', 3)} AS cont_a_in_b,
+       {sql_round_half_up('ov * 1.0 / sb.n', 3)} AS cont_b_in_a
+FROM ov
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+WHERE ov * 1.0 / sa.n >= {CONTAINMENT_THRESHOLD}
+   OR ov * 1.0 / sb.n >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
 # q127 — incremental NEAR-dup dedup (batch vs corpus band index)
 # --------------------------------------------------------------------------
 
@@ -574,6 +612,8 @@ SPECS = [
               "passage-level exact dup detection (k-token window hashes)"),
     QuerySpec("q127_incremental_neardup", q127_incremental_neardup, _q127_sql(),
               "batch-vs-corpus MinHash near-dup dedup (band-index join)"),
+    QuerySpec("q128_containment_pairs", q128_containment_pairs, _Q128_SQL,
+              "asymmetric n-gram containment (quote/subset detection)"),
     QuerySpec("q23_minhash_lsh_pairs", q23_minhash_lsh_pairs, _q23_sql(),
               "MinHash+LSH near-dup (md5-derived chain; oracle rebuilds bands)"),
     QuerySpec("q24_simhash_near_pairs", q24_simhash_near_pairs, _q24_sql(),
