@@ -6,6 +6,10 @@ table — the composition the individual operators exist for:
                              components -> canonical_per_cluster:
                              the LONGEST member survives, not an
                              arbitrary min-id; q112 semantics)
+  2b. passage-dup gate      (k-token window dup fraction — drops
+                             composite/boilerplate docs stitched from
+                             passages that exist verbatim elsewhere;
+                             q119 semantics)
   3. decontamination        (n-gram overlap vs a benchmark corpus)
   4. quality + language     (JVM-side scoring; keep en docs >= cutoff)
   5. LM outlier gate        (unigram-NLL perplexity proxy vs the
@@ -16,6 +20,8 @@ table — the composition the individual operators exist for:
   7. normalization          (canonical text for downstream hashing)
   8. per-source rebalance   (deterministic per-key top-N cap — no
                              domain may dominate the corpus)
+  8b. mixture weighting     (optional target source mix — q126
+                             semantics, downsample-only)
   9. weighted downsample    (optional corpus-size target: A-Res
                              quality-weighted sample, q111 semantics)
  10. deterministic split    (train/val/test, portable hash — stable
@@ -56,6 +62,8 @@ CONTAM_THRESHOLD = 0.5
 NGRAM_N = 3
 JACCARD_THRESHOLD = 0.5
 NLL_CUTOFF = 8.0  # drop docs whose mean unigram NLL exceeds this (outliers)
+PASSAGE_K = 8
+PASSAGE_DUP_CUTOFF = 0.6  # drop docs mostly made of elsewhere-seen passages
 
 
 def curate(
@@ -65,6 +73,8 @@ def curate(
     langs: tuple[str, ...] = ("en",),
     per_source_cap: int | None = None,
     target_corpus_size: int | None = None,
+    mixture_weights: dict[str, float] | None = None,
+    mixture_total: int | None = None,
 ) -> dict[str, DataFrame]:
     """documents(doc_id, text, ...) -> {split: curated DataFrame}."""
     from nyc_etl_pipeline_spark.operators.lm import unigram_nll_scores
@@ -79,6 +89,15 @@ def curate(
     clusters = D.neardup_clusters(docs1, pairs)
     best = D.canonical_per_cluster(docs1, clusters, score_col="n_chars").select("doc_id")
     docs2 = docs1.join(best, on="doc_id", how="left_semi")
+
+    # 2b. passage-level gate: a doc can dodge whole-doc near-dup yet
+    # be stitched almost entirely from passages that exist verbatim in
+    # other documents (template/boilerplate composites) — drop those.
+    # Anti join on violators so sub-k-token docs (no windows, no row)
+    # are kept, not silently dropped.
+    pstats = D.duplicated_passage_stats(docs2, k=PASSAGE_K)
+    viol = pstats.filter(F.col("dup_frac") > PASSAGE_DUP_CUTOFF).select("doc_id")
+    docs2 = docs2.join(viol, on="doc_id", how="left_anti")
 
     # 3. decontamination vs the benchmark corpus
     contam = D.contamination_scores(
@@ -114,6 +133,13 @@ def curate(
         curated = sampling.per_key_topn_sample(
             curated, ["source"], per_source_cap, ["doc_id"]
         ).drop("sample_rank")
+
+    # 8b. optional mixture weighting: realize a target source mix
+    # (downsample-only — q126 semantics; unlisted sources drop)
+    if mixture_weights is not None and mixture_total is not None:
+        curated = sampling.mixture_sample(
+            curated, "source", mixture_weights, mixture_total, ["doc_id"]
+        )
 
     # 9. optional weighted downsample to a target corpus size — longer
     # (already-quality-gated) documents are proportionally likelier to

@@ -46,6 +46,12 @@ def test_curation_pipeline_invariants(spark, sf_dir):
     )
     assert pairs.count() == 0
 
+    # passage-gate invariant: no survivor is mostly duplicated
+    # passages (frac vs the surviving subset <= frac vs the gated
+    # superset <= cutoff, so the one-pass gate is sufficient)
+    pstats = D.duplicated_passage_stats(union, k=mod.PASSAGE_K)
+    assert pstats.filter(F.col("dup_frac") > mod.PASSAGE_DUP_CUTOFF).count() == 0
+
     # decontamination invariant: no survivor is contaminated
     contam = D.contamination_scores(
         union, benchmark, n=mod.NGRAM_N, threshold=mod.CONTAM_THRESHOLD
@@ -134,3 +140,19 @@ def test_curation_weighted_downsample_and_nll_gate(spark, sf_dir):
     ids_a = {r.doc_id for r in union.select("doc_id").collect()}
     ids_b = {r.doc_id for r in au.select("doc_id").collect()}
     assert ids_a == ids_b
+
+
+def test_curation_mixture_weighting(spark, sf_dir):
+    mod = _load()
+    docs = read_testdata(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0)
+    candidates = docs.filter(F.col("doc_id") % 17 != 0)
+    weights = {f"src{i}": 1.0 for i in range(10)}  # drop src10..src19
+    splits = mod.curate(
+        candidates, benchmark, mixture_weights=weights, mixture_total=40
+    )
+    union = splits["train"]
+    for name in ("val", "test"):
+        union = union.unionByName(splits[name])
+    srcs = {r["source"] for r in union.select("source").distinct().collect()}
+    assert srcs and srcs <= set(weights)

@@ -311,10 +311,3 @@ def test_warehouse_orc_format_end_to_end(spark, sf_dir, tmp_path):
     assert n == 1
     assert wh.read("orders").count() == orders.count() + one_year.count()
 
-
-def test_warehouse_rejects_unknown_format(spark, tmp_path):
-    import pytest
-    from nyc_etl_pipeline_spark.io import Warehouse
-
-    with pytest.raises(ValueError, match="unsupported table format"):
-        Warehouse(spark, str(tmp_path), table_format="avro")

@@ -175,3 +175,37 @@ def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path):
     assert avg(z["l_suppkey"]) < 0.5
     # And suppkey skipping is strictly better than the linear layout.
     assert avg(z["l_suppkey"]) < avg(lin["l_suppkey"]) / 2
+
+
+def test_interleave_bits_roundtrip_and_sql_parity(spark):
+    """Every (x, y) < 2^16 must be exactly recoverable from the Morton
+    key (bit interleaving is a bijection), and the generated DuckDB
+    fragment must produce the identical key."""
+    import duckdb
+
+    from nyc_etl_pipeline_spark.operators.layout import (
+        interleave_bits,
+        sql_interleave_bits,
+    )
+
+    df = (
+        spark.range(500)
+        .select(
+            (F.col("id") * 131 % 65536).alias("x"),
+            (F.col("id") * 31337 % 65536).alias("y"),
+        )
+        .withColumn("z", interleave_bits(F.col("x"), F.col("y"), 16))
+    )
+    rows = df.collect()
+    for r in rows:
+        x = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(16))
+        y = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (x, y) == (r["x"], r["y"])
+
+    sql = (
+        "SELECT " + sql_interleave_bits("x", "y", 16) + " AS z "
+        "FROM (SELECT CAST(range * 131 % 65536 AS BIGINT) AS x, "
+        "CAST(range * 31337 % 65536 AS BIGINT) AS y FROM range(500))"
+    )
+    duck = [r[0] for r in duckdb.sql(sql).fetchall()]
+    assert duck == [r["z"] for r in rows]

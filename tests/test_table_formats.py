@@ -10,7 +10,7 @@ from nyc_etl_pipeline_spark.io import Warehouse, delta_available, read_testdata
 
 def test_warehouse_rejects_unknown_format(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported table format"):
-        Warehouse(spark, str(tmp_path), table_format="orc")
+        Warehouse(spark, str(tmp_path), table_format="avro")
 
 
 def test_delta_gate_raises_clearly_without_package(spark, tmp_path):
