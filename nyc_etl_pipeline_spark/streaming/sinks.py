@@ -221,3 +221,37 @@ def merged_sketch(warehouse, table: str) -> DataFrame:
         .groupBy("row_i", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def mart_maintainer(warehouse, table: str, keys: list[str], measures: list[str]):
+    """foreachBatch function maintaining an aggregate MART
+    incrementally — the streaming face of operators/incremental.py
+    (q120): each micro-batch's mergeable partial states
+    (sum/cnt/min/max per key) land in their own batch_id partition via
+    dynamic partition overwrite, so replay rewrites rather than
+    double-counts (same exactly-once-by-idempotence contract as
+    `sketch_maintainer`). `merged_mart` is the queryable finalized
+    view; `Warehouse.compact` (or a periodic rewrite of the merged
+    result into a fresh table) folds partition history when batch
+    count grows."""
+    from nyc_etl_pipeline_spark.operators import incremental as INC
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = INC.partial_aggregate(batch_df, keys, measures).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        if warehouse.exists(table):
+            warehouse.overwrite_partitions(partial, table, ["batch_id"])
+        else:
+            warehouse.overwrite(partial, table, partition_by=["batch_id"])
+
+    return write_batch
+
+
+def merged_mart(warehouse, table: str, keys: list[str], measures: list[str]) -> DataFrame:
+    """Finalized mart over all batch partials: one merge aggregation
+    (O(keys x batches) input rows, not corpus-sized) + avg finalize."""
+    from nyc_etl_pipeline_spark.operators import incremental as INC
+
+    parts = warehouse.read(table).drop("batch_id")
+    return INC.finalize(INC.merge_partials([parts], keys, measures), measures)

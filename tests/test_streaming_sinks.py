@@ -185,3 +185,40 @@ def test_streaming_cms_sketch_maintenance_exactly_once(spark, sf_dir, tmp_path):
         )
     )
     assert sorted(map(tuple, merged_sketch(wh, "cms").collect())) == expect2
+
+
+def test_streaming_mart_maintenance_matches_batch_and_survives_replay(
+    spark, sf_dir, tmp_path
+):
+    """Streamed per-batch partial aggregates, merged, must equal the
+    direct batch aggregate over all data — and replaying a batch must
+    change nothing (q120's identity, maintained by a stream)."""
+    from nyc_etl_pipeline_spark.operators import incremental as INC
+    from nyc_etl_pipeline_spark.streaming.sinks import mart_maintainer, merged_mart
+
+    keys, measures = ["event_type"], ["value"]
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    writer = mart_maintainer(wh, "mart", keys, measures)
+    q = (
+        read_event_stream(spark, sf_dir)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    events = read_testdata(spark, sf_dir, "events")
+    expect = sorted(
+        map(tuple, INC.finalize(INC.partial_aggregate(events, keys, measures), measures).collect())
+    )
+    got = sorted(map(tuple, merged_mart(wh, "mart", keys, measures).collect()))
+    assert got == expect
+
+    writer(events, 0)  # verbatim replay of batch 0
+    assert sorted(map(tuple, merged_mart(wh, "mart", keys, measures).collect())) == expect
+
+    writer(events.limit(500), 1)  # a genuinely new batch shifts the mart
+    got2 = merged_mart(wh, "mart", keys, measures)
+    n_all = events.count()
+    assert got2.agg(F.sum("n_rows")).first()[0] == n_all + 500
