@@ -840,3 +840,41 @@ def test_incremental_neardup_empty_corpus_is_self_dedup(spark):
         ).collect()
     }
     assert survivors == {1, 3}
+
+
+def test_incremental_neardup_with_stored_band_index(spark, sf_dir, tmp_path):
+    """The operational workflow at scale: index the corpus ONCE
+    (minhash_band_table -> Warehouse), then dedup an arriving batch by
+    joining its bands against the STORED index. Must produce the same
+    candidate pairs the self-contained operator finds vs the corpus."""
+    from pyspark.sql import functions as F
+
+    from nyc_etl_pipeline_spark.io import Warehouse
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(
+        D.minhash_band_table(corpus, num_hashes=64, bands=16), "band_index"
+    )
+    stored = wh.read("band_index")
+
+    live = D.minhash_band_table(corpus, num_hashes=64, bands=16)
+    nb = D.minhash_band_table(batch, num_hashes=64, bands=16)
+
+    def cands(cb):
+        return {
+            (r["new_id"], r["other_id"])
+            for r in nb.select(F.col("doc_id").alias("new_id"), "band_idx", "band_key")
+            .join(
+                cb.select(F.col("doc_id").alias("other_id"), "band_idx", "band_key"),
+                on=["band_idx", "band_key"],
+            )
+            .select("new_id", "other_id")
+            .dropDuplicates()
+            .collect()
+        }
+
+    assert cands(stored) == cands(live) and cands(stored)
