@@ -878,3 +878,51 @@ def test_incremental_neardup_with_stored_band_index(spark, sf_dir, tmp_path):
         }
 
     assert cands(stored) == cands(live) and cands(stored)
+
+
+# ---- null/empty text robustness ------------------------------------------
+
+def test_text_operators_survive_null_and_empty_text(spark):
+    """The fixtures carry no null/empty texts, so the oracle gate
+    never exercises these paths — pin them here: no exceptions, and
+    degenerate docs degrade to empty/zero/null outputs rather than
+    corrupting aggregates."""
+    rows = [
+        Row(doc_id=1, text=None),
+        Row(doc_id=2, text=""),
+        Row(doc_id=3, text="   "),
+        Row(doc_id=4, text="normal document with several plain tokens here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # passage stats: only doc 4 has windows; others absent, no error
+    p = {r["doc_id"]: r for r in D.duplicated_passage_stats(df, k=3).collect()}
+    assert set(p) == {4} and p[4]["n_dup_windows"] == 0
+
+    # token counts: empty/whitespace -> 0; null -> null (not -1!)
+    t = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", TX.whitespace_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert t[2] == 0 and t[3] == 0 and t[4] == 7
+    assert t[1] is None or t[1] == 0
+
+    # shingle/jaccard path: degenerate docs produce no shingles and
+    # therefore no pairs, not a crash
+    assert D.ngram_jaccard_pairs(df, n=3, threshold=0.1).count() == 0
+
+    # exact dedup groups the null digest without error
+    assert D.exact_dedup(df).count() == len(rows)
+
+    # quality/lang/normalize: produce a row per doc, no exception
+    out = df.select(
+        "doc_id",
+        TX.quality_score(F.col("text")).alias("q"),
+        TX.lang_id(F.col("text")).alias("lang"),
+        TX.normalize_text(F.col("text")).alias("norm"),
+    ).collect()
+    assert len(out) == 4
+    byid = {r["doc_id"]: r for r in out}
+    assert byid[2]["lang"] == "und" and byid[3]["norm"] == ""
