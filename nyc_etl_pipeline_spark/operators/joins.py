@@ -61,3 +61,58 @@ def range_join_small(facts: DataFrame, ranges: DataFrame, value_col: str) -> Dat
     """
     cond = (F.col(value_col) >= ranges["lo"]) & (F.col(value_col) < ranges["hi"])
     return facts.join(F.broadcast(ranges), cond, "inner")
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    key_cols: list[str] | None = None,
+    bucket_width: int = 600_000_000,
+) -> DataFrame:
+    """All pairs of OVERLAPPING intervals (strict: a.start < b.end AND
+    b.start < a.end), a_id < b_id, with the exact overlap length —
+    the interval-join problem `range_join_small` can't touch when both
+    sides are large (its small side is broadcast).
+
+    Scale shape — the standard interval-banding trick: each interval
+    explodes into the fixed-width buckets it covers, candidates come
+    from an equi-join on (key_cols..., bucket), and the exact overlap
+    predicate filters them. Cost is sum-over-buckets of the bucket
+    cross size instead of |A| x |B|; `bucket_width` (same units as the
+    interval columns — default 600 s in microseconds) trades explode
+    fan-out against bucket occupancy, exactly like LSH band width.
+
+    `start_col`/`end_col` must be integer (e.g. `F.unix_micros`):
+    integer in, integer overlap out — no float parity risk anywhere.
+    Intervals spanning many buckets multiply the explode; cap or split
+    pathological durations upstream.
+    """
+    keys = key_cols or []
+    w = F.lit(bucket_width)
+    ex = df.select(
+        F.col(id_col).alias("__iid"),
+        *[F.col(k) for k in keys],
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+        F.explode(
+            F.sequence(F.floor(F.col(start_col) / w), F.floor(F.col(end_col) / w))
+        ).alias("__bucket"),
+    )
+    a = ex.select(
+        F.col("__iid").alias("a_id"), *keys,
+        F.col("__s").alias("__sa"), F.col("__e").alias("__ea"), "__bucket",
+    )
+    b = ex.select(
+        F.col("__iid").alias("b_id"), *keys,
+        F.col("__s").alias("__sb"), F.col("__e").alias("__eb"), "__bucket",
+    )
+    overlap = F.least("__ea", "__eb") - F.greatest("__sa", "__sb")
+    return (
+        a.join(b, on=[*keys, "__bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter((F.col("__sa") < F.col("__eb")) & (F.col("__sb") < F.col("__ea")))
+        .select("a_id", "b_id", *keys, overlap.alias("overlap"))
+        .dropDuplicates(["a_id", "b_id"])
+    )

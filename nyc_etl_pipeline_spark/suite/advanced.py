@@ -499,6 +499,55 @@ FROM keyed
 """
 
 
+# --------------------------------------------------------------------------
+# q129 — bucketed interval-overlap self-join (large-large interval join)
+# --------------------------------------------------------------------------
+
+INTERVAL_BUCKET_US = 600_000_000  # 600 s bands
+
+
+def q129_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping event intervals per user ([ts, ts + value seconds)),
+    via the interval-banding equi-join (operators/joins.
+    interval_overlap_pairs) — the large-large interval join shape that
+    broadcast range joins can't serve. Integer microseconds end to
+    end, so the overlap lengths are exact in both engines."""
+    from nyc_etl_pipeline_spark.operators.joins import interval_overlap_pairs
+
+    e = read_testdata(spark, sf_dir, "events")
+    iv = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + F.floor(F.col("value") * 1000000.0).cast("bigint")).alias("e_us"),
+    )
+    return interval_overlap_pairs(
+        iv, "event_id", "s_us", "e_us",
+        key_cols=["user_id"], bucket_width=INTERVAL_BUCKET_US,
+    )
+
+
+_Q129_SQL = f"""
+WITH iv AS (
+  SELECT event_id, user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e
+  FROM events
+),
+ex AS (
+  SELECT *, unnest(generate_series(
+      CAST(floor(s / {float(INTERVAL_BUCKET_US)}) AS BIGINT),
+      CAST(floor(e / {float(INTERVAL_BUCKET_US)}) AS BIGINT))) AS bucket
+  FROM iv
+)
+SELECT DISTINCT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap
+FROM ex a
+JOIN ex b ON a.user_id = b.user_id AND a.bucket = b.bucket
+         AND a.event_id < b.event_id
+WHERE a.s < b.e AND b.s < a.e
+"""
+
+
 SPECS = [
     QuerySpec("q28_asof_join", q28_asof_join, _Q28_SQL,
               "as-of join (backward inclusive) via tagged-union window"),
@@ -521,4 +570,6 @@ SPECS = [
               "window gauntlet: lead/ntile/percent_rank/cume_dist/nth_value"),
     QuerySpec("q122_zorder_key", q122_zorder_key, _q122_sql(),
               "Z-order clustering key (Morton interleave of rank buckets)"),
+    QuerySpec("q129_interval_overlap", q129_interval_overlap, _Q129_SQL,
+              "bucketed interval-overlap self-join (large-large intervals)"),
 ]
