@@ -657,7 +657,73 @@ FROM changes
 """
 
 
+# --------------------------------------------------------------------------
+# q130 — per-key linear trend fit (daily volume slope, monitoring)
+# --------------------------------------------------------------------------
+
+def q130_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily total value vs day index —
+    the is-this-metric-drifting primitive a pipeline monitor fits per
+    slice. Deliberately formulated as the five classic sums (n, Σx,
+    Σy, Σxy, Σx²) with the SAME expression order in both engines
+    (q84's bit-exact-framed-sums approach) instead of builtin
+    regr_slope/covar aggregates, whose accumulation order differs
+    across engines at the last ulp. Two hash aggregations, no window,
+    no driver round-trip."""
+    e = read_testdata(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("x"),
+        )
+        .agg(F.sum("value").alias("y"))
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("double")).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("double") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("double") * F.col("x").cast("double")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        R(slope, 4).alias("slope"),
+        R(intercept, 4).alias("intercept"),
+    )
+
+
+_Q130_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         sum(value) AS y
+  FROM events GROUP BY 1, 2
+),
+sums AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(x AS DOUBLE)) AS sx, sum(y) AS sy,
+         sum(CAST(x AS DOUBLE) * y) AS sxy,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n AS n_days,
+       {sql_round_half_up(
+           '(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)', 4)} AS slope,
+       {sql_round_half_up(
+           '(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE)', 4)} AS intercept
+FROM sums
+"""
+
+
 SPECS = [
+    QuerySpec("q130_trend_fit", q130_trend_fit, _Q130_SQL,
+              "per-key OLS daily-volume trend (bit-exact sums formulation)"),
     QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
               "hourly tumbling window aggregation"),
     QuerySpec("q14_events_sliding", q14_events_sliding, _Q14_SQL,
