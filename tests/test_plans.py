@@ -538,3 +538,15 @@ def test_q119_passage_windows_stage_token_projection(spark, sf_dir):
     plan = P.explain_str(out)
     # exactly one split() site in the whole plan (the staged projection)
     assert plan.count("split(") <= 2, plan
+
+
+def test_q129_interval_join_is_equi_not_cartesian(spark, sf_dir):
+    """The interval-banding join must plan as a hash equi-join on
+    (user_id, bucket) — never a nested-loop/cartesian product, which
+    is what a naive theta-join formulation of interval overlap
+    produces."""
+    from nyc_etl_pipeline_spark.suite.advanced import q129_interval_overlap
+
+    plan = P.explain_str(q129_interval_overlap(spark, sf_dir))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "Join" in plan
