@@ -658,6 +658,68 @@ FROM changes
 
 
 # --------------------------------------------------------------------------
+# q131 — grid-bucketed spatial radius self-join (haversine verify)
+# --------------------------------------------------------------------------
+
+GEO_RADIUS_M = 200.0
+GEO_CELL_DEG = 0.0025  # >= one radius in degrees on both axes at 40.7N
+
+
+def q131_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point pairs within 200 m over NYC-box coordinates synthesized
+    deterministically from event ids (the q54/q71 injection pattern —
+    both engines build identical points, so the cell bucketing AND the
+    exact haversine verification are genuinely gated). Banding pattern
+    #3: 3x3 neighbor-cell equi-join, never |P|^2."""
+    from nyc_etl_pipeline_spark.operators import geo
+    from nyc_etl_pipeline_spark.functions import md5_long
+
+    e = read_testdata(spark, sf_dir, "events")
+    u = lambda salt: (  # noqa: E731 — uniform [0,1) from a salted md5
+        F.pmod(md5_long(F.concat(F.lit(salt), F.col("event_id").cast("string"))), F.lit(1000000))
+        / F.lit(1000000.0)
+    )
+    pts = e.select(
+        F.col("event_id").alias("point_id"),
+        (F.lit(40.50) + u("lat") * F.lit(0.40)).alias("lat"),
+        (F.lit(-74.20) + u("lon") * F.lit(0.50)).alias("lon"),
+    )
+    out = geo.radius_pairs(pts, GEO_RADIUS_M, GEO_CELL_DEG)
+    return out.select("a_id", "b_id", R(F.col("dist_m"), 1).alias("dist_m"))
+
+
+def _q131_sql() -> str:
+    from nyc_etl_pipeline_spark.functions import sql_md5_long
+    from nyc_etl_pipeline_spark.operators.geo import sql_haversine_m
+
+    lat_u = f"({sql_md5_long(chr(39) + 'lat' + chr(39) + ' || CAST(event_id AS VARCHAR)')} % 1000000) / 1000000.0"
+    lon_u = f"({sql_md5_long(chr(39) + 'lon' + chr(39) + ' || CAST(event_id AS VARCHAR)')} % 1000000) / 1000000.0"
+    dist = sql_haversine_m("a.lat", "a.lon", "b.lat", "b.lon")
+    return f"""
+WITH pts AS (
+  SELECT event_id AS point_id,
+         40.50 + {lat_u} * 0.40 AS lat,
+         -74.20 + {lon_u} * 0.50 AS lon
+  FROM events
+),
+cells AS (
+  SELECT *, CAST(floor(lat / {GEO_CELL_DEG}) AS BIGINT) AS cx,
+            CAST(floor(lon / {GEO_CELL_DEG}) AS BIGINT) AS cy
+  FROM pts
+),
+pairs AS (
+  SELECT a.point_id AS a_id, b.point_id AS b_id, {dist} AS d
+  FROM cells a JOIN cells b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.point_id < b.point_id
+)
+SELECT a_id, b_id, {sql_round_half_up('d', 1)} AS dist_m
+FROM pairs WHERE d <= {GEO_RADIUS_M}
+"""
+
+
+# --------------------------------------------------------------------------
 # q130 — per-key linear trend fit (daily volume slope, monitoring)
 # --------------------------------------------------------------------------
 
@@ -724,6 +786,8 @@ FROM sums
 SPECS = [
     QuerySpec("q130_trend_fit", q130_trend_fit, _Q130_SQL,
               "per-key OLS daily-volume trend (bit-exact sums formulation)"),
+    QuerySpec("q131_radius_pairs", q131_radius_pairs, _q131_sql(),
+              "grid-bucketed spatial radius self-join (haversine verify)"),
     QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
               "hourly tumbling window aggregation"),
     QuerySpec("q14_events_sliding", q14_events_sliding, _Q14_SQL,

@@ -143,3 +143,54 @@ def test_percentile_formulations_agree(spark, sf_dir):
     con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'")
     duck = {r[0]: tuple(r[1:]) for r in con.sql(_Q42_SQL).fetchall()}
     assert anchor == duck
+
+
+# ---- geospatial ----------------------------------------------------------
+
+def test_haversine_known_distance_and_cross_cell_pairs(spark):
+    """Pin the haversine against a hand-checkable distance (1 degree
+    of latitude ~ 111.19 km on the 6371 km sphere) and prove the grid
+    join finds pairs straddling a cell boundary."""
+    from pyspark.sql import functions as F
+
+    from nyc_etl_pipeline_spark.operators import geo
+
+    pts = spark.createDataFrame(
+        [
+            (1, 40.0, -74.0),
+            (2, 41.0, -74.0),        # ~111.19 km north of 1
+            (3, 40.00249, -74.0),    # ~277 m north of 1, same cell col
+            (4, 40.00251, -74.0),    # just over a 0.0025-deg cell edge from 1
+        ],
+        "point_id long, lat double, lon double",
+    )
+    d = (
+        pts.alias("a")
+        .crossJoin(pts.alias("b"))
+        .filter("a.point_id = 1 and b.point_id = 2")
+        .select(
+            geo.haversine_m(
+                F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")
+            ).alias("d")
+        )
+        .first()["d"]
+    )
+    assert abs(d - 111194.9) < 10  # 2*pi*6371km/360
+
+    pairs = {
+        (r["a_id"], r["b_id"]): r["dist_m"]
+        for r in geo.radius_pairs(pts, 300.0, 0.0025).collect()
+    }
+    # 3 and 4 are in DIFFERENT cells than 1 straddling the boundary;
+    # the neighbor-cell explode must still find both pairs
+    assert (1, 3) in pairs and (1, 4) in pairs and (3, 4) in pairs
+    assert (1, 2) not in pairs  # far outside the radius
+    assert abs(pairs[(1, 3)] - 277.0) < 2
+
+
+def test_q131_spatial_join_is_equi_not_cartesian(spark, sf_dir):
+    from nyc_etl_pipeline_spark import plans as P
+    from nyc_etl_pipeline_spark.suite.events import q131_radius_pairs
+
+    plan = P.explain_str(q131_radius_pairs(spark, sf_dir))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
