@@ -184,3 +184,48 @@ def test_md5_long_matches_duckdb_and_python(spark, texts):
     assert got == [tuple(r) for r in duck] == py
     for h15, _, _ in got:
         assert 0 <= h15 < 1 << 60
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),                     # key
+            st.one_of(st.none(), st.floats(allow_nan=False,
+                                           allow_infinity=False,
+                                           min_value=-1e6, max_value=1e6)),
+            st.integers(0, 2),                                    # batch assignment
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_partial_merge_equals_direct_for_any_split(spark, rows):
+    """merge(partials of ANY 3-way split) == partial(whole) — for
+    arbitrary keys, nullable measures, and arbitrary batch routing
+    (the algebraic-aggregate identity q120 gates on one fixed split)."""
+    from nyc_etl_pipeline_spark.operators import incremental as INC
+
+    df = spark.createDataFrame(
+        [(k, v, b) for k, v, b in rows], "k string, x double, b int"
+    )
+    direct = sorted(
+        map(tuple, INC.finalize(INC.partial_aggregate(df, ["k"], ["x"]), ["x"]).collect())
+    )
+    parts = [
+        INC.partial_aggregate(df.filter(df.b == i).drop("b"), ["k"], ["x"])
+        for i in range(3)
+    ]
+    merged = sorted(
+        map(tuple, INC.finalize(INC.merge_partials(parts, ["k"], ["x"]), ["x"]).collect())
+    )
+    # min/max/count are exact; sums/avgs are rounded by finalize, and
+    # the 3-way regrouping can differ in the last ulp before rounding —
+    # compare with a half-up-boundary-aware tolerance
+    assert len(direct) == len(merged)
+    for d, m in zip(direct, merged):
+        for dv, mv in zip(d, m):
+            if isinstance(dv, float) and isinstance(mv, float):
+                assert math.isclose(dv, mv, rel_tol=1e-9, abs_tol=1e-3), (d, m)
+            else:
+                assert dv == mv, (d, m)
