@@ -194,3 +194,21 @@ def test_q131_spatial_join_is_equi_not_cartesian(spark, sf_dir):
 
     plan = P.explain_str(q131_radius_pairs(spark, sf_dir))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_interval_overlap_drops_degenerate_intervals(spark):
+    """end < start is not an interval: it must be dropped, not fed to
+    sequence() (which would silently generate DESCENDING buckets and
+    phantom candidates in Spark while DuckDB's generate_series yields
+    nothing — an engine-divergence trap)."""
+    from nyc_etl_pipeline_spark.operators.joins import interval_overlap_pairs
+
+    df = spark.createDataFrame(
+        [(1, 100, 200), (2, 150, 250), (3, 500, 400)],
+        "iid long, s long, e long",
+    )
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_pairs(df, "iid", "s", "e", bucket_width=100).collect()
+    }
+    assert pairs == {(1, 2)}  # 3's degenerate interval joins nothing
