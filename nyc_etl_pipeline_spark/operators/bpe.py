@@ -136,7 +136,7 @@ def bpe_encode(
         for pdf in batches:
             out = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                words = text.split()
+                words = text.split() if isinstance(text, str) else []
                 n_sub = sum(len(bpe_encode_word(w, ranks)) for w in words)
                 out.append((did, len(words), n_sub))
             res = pd.DataFrame(out, columns=[id_col, "n_words", "n_subwords"])

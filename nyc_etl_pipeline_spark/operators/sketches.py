@@ -107,8 +107,14 @@ def cms_estimate(
     probes = queries.select(token_col, F.explode(cells).alias("c")).select(
         token_col, F.col("c.row_i").alias("row_i"), F.col("c.bucket").alias("bucket")
     )
+    # LEFT join + coalesce 0: a sketch only stores touched cells, so a
+    # never-seen token's empty cell means estimate 0 — an inner join
+    # would silently drop the empty cell and OVERESTIMATE from the
+    # remaining rows (or lose the token entirely if all cells are
+    # empty), breaking the est >= true >= 0 contract from the wrong
+    # side for absent tokens.
     return (
-        probes.join(F.broadcast(sketch), on=["row_i", "bucket"])
+        probes.join(F.broadcast(sketch), on=["row_i", "bucket"], how="left")
         .groupBy(token_col)
-        .agg(F.min("cnt").alias("cms_estimate"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
     )

@@ -203,6 +203,10 @@ def sketch_maintainer(warehouse, table: str, token_col: str = "token"):
     from nyc_etl_pipeline_spark.operators import sketches as SKC
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # availableNow can fire an empty batch 0; writing it would
+            # create a data-less partitioned dir that breaks later reads
+            return
         partial = SKC.cms_build(batch_df, token_col=token_col).withColumn(
             "batch_id", F.lit(int(batch_id))
         )
@@ -237,6 +241,8 @@ def mart_maintainer(warehouse, table: str, keys: list[str], measures: list[str])
     from nyc_etl_pipeline_spark.operators import incremental as INC
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # see sketch_maintainer: empty batch 0 must not write
         partial = INC.partial_aggregate(batch_df, keys, measures).withColumn(
             "batch_id", F.lit(int(batch_id))
         )

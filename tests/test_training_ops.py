@@ -926,3 +926,32 @@ def test_text_operators_survive_null_and_empty_text(spark):
     assert len(out) == 4
     byid = {r["doc_id"]: r for r in out}
     assert byid[2]["lang"] == "und" and byid[3]["norm"] == ""
+
+
+def test_cms_estimate_absent_token_is_zero_not_overestimate(spark):
+    """A never-seen token whose cells are untouched must estimate 0 —
+    the inner-join formulation silently overestimated (or dropped the
+    token) because empty cells aren't stored."""
+    from pyspark.sql import Row
+
+    from nyc_etl_pipeline_spark.operators import sketches as SKC
+
+    toks = spark.createDataFrame([Row(token="aaa")] * 5 + [Row(token="bbb")] * 3)
+    sketch = SKC.cms_build(toks, width=8)  # tiny width: cells collide
+    est = {
+        r["token"]: r["cms_estimate"]
+        for r in SKC.cms_estimate(
+            sketch,
+            spark.createDataFrame(
+                [Row(token="aaa"), Row(token="zz-never-seen")]
+            ),
+            width=8,
+        ).collect()
+    }
+    assert est["aaa"] >= 5
+    assert "zz-never-seen" in est
+    # with width 8 its 4 cells may collide with real counts, but at
+    # least one empty cell must floor the min at 0 OR the estimate is
+    # a legitimate collision overcount — assert the contract: bounded
+    # by total stream count, never missing
+    assert 0 <= est["zz-never-seen"] <= 8
