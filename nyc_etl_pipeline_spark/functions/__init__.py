@@ -62,3 +62,46 @@ def py_md5_long(s: str, start: int = 1, nhex: int = 15) -> int:
     import hashlib
 
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[start - 1 : start - 1 + nhex], 16)
+
+
+DEC_SUM_TYPE = "decimal(28,6)"
+
+
+def dec_sum(col: Column | str) -> Column:
+    """Order-independent SUM for oracle-gated money/measure columns.
+
+    A double sum's value depends on partial-merge order, which varies
+    with thread scheduling — a sum within ~1 ulp of a round_half_up
+    boundary can flip between runs (observed once under concurrent
+    load, ROUND_NOTES round 5). Accumulating DECIMAL(28,6) makes the
+    sum exact integer arithmetic: any merge order yields the identical
+    result, and Spark's and DuckDB's double->decimal value casts agree
+    (verified over every fixture money column). The one-time 6-dp
+    value rounding is deterministic per row — the opposite of the
+    order-dependent last-ulp it replaces. Returns double so downstream
+    round_half_up keeps its existing contract.
+
+    Use for plain value sums; NOT for sums of transcendental
+    intermediates (ln/exp chains keep their documented formulation).
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.sum(col.cast(DEC_SUM_TYPE)).cast("double")
+
+
+def sql_dec_sum(expr: str) -> str:
+    """DuckDB fragment computing the identical value as `dec_sum`."""
+    return f"CAST(sum(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def dec_avg(col: Column | str) -> Column:
+    """Order-independent AVG companion of `dec_sum` (avg is internally
+    a double sum with the same merge-order sensitivity). Null
+    semantics match avg(): the count denominator ignores nulls."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return dec_sum(col) / F.count(col)
+
+
+def sql_dec_avg(expr: str) -> str:
+    return f"({sql_dec_sum(expr)} / count({expr}))"

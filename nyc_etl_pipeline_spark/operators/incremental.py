@@ -41,8 +41,11 @@ def partial_aggregate(df: DataFrame, keys: list[str], measures: list[str]) -> Da
     keeps exactly these, so any future batch can merge against it."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for m in measures:
+        # DECIMAL(28,6) accumulation makes the merge identity EXACT
+        # for doubles too (not merely round-stable): any regrouping of
+        # partials is integer arithmetic (functions.dec_sum rationale)
         aggs += [
-            F.sum(m).alias(f"sum_{m}"),
+            F.sum(F.col(m).cast("decimal(28,6)")).alias(f"sum_{m}"),
             F.count(m).alias(f"cnt_{m}"),
             F.min(m).alias(f"min_{m}"),
             F.max(m).alias(f"max_{m}"),
@@ -72,8 +75,9 @@ def finalize(partials: DataFrame, measures: list[str], digits: int = 3) -> DataF
     DuckDB oracle computing the same expressions hash-matches."""
     out = partials
     for m in measures:
+        s_dbl = F.col(f"sum_{m}").cast("double")
         out = out.withColumn(
             f"avg_{m}",
-            round_half_up(F.col(f"sum_{m}") / F.col(f"cnt_{m}"), digits),
-        ).withColumn(f"sum_{m}", round_half_up(F.col(f"sum_{m}"), digits))
+            round_half_up(s_dbl / F.col(f"cnt_{m}"), digits),
+        ).withColumn(f"sum_{m}", round_half_up(s_dbl, digits))
     return out

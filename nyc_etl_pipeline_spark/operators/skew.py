@@ -51,11 +51,17 @@ def salted_sum_count(
     (key, salt) — at most n_salts× more groups, each bounded — then
     final combine per key. Result identical to a direct groupBy."""
     salted = df.withColumn("__salt", salt_col(n_salts, value_col, key))
+    # DECIMAL accumulation through both stages: the whole point of the
+    # two-phase shape is that regrouping must not change the answer —
+    # exact decimal sums make that literally true for doubles too
+    # (functions.dec_sum rationale).
     partial = salted.groupBy(key, "__salt").agg(
-        F.sum(value_col).alias("__s"), F.count(F.lit(1)).alias("__c")
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("__s"),
+        F.count(F.lit(1)).alias("__c"),
     )
     return partial.groupBy(key).agg(
-        F.sum("__s").alias(f"sum_{value_col}"), F.sum("__c").alias("n_rows")
+        F.sum("__s").cast("double").alias(f"sum_{value_col}"),
+        F.sum("__c").alias("n_rows"),
     )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nyc_etl_pipeline_spark.functions import round_half_up
+from nyc_etl_pipeline_spark.functions import dec_avg
 
 _UNITS = {"hour": "1 hour", "day": "1 day", "minute": "1 minute"}
 
@@ -95,7 +96,7 @@ def gapfill(
         F.col(entity_col), F.date_trunc(unit, F.col(ts_col)).alias("bucket")
     ).agg(
         F.count(F.lit(1)).alias("__n"),
-        F.avg(value_col).alias("__avg"),
+        dec_avg(value_col).alias("__avg"),
     )
     spans = bucketed.groupBy(entity_col).agg(
         F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")

@@ -39,10 +39,10 @@ SELECT CAST(month(o_orderdate) AS INT)            AS order_month,
        r_name                                     AS region_name,
        n_name                                     AS nation_name,
        l_returnflag                               AS returnflag,
-       floor(avg(l_quantity) * 1e3 + 0.5) / 1e3        AS avg_qty,
-       floor(sum(l_quantity) * 1e3 + 0.5) / 1e3        AS total_qty,
-       floor(avg(l_extendedprice) * 1e3 + 0.5) / 1e3   AS avg_price,
-       floor(sum(l_extendedprice * (1 - l_discount)) * 1e3 + 0.5) / 1e3 AS revenue,
+       floor((CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(l_quantity)) * 1e3 + 0.5) / 1e3 AS avg_qty,
+       floor(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) * 1e3 + 0.5) / 1e3 AS total_qty,
+       floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(l_extendedprice)) * 1e3 + 0.5) / 1e3 AS avg_price,
+       floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) * 1e3 + 0.5) / 1e3 AS revenue,
        count(*)                                   AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey

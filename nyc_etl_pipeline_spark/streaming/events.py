@@ -93,7 +93,7 @@ def stream_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> Data
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"))
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
@@ -107,7 +107,7 @@ def stream_sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataF
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"))
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
@@ -124,7 +124,7 @@ def stream_session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFr
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", gap), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"))
         .select(
             F.col("session_window.start").alias("session_start"),
             F.col("session_window.end").alias("session_end"),

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nyc_etl_pipeline_spark.functions import dec_avg, dec_sum
 from nyc_etl_pipeline_spark.functions import round_half_up as R
 from nyc_etl_pipeline_spark.io import read_testdata
 from nyc_etl_pipeline_spark.operators.joins import asof_join_backward, range_join_small
@@ -59,7 +60,7 @@ def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("tier", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            R(F.sum("value"), 3).alias("total_value"),
+            R(dec_sum("value"), 3).alias("total_value"),
         )
     )
 
@@ -70,7 +71,7 @@ WITH tiers(tier, lo, hi) AS (
 )
 SELECT tier, event_type,
        count(*) AS n_events,
-       floor((CAST(sum(value) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value
+       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value
 FROM events JOIN tiers ON value >= lo AND value < hi
 GROUP BY 1, 2
 """
@@ -85,7 +86,7 @@ def q30_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
-            R(F.sum("l_quantity"), 3).alias("total_qty"),
+            R(dec_sum("l_quantity"), 3).alias("total_qty"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .select(
@@ -99,7 +100,7 @@ def q30_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q30_SQL = """
 SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
-       floor((CAST(sum(l_quantity) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_qty,
+       floor((CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_qty,
        count(*) AS n_items
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -113,9 +114,9 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 def q31_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_testdata(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        R(F.sum("l_quantity"), 3).alias("qty"),
-        R(F.sum("l_extendedprice"), 3).alias("price"),
-        R(F.sum("l_discount"), 3).alias("discount"),
+        R(dec_sum("l_quantity"), 3).alias("qty"),
+        R(dec_sum("l_extendedprice"), 3).alias("price"),
+        R(dec_sum("l_discount"), 3).alias("discount"),
     )
     return wide.unpivot(
         ids=["l_returnflag"],
@@ -128,9 +129,9 @@ def q31_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q31_SQL = """
 WITH wide AS (
   SELECT l_returnflag AS returnflag,
-         floor((CAST(sum(l_quantity) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS qty,
-         floor((CAST(sum(l_extendedprice) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS price,
-         floor((CAST(sum(l_discount) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS discount
+         floor((CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS qty,
+         floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS price,
+         floor((CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS discount
   FROM lineitem GROUP BY 1
 )
 SELECT returnflag, measure, amount
@@ -171,7 +172,7 @@ def q33_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
-        R(F.sum_distinct(F.col("l_quantity")), 3).alias("sum_distinct_qty"),
+        R(F.sum_distinct(F.col("l_quantity").cast("decimal(28,6)")).cast("double"), 3).alias("sum_distinct_qty"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -180,7 +181,7 @@ _Q33_SQL = """
 SELECT l_returnflag AS returnflag,
        count(DISTINCT l_orderkey) AS n_orders,
        count(DISTINCT l_suppkey) AS n_suppliers,
-       floor((CAST(sum(DISTINCT l_quantity) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS sum_distinct_qty,
+       floor((CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS sum_distinct_qty,
        count(*) AS n_items
 FROM lineitem
 GROUP BY 1

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nyc_etl_pipeline_spark.functions import dec_avg, dec_sum
 from nyc_etl_pipeline_spark.functions import round_half_up as R
 from nyc_etl_pipeline_spark.io import read_testdata
 from nyc_etl_pipeline_spark.operators import dedup as D
@@ -93,13 +94,13 @@ def q43_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").alias("linestatus"),
         )
         .agg(
-            R(F.sum("l_quantity"), 3).alias("sum_qty"),
-            R(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
-            R(F.sum(disc_price), 3).alias("sum_disc_price"),
-            R(F.sum(charge), 3).alias("sum_charge"),
-            R(F.avg("l_quantity"), 3).alias("avg_qty"),
-            R(F.avg("l_extendedprice"), 3).alias("avg_price"),
-            R(F.avg("l_discount"), 3).alias("avg_disc"),
+            R(dec_sum("l_quantity"), 3).alias("sum_qty"),
+            R(dec_sum("l_extendedprice"), 3).alias("sum_base_price"),
+            R(dec_sum(disc_price), 3).alias("sum_disc_price"),
+            R(dec_sum(charge), 3).alias("sum_charge"),
+            R(dec_avg("l_quantity"), 3).alias("avg_qty"),
+            R(dec_avg("l_extendedprice"), 3).alias("avg_price"),
+            R(dec_avg("l_discount"), 3).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -108,13 +109,13 @@ def q43_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q43_SQL = """
 SELECT l_returnflag AS returnflag,
        l_linestatus AS linestatus,
-       floor((CAST(sum(l_quantity) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS sum_qty,
-       floor((CAST(sum(l_extendedprice) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS sum_base_price,
-       floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS sum_disc_price,
-       floor((CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS sum_charge,
-       floor((avg(l_quantity)) * 1000.0 + 0.5) / 1000.0 AS avg_qty,
-       floor((avg(l_extendedprice)) * 1000.0 + 0.5) / 1000.0 AS avg_price,
-       floor((avg(l_discount)) * 1000.0 + 0.5) / 1000.0 AS avg_disc,
+       floor((CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS sum_qty,
+       floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS sum_base_price,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS sum_disc_price,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS sum_charge,
+       floor(((CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(l_quantity))) * 1000.0 + 0.5) / 1000.0 AS avg_qty,
+       floor(((CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(l_extendedprice))) * 1000.0 + 0.5) / 1000.0 AS avg_price,
+       floor(((CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(l_discount))) * 1000.0 + 0.5) / 1000.0 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.functions import dec_avg, dec_sum
 from nyc_etl_pipeline_spark.functions import round_half_up as R
 from nyc_etl_pipeline_spark.functions import sql_round_half_up
 from nyc_etl_pipeline_spark.suite import QuerySpec
@@ -26,7 +27,7 @@ def q13_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_testdata(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), R(F.sum("value"), 3).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), R(dec_sum("value"), 3).alias("total_value"))
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
@@ -40,7 +41,7 @@ _Q13_SQL = """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        count(*) AS n_events,
-       floor((CAST(sum(value) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value
+       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -53,7 +54,7 @@ def q14_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_testdata(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), R(F.sum("value"), 3).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), R(dec_sum("value"), 3).alias("total_value"))
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
@@ -75,7 +76,7 @@ expanded AS (
 )
 SELECT window_start, event_type,
        count(*) AS n_events,
-       floor((CAST(sum(value) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value
+       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value
 FROM expanded
 GROUP BY 1, 2
 """
@@ -106,7 +107,7 @@ def q15_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            R(F.sum("value"), 3).alias("total_value"),
+            R(dec_sum("value"), 3).alias("total_value"),
         )
         .select(
             "user_id",
@@ -138,7 +139,7 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) AS session_end,
        count(*) AS n_events,
-       floor((CAST(sum(value) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value
+       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value
 FROM sessions
 GROUP BY 1, 2
 """
@@ -277,7 +278,7 @@ _Q70_SQL = f"""
 WITH ev AS (SELECT * FROM events WHERE user_id % {GAPFILL_USER_MOD} = 0),
 hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS bucket,
-         count(*) AS n, avg(value) AS v
+         count(*) AS n, (CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(value)) AS v
   FROM ev GROUP BY 1, 2
 ),
 spans AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1),
@@ -504,11 +505,11 @@ WHERE rn = 1
 
 def q92_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_testdata(spark, sf_dir, "events")
-    per = e.groupBy("user_id", "event_type").agg(F.sum("value").alias("__v"))
+    per = e.groupBy("user_id", "event_type").agg(dec_sum("value").alias("__v"))
     w = W.partitionBy("user_id")
-    total = e.agg(F.sum("value").alias("__total"))
+    total = e.agg(dec_sum("value").alias("__total"))
     return (
-        per.withColumn("__user_total", F.sum("__v").over(w))
+        per.withColumn("__user_total", F.sum(F.col("__v").cast("decimal(28,6)")).over(w).cast("double"))
         .crossJoin(F.broadcast(total))
         .select(
             "user_id",
@@ -522,14 +523,14 @@ def q92_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q92_SQL = """
 WITH per AS (
-  SELECT user_id, event_type, sum(value) AS v
+  SELECT user_id, event_type, CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
   FROM events GROUP BY 1, 2
 )
 SELECT user_id, event_type,
        floor(v * 1000.0 + 0.5) / 1000.0 AS type_value,
        floor((v / sum(v) OVER (PARTITION BY user_id)) * 1000000.0 + 0.5) / 1000000.0
          AS share_of_user,
-       floor((v / (SELECT sum(value) FROM events)) * 1000000000.0 + 0.5) / 1000000000.0
+       floor((v / (SELECT CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) FROM events)) * 1000000000.0 + 0.5) / 1000000000.0
          AS share_of_total
 FROM per
 """
@@ -562,7 +563,7 @@ def q77_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q77_SQL = """
 SELECT event_type,
-       floor((CAST(sum(value) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value,
+       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value,
        count(*) AS n_rows
 FROM events
 GROUP BY 1
@@ -585,7 +586,7 @@ def q79_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            R(F.sum("value"), 3).alias("total_value"),
+            R(dec_sum("value"), 3).alias("total_value"),
         )
         .select(
             "user_id",
@@ -615,7 +616,7 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL 30 MINUTE AS session_end,
        count(*) AS n_events,
-       floor((CAST(sum(value) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value
+       floor((CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_value
 FROM sessions
 GROUP BY user_id, session_idx
 """
@@ -738,13 +739,13 @@ def q130_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("x"),
         )
-        .agg(F.sum("value").alias("y"))
+        .agg(dec_sum("value").alias("y"))
     )
     sums = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("x").cast("double")).alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x").cast("double") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x").cast("double") * F.col("y")).cast("decimal(28,6)")).cast("double").alias("sxy"),
         F.sum(F.col("x").cast("double") * F.col("x").cast("double")).alias("sxx"),
     )
     n = F.col("n").cast("double")
@@ -764,13 +765,13 @@ _Q130_SQL = f"""
 WITH daily AS (
   SELECT event_type,
          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
-         sum(value) AS y
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS y
   FROM events GROUP BY 1, 2
 ),
 sums AS (
   SELECT event_type, count(*) AS n,
-         sum(CAST(x AS DOUBLE)) AS sx, sum(y) AS sy,
-         sum(CAST(x AS DOUBLE) * y) AS sxy,
+         sum(CAST(x AS DOUBLE)) AS sx, CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
          sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx
   FROM daily GROUP BY 1
 )

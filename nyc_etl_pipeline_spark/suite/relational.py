@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from nyc_etl_pipeline_spark.io import read_testdata
 from nyc_etl_pipeline_spark.pipeline.dims import build_date_dim, upsert_dim
+from nyc_etl_pipeline_spark.functions import dec_avg, dec_sum
 from nyc_etl_pipeline_spark.functions import round_half_up as R
 from nyc_etl_pipeline_spark.suite import QuerySpec
 
@@ -56,10 +57,10 @@ def q01_monthly_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_returnflag").alias("returnflag"),
         )
         .agg(
-            R(F.avg("l_quantity"), 3).alias("avg_qty"),
-            R(F.sum("l_quantity"), 3).alias("total_qty"),
-            R(F.avg("l_extendedprice"), 3).alias("avg_price"),
-            R(F.sum(rev), 3).alias("revenue"),
+            R(dec_avg("l_quantity"), 3).alias("avg_qty"),
+            R(dec_sum("l_quantity"), 3).alias("total_qty"),
+            R(dec_avg("l_extendedprice"), 3).alias("avg_price"),
+            R(dec_sum(rev), 3).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -70,10 +71,10 @@ SELECT CAST(month(o_orderdate) AS INTEGER) AS order_month,
        r_name AS region_name,
        n_name AS nation_name,
        l_returnflag AS returnflag,
-       floor((avg(l_quantity)) * 1000.0 + 0.5) / 1000.0 AS avg_qty,
-       floor((CAST(sum(l_quantity) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_qty,
-       floor((avg(l_extendedprice)) * 1000.0 + 0.5) / 1000.0 AS avg_price,
-       floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue,
+       floor(((CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(l_quantity))) * 1000.0 + 0.5) / 1000.0 AS avg_qty,
+       floor((CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_qty,
+       floor(((CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(l_extendedprice))) * 1000.0 + 0.5) / 1000.0 AS avg_price,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -100,8 +101,8 @@ def q02_weekly_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_returnflag").alias("returnflag"),
         )
         .agg(
-            R(F.sum(rev), 3).alias("revenue"),
-            R(F.avg(rev), 3).alias("avg_revenue"),
+            R(dec_sum(rev), 3).alias("revenue"),
+            R(dec_avg(rev), 3).alias("avg_revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -111,8 +112,8 @@ _Q02_SQL = """
 SELECT CAST(weekofyear(o_orderdate) AS INTEGER) AS order_week,
        dayname(o_orderdate) AS order_dayname,
        l_returnflag AS returnflag,
-       floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue,
-       floor((avg(l_extendedprice * (1 - l_discount))) * 1000.0 + 0.5) / 1000.0 AS avg_revenue,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue,
+       floor(((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) / count(l_extendedprice * (1 - l_discount)))) * 1000.0 + 0.5) / 1000.0 AS avg_revenue,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1, 2, 3
@@ -337,7 +338,7 @@ def q08_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum(rev).alias("__rev"))
+        .agg(dec_sum(rev).alias("__rev"))
         .orderBy(F.col("__rev").desc(), F.col("c_custkey"))
         .limit(10)
         .select(
@@ -350,12 +351,12 @@ def q08_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q08_SQL = """
 SELECT c_custkey AS custkey, c_name AS name,
-       floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2
-ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+ORDER BY CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) DESC, c_custkey
 LIMIT 10
 """
 
@@ -402,7 +403,7 @@ def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            R(F.sum("l_quantity"), 3).alias("total_qty"),
+            R(dec_sum("l_quantity"), 3).alias("total_qty"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .select(
@@ -416,7 +417,7 @@ def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_SQL = """
 SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
-       floor((CAST(sum(l_quantity) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_qty,
+       floor((CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_qty,
        count(*) AS n_items
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -452,7 +453,7 @@ def q12_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(R(F.sum("l_quantity"), 3))
+        .agg(R(dec_sum("l_quantity"), 3))
     )
     return out.select(
         F.col("l_returnflag").alias("returnflag"),
@@ -463,8 +464,8 @@ def q12_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_SQL = """
 SELECT l_returnflag AS returnflag,
-       floor((CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS qty_open,
-       floor((CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS qty_finished
+       floor((CAST(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS qty_open,
+       floor((CAST(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS qty_finished
 FROM lineitem
 GROUP BY 1
 """

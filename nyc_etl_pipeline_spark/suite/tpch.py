@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nyc_etl_pipeline_spark.functions import dec_avg, dec_sum
 from nyc_etl_pipeline_spark.functions import round_half_up as R
 from nyc_etl_pipeline_spark.io import read_testdata
 from nyc_etl_pipeline_spark.suite import QuerySpec
@@ -58,7 +59,7 @@ def q61_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             F.col("o_orderpriority").alias("orderpriority"),
         )
-        .agg(R(F.sum(_rev()), 3).alias("revenue"))
+        .agg(R(dec_sum(_rev()), 3).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
         .limit(10)
     )
@@ -68,7 +69,7 @@ _Q61_SQL = """
 SELECT l_orderkey AS orderkey,
        strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
        o_orderpriority AS orderpriority,
-       floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -111,7 +112,7 @@ def q62_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            R(F.sum(_rev()), 3).alias("revenue"),
+            R(dec_sum(_rev()), 3).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -119,7 +120,7 @@ def q62_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q62_SQL = """
 SELECT n_name AS nation_name,
-       floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue,
        count(*) AS n_items
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -161,7 +162,7 @@ def q63_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             R(F.col("c_acctbal"), 3).alias("acctbal"),
             F.col("n_name").alias("nation_name"),
         )
-        .agg(R(F.sum(_rev()), 3).alias("revenue"))
+        .agg(R(dec_sum(_rev()), 3).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("custkey"))
         .limit(20)
     )
@@ -172,7 +173,7 @@ SELECT c_custkey AS custkey,
        c_name AS cust_name,
        floor((c_acctbal) * 1000.0 + 0.5) / 1000.0 AS acctbal,
        n_name AS nation_name,
-       floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -203,7 +204,7 @@ def q64_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(R(F.sum("l_quantity"), 3).alias("total_qty"))
+        .agg(R(dec_sum("l_quantity"), 3).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
     return (
@@ -229,10 +230,10 @@ SELECT c_custkey AS custkey,
        total_qty
 FROM (
   SELECT l_orderkey,
-         floor((CAST(sum(l_quantity) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_qty
+         floor((CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_qty
   FROM lineitem
   GROUP BY 1
-  HAVING floor((CAST(sum(l_quantity) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 > 150
+  HAVING floor((CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 > 150
 ) big
 JOIN orders   ON big.l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -342,14 +343,14 @@ def q88_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return never_urgent.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
         F.count(F.lit(1)).alias("n_custs"),
-        R(F.sum("c_acctbal"), 3).alias("total_bal"),
+        R(dec_sum("c_acctbal"), 3).alias("total_bal"),
     )
 
 
 _Q88_SQL = """
 SELECT c_nationkey AS nationkey,
        count(*) AS n_custs,
-       floor((CAST(sum(c_acctbal) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_bal
+       floor((CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_bal
 FROM customer c
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -490,7 +491,7 @@ def q95_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum("l_quantity").alias("total_qty"),
-        R(F.sum(_rev()), 3).alias("revenue"),
+        R(dec_sum(_rev()), 3).alias("revenue"),
     )
     total = li.agg(F.sum("l_quantity").alias("__total"))
     return (
@@ -502,8 +503,8 @@ def q95_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q95_SQL = f"""
 SELECT l_partkey AS partkey,
-       floor((CAST(sum(l_quantity) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_qty,
-       floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
+       floor((CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_qty,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
 FROM lineitem
 GROUP BY 1
 HAVING sum(l_quantity) > {Q95_FRACTION} * (SELECT sum(l_quantity) FROM lineitem)
@@ -561,7 +562,7 @@ def q97_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _t(spark, sf_dir, "supplier")
     rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
-        F.sum(_rev()).alias("__rev")
+        dec_sum(_rev()).alias("__rev")
     )
     top = (
         rev.crossJoin(F.broadcast(rev.agg(F.max("__rev").alias("__max"))))
@@ -577,7 +578,7 @@ def q97_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q97_SQL = """
 WITH revenue AS (
   SELECT l_suppkey AS suppkey,
-         sum(l_extendedprice * (1 - l_discount)) AS total_rev
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_rev
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -659,13 +660,13 @@ def q99_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (branded.l_quantity < F.col("__thresh")),
     )
     return small.agg(
-        R(F.sum("l_extendedprice") / 7.0, 3).alias("avg_yearly"),
+        R(dec_sum("l_extendedprice") / 7.0, 3).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 _Q99_SQL = """
-SELECT floor((CAST(sum(l_extendedprice) AS DOUBLE) / 7.0) * 1000.0 + 0.5) / 1000.0 AS avg_yearly,
+SELECT floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0) * 1000.0 + 0.5) / 1000.0 AS avg_yearly,
        count(*) AS n_lines
 FROM lineitem l1 JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
@@ -770,12 +771,12 @@ def q102_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        R(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 3).alias("revenue")
+        R(dec_sum(F.col("l_extendedprice") * F.col("l_discount")), 3).alias("revenue")
     )
 
 
 _Q102_SQL = """
-SELECT floor((CAST(sum(l_extendedprice * l_discount) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
+SELECT floor((CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -827,7 +828,7 @@ def q103_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(R(F.sum(_rev()), 3).alias("revenue"))
+        .agg(R(dec_sum(_rev()), 3).alias("revenue"))
     )
 
 
@@ -835,7 +836,7 @@ _Q103_SQL = """
 SELECT n1.n_name AS supp_nation,
        n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey  = s_suppkey
@@ -894,8 +895,8 @@ def q104_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             R(
-                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
-                / F.sum(vol),
+                dec_sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / dec_sum(vol),
                 6,
             ).alias("mkt_share")
         )
@@ -904,7 +905,7 @@ def q104_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q104_SQL = """
 SELECT o_year,
-       floor((CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0.0 END) / sum(volume) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+       floor((CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) / CAST(sum(CAST(volume AS DECIMAL(28,6))) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
 FROM (
   SELECT year(o_orderdate) AS o_year,
          l_extendedprice * (1 - l_discount) AS volume,
@@ -1041,8 +1042,8 @@ def q107_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             R(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * dec_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / dec_sum(rev),
                 6,
             ).alias("promo_revenue")
         )
@@ -1050,8 +1051,8 @@ def q107_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q107_SQL = """
-SELECT floor((CAST(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-                 / sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue
+SELECT floor((100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
@@ -1084,12 +1085,12 @@ def q108_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(p), (F.col("l_partkey") == F.col("p_partkey")) & bracket)
-        .agg(R(F.sum(_rev()), 3).alias("revenue"))
+        .agg(R(dec_sum(_rev()), 3).alias("revenue"))
     )
 
 
 _Q108_SQL = """
-SELECT floor((CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
+SELECT floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)

@@ -529,11 +529,11 @@ def q120_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q120_sql() -> str:
     per_measure = ",\n       ".join(
-        f"""{sql_round_half_up(f'sum({m})')} AS sum_{m},
+        f"""{sql_round_half_up(f'CAST(sum(CAST({m} AS DECIMAL(28,6))) AS DOUBLE)')} AS sum_{m},
        CAST(count({m}) AS BIGINT) AS cnt_{m},
        min({m}) AS min_{m},
        max({m}) AS max_{m},
-       {sql_round_half_up(f'sum({m}) / count({m})')} AS avg_{m}"""
+       {sql_round_half_up(f'CAST(sum(CAST({m} AS DECIMAL(28,6))) AS DOUBLE) / count({m})')} AS avg_{m}"""
         for m in MART_MEASURES
     )
     return f"""
