@@ -659,6 +659,74 @@ FROM changes
 
 
 # --------------------------------------------------------------------------
+# q132 — session transition matrix (behavioral bigrams)
+# --------------------------------------------------------------------------
+
+def q132_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix within 30-min sessions: for each
+    (from_type, to_type) adjacent pair inside a session, the count and
+    the row-normalized transition probability — the Markov-chain view
+    of user behavior a product-analytics pipeline derives from the
+    same sessionization as q15. One shuffle on user_id; the lag chain
+    and both aggregations are per-user-local then hash-combined.
+    Ties in ts within a user are ordered by event_id (total order, so
+    the pair sequence is engine-independent)."""
+    e = read_testdata(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = e.withColumn(
+        "__new_session",
+        F.when(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))) > gap_us,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__session_idx",
+        F.sum("__new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    ws = W.partitionBy("user_id", "__session_idx").orderBy("ts", "event_id")
+    pairs = (
+        flagged.withColumn("__next", F.lead("event_type").over(ws))
+        .filter(F.col("__next").isNotNull())
+        .select(F.col("event_type").alias("from_type"), F.col("__next").alias("to_type"))
+    )
+    cnt = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("__t"))
+    return cnt.join(tot, "from_type").select(
+        "from_type", "to_type", "n", R(F.col("n") / F.col("__t"), 6).alias("p")
+    )
+
+
+_Q132_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+),
+pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id, session_idx
+                                ORDER BY ts, event_id) AS to_type
+  FROM sessions
+),
+cnt AS (
+  SELECT from_type, to_type, count(*) AS n FROM pairs
+  WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       {sql_round_half_up('n * 1.0 / sum(n) OVER (PARTITION BY from_type)', 6)} AS p
+FROM cnt
+"""
+
+
+# --------------------------------------------------------------------------
 # q131 — grid-bucketed spatial radius self-join (haversine verify)
 # --------------------------------------------------------------------------
 
@@ -789,6 +857,8 @@ SPECS = [
               "per-key OLS daily-volume trend (bit-exact sums formulation)"),
     QuerySpec("q131_radius_pairs", q131_radius_pairs, _q131_sql(),
               "grid-bucketed spatial radius self-join (haversine verify)"),
+    QuerySpec("q132_session_transitions", q132_session_transitions, _Q132_SQL,
+              "session-scoped event-type transition matrix (Markov view)"),
     QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
               "hourly tumbling window aggregation"),
     QuerySpec("q14_events_sliding", q14_events_sliding, _Q14_SQL,
