@@ -550,3 +550,15 @@ def test_q129_interval_join_is_equi_not_cartesian(spark, sf_dir):
     plan = P.explain_str(q129_interval_overlap(spark, sf_dir))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
     assert "Join" in plan
+
+
+def test_decimal_aggregation_keeps_hash_agg_path(spark, sf_dir):
+    """The decimal-accumulation migration must stay on the partial+
+    final HashAggregate path — ObjectHashAggregate/SortAggregate
+    fallbacks would mean the exactness fix silently cost the
+    map-side-combine property the 100 TB plan depends on."""
+    from nyc_etl_pipeline_spark.suite.curation import q43_tpch_q1
+
+    plan = P.explain_str(q43_tpch_q1(spark, sf_dir))
+    assert "ObjectHashAggregate" not in plan and "SortAggregate" not in plan, plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
