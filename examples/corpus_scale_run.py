@@ -154,6 +154,19 @@ def main() -> None:
         "semantic_dedup",
         lambda: f"{SIM.semantic_dedup(emb, threshold=0.95, n_planes=8).filter('dropped').count():,} dropped",
     )
+    # grid-bucketed spatial radius join at point-corpus scale: n_docs
+    # synthetic GPS points in a ~44x42 km box, pairs within 100 m
+    from nyc_etl_pipeline_spark.operators import geo
+
+    pts = docs.select(
+        F.col("doc_id").alias("point_id"),
+        (40.50 + F.pmod(F.xxhash64("doc_id", F.lit(1)), 1000000) / 1000000.0 * 0.40).alias("lat"),
+        (-74.20 + F.pmod(F.xxhash64("doc_id", F.lit(2)), 1000000) / 1000000.0 * 0.50).alias("lon"),
+    )
+    timed(
+        "geo_radius_pairs",
+        lambda: f"{geo.radius_pairs(pts, 100.0, 0.0013).count():,} pairs within 100m",
+    )
     docs.unpersist()
 
 
