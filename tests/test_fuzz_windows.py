@@ -29,7 +29,7 @@ import pytest
 from nyc_etl_pipeline_spark.io import read_testdata
 from tests.oracle_harness import compare
 
-N_CASES = 60
+N_CASES = 100
 FAIL_CAP = 5
 
 # table -> (partition candidates, unique total-order chain,
