@@ -267,6 +267,28 @@ class Warehouse:
             .save(self.path(table))
         )
 
+    def _partition_columns(self, table: str) -> list[str]:
+        """Hive-style partition columns of a stored table, inferred
+        from the directory layout (k=v levels), via the Hadoop FS API
+        so any URI scheme works. Empty list for unpartitioned tables."""
+        cols: list[str] = []
+        hpath, fs = self._fs(self.path(table))
+        cur = hpath
+        while True:
+            subdirs = [
+                st.getPath()
+                for st in fs.listStatus(cur)
+                if st.isDirectory() and not st.getPath().getName().startswith((".", "_"))
+            ]
+            kv = [p for p in subdirs if "=" in p.getName()]
+            if not kv:
+                return cols
+            keys = {p.getName().split("=", 1)[0] for p in kv}
+            if len(keys) != 1:
+                return cols
+            cols.append(next(iter(keys)))
+            cur = kv[0]
+
     def compact(self, table: str, target_file_mb: int = 128) -> int:
         """Small-file compaction: rewrite a table into ~target-sized
         files. Streaming/incremental writes accumulate small files;
@@ -305,10 +327,22 @@ class Warehouse:
         jvm = self.spark._jvm
         for stale in (tmp, old):
             fs.delete(jvm.org.apache.hadoop.fs.Path(stale), True)
-        (
-            self.spark.read.format(self.table_format).load(path)
-            .repartition(n).write.format(self.table_format).save(tmp)
-        )
+        # PRESERVE the partition layout: an unpartitioned rewrite would
+        # turn k=v directories into plain data columns in root files,
+        # after which overwrite_partitions() writes NEW k=v dirs while
+        # the old rows still sit in the root — a replayed batch would
+        # then double-count (breaking the streaming maintainers'
+        # exactly-once-by-partition-rewrite contract).
+        part_cols = self._partition_columns(table)
+        df = self.spark.read.format(self.table_format).load(path)
+        if part_cols:
+            # hash-distribute by the partition cols so every partition
+            # value lands in one task -> one compacted file per dir
+            writer = df.repartition(n, *part_cols).write.format(self.table_format)
+            writer = writer.partitionBy(*part_cols)
+        else:
+            writer = df.repartition(n).write.format(self.table_format)
+        writer.save(tmp)
         if not fs.rename(hpath, jvm.org.apache.hadoop.fs.Path(old)):
             raise IOError(f"compact: could not move {path} aside")
         if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):

@@ -91,15 +91,18 @@ def bpe_train(
     table exceeds `max_distinct_words` (raise the cap consciously, or
     pre-truncate the long tail with a HAVING freq >= k filter — the
     standard web-scale practice — rather than OOM-ing the driver)."""
-    wf = word_frequencies(docs, text_col)
-    n = wf.count()
-    if n > max_distinct_words:
-        raise ValueError(
-            f"{n} distinct words exceeds max_distinct_words="
-            f"{max_distinct_words}; filter the frequency tail first "
-            f"(e.g. .filter('freq >= 2')) or raise the cap"
-        )
-    collected = [(r["word"], r["freq"]) for r in wf.collect()]
+    wf = word_frequencies(docs, text_col).persist()
+    try:
+        n = wf.count()  # materializes the persist; collect() below reuses it
+        if n > max_distinct_words:
+            raise ValueError(
+                f"{n} distinct words exceeds max_distinct_words="
+                f"{max_distinct_words}; filter the frequency tail first "
+                f"(e.g. .filter('freq >= 2')) or raise the cap"
+            )
+        collected = [(r["word"], r["freq"]) for r in wf.collect()]
+    finally:
+        wf.unpersist()
     collected.sort()  # shuffle-order independence
     return bpe_train_from_word_freqs(collected, n_merges)
 

@@ -405,6 +405,23 @@ def incremental_neardup_dedup(
     pruned). Cost is proportional to the BATCH plus its candidate
     fan-out, never to corpus size.
     """
+    # ids must be globally unique across BOTH inputs: the verification
+    # stage unions the two shingle tables and groups by id, so a shared
+    # id would pool two documents' shingles (inflated sizes -> silently
+    # UNDER-scored Jaccard -> kept near-dups). Fail fast instead; the
+    # probe is an id-projection join stopped at the first overlap.
+    clash = (
+        new_docs.select(F.col(id_col))
+        .join(corpus.select(F.col(id_col)), on=id_col)
+        .limit(1)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"{id_col}={clash[0][0]!r} appears in BOTH new_docs and corpus; "
+            "ids must be disjoint (re-ingestions need a fresh id or an "
+            "upstream exact-dedup pass)"
+        )
     new_sh = _shingle_table(new_docs, id_col, text_col, n).persist()
     cor_sh = _shingle_table(corpus, id_col, text_col, n)
     # nb feeds BOTH candidate joins (vs-corpus and within-batch) but

@@ -91,11 +91,13 @@ def interval_overlap_pairs(
     """
     keys = key_cols or []
     w = F.lit(bucket_width)
-    # degenerate intervals (end < start) are dropped explicitly:
-    # Spark's sequence(hi, lo) silently generates a DESCENDING bucket
-    # list (phantom candidates) while DuckDB's generate_series yields
-    # nothing — an engine-divergent trap, not a meaningful interval.
-    df = df.filter(F.col(end_col) >= F.col(start_col))
+    # degenerate intervals are dropped explicitly: end < start would
+    # feed Spark's sequence(hi, lo) a DESCENDING bucket list (phantom
+    # candidates; DuckDB's generate_series yields nothing — an
+    # engine-divergent trap), and end == start is the EMPTY interval,
+    # which cannot overlap anything — keeping it would emit overlap=0
+    # rows that contradict the strict-overlap contract.
+    df = df.filter(F.col(end_col) > F.col(start_col))
     ex = df.select(
         F.col(id_col).alias("__iid"),
         *[F.col(k) for k in keys],

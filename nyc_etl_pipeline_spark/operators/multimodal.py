@@ -213,6 +213,7 @@ def decode_image_meta(assets: DataFrame, fake: bool = True) -> DataFrame:
         for pdf in batches:
             out = []
             for aid, mt, payload in zip(pdf["asset_id"], pdf["media_type"], pdf["payload"]):
+                mt = mt or ""  # NULL media_type is data, not a bug
                 if payload is None:
                     out.append((aid, mt, None, None, None, False))
                     continue
@@ -300,6 +301,7 @@ def resize_images(assets: DataFrame, target_w: int = 224, target_h: int = 224) -
         for pdf in batches:
             out = []
             for aid, mt, payload in zip(pdf["asset_id"], pdf["media_type"], pdf["payload"]):
+                mt = mt or ""  # NULL media_type is data, not a bug
                 if payload is None:
                     out.append((aid, mt, target_w, target_h, None, False))
                     continue

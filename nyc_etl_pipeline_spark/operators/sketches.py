@@ -25,6 +25,13 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
+def _check_depth(depth: int) -> None:
+    """Shared guard: 4 x 7 hex chars is all one md5 digest provides;
+    a deeper sketch would silently slice truncated (weak) hashes."""
+    if depth > 4:
+        raise ValueError("depth > 4 needs more digest bits than one md5 slice set")
+
+
 def cms_bucket(token: Column, row_i: int, width: int) -> Column:
     """Row-i hash bucket of a token: a disjoint 7-hex-digit (28-bit)
     slice of ONE md5 digest, mod width. One digest yields all four
@@ -53,6 +60,7 @@ def cms_build(
     (struct-array) expansion, then a single map-side-combinable
     group-by sums cells. Output: (row_i, bucket, cnt) — at most
     depth*width rows no matter the corpus size."""
+    _check_depth(depth)
     cells = F.array(
         *[
             F.struct(
@@ -62,8 +70,6 @@ def cms_build(
             for i in range(depth)
         ]
     )
-    if depth > 4:
-        raise ValueError("depth > 4 needs more digest bits than one md5 slice set")
     return (
         tokens_df.select(F.explode(cells).alias("c"))
         .groupBy(F.col("c.row_i").alias("row_i"), F.col("c.bucket").alias("bucket"))
@@ -95,6 +101,7 @@ def cms_estimate(
     each row's bucket, unpivots to (token, row_i, bucket), and joins
     the sketch on (row_i, bucket) — the sketch is depth*width rows, so
     Spark broadcasts it and the lookup never shuffles the queries."""
+    _check_depth(depth)
     cells = F.array(
         *[
             F.struct(

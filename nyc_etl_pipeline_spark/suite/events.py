@@ -528,7 +528,7 @@ WITH per AS (
 )
 SELECT user_id, event_type,
        floor(v * 1000.0 + 0.5) / 1000.0 AS type_value,
-       floor((v / sum(v) OVER (PARTITION BY user_id)) * 1000000.0 + 0.5) / 1000000.0
+       floor((v / CAST(sum(CAST(v AS DECIMAL(28,6))) OVER (PARTITION BY user_id) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
          AS share_of_user,
        floor((v / (SELECT CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) FROM events)) * 1000000000.0 + 0.5) / 1000000000.0
          AS share_of_total
@@ -817,10 +817,12 @@ def q130_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x").cast("double") * F.col("x").cast("double")).alias("sxx"),
     )
     n = F.col("n").cast("double")
-    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        n * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    # single-distinct-day groups have denom == 0: emit NULL explicitly
+    # in BOTH engines (Spark's non-ANSI x/0.0 is NULL but DuckDB's
+    # IEEE mode returns Inf/NaN — an engine-divergence trap)
+    slope = F.when(denom != 0, (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom)
+    intercept = F.when(denom != 0, (F.col("sy") - slope * F.col("sx")) / n)
     return sums.select(
         "event_type",
         F.col("n").alias("n_days"),
@@ -844,10 +846,12 @@ sums AS (
   FROM daily GROUP BY 1
 )
 SELECT event_type, n AS n_days,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx = 0 THEN NULL ELSE
        {sql_round_half_up(
-           '(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)', 4)} AS slope,
+           '(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)', 4)} END AS slope,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx = 0 THEN NULL ELSE
        {sql_round_half_up(
-           '(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE)', 4)} AS intercept
+           '(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE)', 4)} END AS intercept
 FROM sums
 """
 

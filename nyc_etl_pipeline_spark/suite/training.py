@@ -567,9 +567,13 @@ def q121_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, bin) — all key-partitioned; the distributions
     themselves are O(types x bins), tiny regardless of input rows."""
     ev = read_testdata(spark, sf_dir, "events")
+    # week key = Monday-aligned week-START DATE, not weekofyear: a bare
+    # week number pools same-numbered weeks from different years and is
+    # blind to the 52 -> 1 rollover; consecutive weeks differ by
+    # exactly 7 days in both engines (the q60 cohort convention).
     binned = ev.select(
         "event_type",
-        F.weekofyear("ts").alias("wk"),
+        F.date_trunc("week", F.col("ts")).alias("wk"),
         F.floor(F.col("value") / PSI_BIN_WIDTH).cast("int").alias("bin"),
     )
     cnt = binned.groupBy("event_type", "wk", "bin").agg(F.count(F.lit(1)).alias("c"))
@@ -581,12 +585,12 @@ def q121_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # also appears for the same event_type (inner join of week sets).
     weeks = dist.select("event_type", "wk").distinct()
     valid = weeks.join(
-        weeks.select("event_type", (F.col("wk") + 1).alias("wk")),
+        weeks.select("event_type", (F.col("wk") + F.expr("INTERVAL 7 DAYS")).alias("wk")),
         ["event_type", "wk"],
     )
     cur = dist.join(valid, ["event_type", "wk"], "left_semi")
     prev = dist.select(
-        "event_type", (F.col("wk") + 1).alias("wk"), "bin", F.col("p").alias("q")
+        "event_type", (F.col("wk") + F.expr("INTERVAL 7 DAYS")).alias("wk"), "bin", F.col("p").alias("q")
     ).join(valid, ["event_type", "wk"], "left_semi")
     j = cur.join(prev, ["event_type", "wk", "bin"], "full")
     p = F.coalesce(F.col("p"), F.lit(0.0))
@@ -601,7 +605,7 @@ def q121_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q121_SQL = f"""
 WITH binned AS (
-  SELECT event_type, CAST(weekofyear(ts) AS INTEGER) AS wk,
+  SELECT event_type, date_trunc('week', ts) AS wk,
          CAST(floor(value / {PSI_BIN_WIDTH}) AS INTEGER) AS bin
   FROM events
 ),
@@ -614,12 +618,13 @@ dist AS (
 weeks AS (SELECT DISTINCT event_type, wk FROM dist),
 valid AS (
   SELECT a.event_type, a.wk FROM weeks a
-  JOIN weeks b ON a.event_type = b.event_type AND a.wk = b.wk + 1
+  JOIN weeks b ON a.event_type = b.event_type AND a.wk = b.wk + INTERVAL 7 DAY
 ),
 cur AS (SELECT d.* FROM dist d SEMI JOIN valid v ON d.event_type = v.event_type AND d.wk = v.wk),
 prev AS (
-  SELECT d.event_type, d.wk + 1 AS wk, d.bin, d.p AS q FROM dist d
-  WHERE EXISTS (SELECT 1 FROM valid v WHERE v.event_type = d.event_type AND v.wk = d.wk + 1)
+  SELECT d.event_type, d.wk + INTERVAL 7 DAY AS wk, d.bin, d.p AS q FROM dist d
+  WHERE EXISTS (SELECT 1 FROM valid v WHERE v.event_type = d.event_type
+                AND v.wk = d.wk + INTERVAL 7 DAY)
 ),
 j AS (
   SELECT coalesce(cur.event_type, prev.event_type) AS event_type,

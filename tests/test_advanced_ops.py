@@ -204,11 +204,14 @@ def test_interval_overlap_drops_degenerate_intervals(spark):
     from nyc_etl_pipeline_spark.operators.joins import interval_overlap_pairs
 
     df = spark.createDataFrame(
-        [(1, 100, 200), (2, 150, 250), (3, 500, 400)],
+        [(1, 100, 200), (2, 150, 250), (3, 500, 400), (4, 160, 160)],
         "iid long, s long, e long",
     )
     pairs = {
         (r["a_id"], r["b_id"])
         for r in interval_overlap_pairs(df, "iid", "s", "e", bucket_width=100).collect()
     }
-    assert pairs == {(1, 2)}  # 3's degenerate interval joins nothing
+    # 3's reversed interval joins nothing; 4 is the EMPTY interval
+    # [160,160) sitting inside both 1 and 2 — an empty set overlaps
+    # nothing, so no overlap=0 phantom pairs either
+    assert pairs == {(1, 2)}

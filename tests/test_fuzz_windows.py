@@ -77,7 +77,7 @@ def gen_case(rng: random.Random) -> tuple[str, str]:
         fn = f"{rng.choice(AGGS)}({val})"
         lo = rng.choice(["UNBOUNDED PRECEDING", f"{rng.randint(1, 5)} PRECEDING", "CURRENT ROW"])
         hi_opts = ["CURRENT ROW", f"{rng.randint(1, 5)} FOLLOWING", "UNBOUNDED FOLLOWING"]
-        hi = rng.choice(hi_opts if lo != "CURRENT ROW" else hi_opts)
+        hi = rng.choice(hi_opts)
         over = f"PARTITION BY {part} ORDER BY {order} ROWS BETWEEN {lo} AND {hi}"
         out_cols = [part] + chain
     else:  # range_agg: single int order col, numeric offsets; peers

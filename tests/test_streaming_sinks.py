@@ -222,3 +222,30 @@ def test_streaming_mart_maintenance_matches_batch_and_survives_replay(
     got2 = merged_mart(wh, "mart", keys, measures)
     n_all = events.count()
     assert got2.agg(F.sum("n_rows")).first()[0] == n_all + 500
+
+
+def test_compact_preserves_partitions_and_replay_contract(spark, sf_dir, tmp_path):
+    """Compacting a batch_id-partitioned maintainer table must keep the
+    partition layout — an unpartitioned rewrite would leave old rows in
+    root files while a replayed batch writes a fresh batch_id dir,
+    double-counting it (the exactly-once contract's failure mode)."""
+    from nyc_etl_pipeline_spark.operators import sketches as SKC
+    from nyc_etl_pipeline_spark.streaming.sinks import merged_sketch, sketch_maintainer
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    events = read_testdata(spark, sf_dir, "events").select(
+        F.col("event_type").alias("token")
+    )
+    writer = sketch_maintainer(wh, "cms", token_col="token")
+    writer(events, 0)
+    writer(events.limit(300), 1)
+    before = sorted(map(tuple, merged_sketch(wh, "cms").collect()))
+
+    wh.compact("cms", target_file_mb=512)
+    assert wh._partition_columns("cms") == ["batch_id"]
+    assert sorted(map(tuple, merged_sketch(wh, "cms").collect())) == before
+
+    # the failure mode: replay batch 1 after compaction — partition
+    # overwrite must REPLACE it, not add a second copy
+    writer(events.limit(300), 1)
+    assert sorted(map(tuple, merged_sketch(wh, "cms").collect())) == before
