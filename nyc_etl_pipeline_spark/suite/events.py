@@ -727,6 +727,105 @@ FROM cnt
 
 
 # --------------------------------------------------------------------------
+# q133 — time-weighted average value per user (TWAP)
+# --------------------------------------------------------------------------
+
+def q133_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average: each observation's value holds
+    until the user's next event, so it is weighted by that holding
+    duration (the last observation carries no weight — no lookahead).
+    The metric a monitoring/trading pipeline wants when events arrive
+    irregularly and a plain avg() over-weights bursts.
+
+    Exactness: weights are integer microseconds; each value*weight
+    product is decimal-cast before summing (dec_sum discipline), so
+    the result is merge-order invariant. One shuffle on user_id."""
+    e = read_testdata(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias("__w")
+    weighted = e.select("user_id", "value", dur).filter(F.col("__w").isNotNull())
+    num = F.sum((F.col("value") * F.col("__w")).cast("decimal(38,6)")).cast("double")
+    den = F.sum("__w")
+    return (
+        weighted.groupBy("user_id")
+        .agg(num.alias("__num"), den.alias("__den"), F.count(F.lit(1)).alias("n_holds"))
+        .select(
+            "user_id",
+            "n_holds",
+            R(F.col("__num") / F.col("__den"), 6).alias("twap"),
+        )
+    )
+
+
+_Q133_SQL = f"""
+WITH held AS (
+  SELECT user_id, value,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS w
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_holds,
+       {sql_round_half_up('CAST(sum(CAST(value * w AS DECIMAL(38,6))) AS DOUBLE) / sum(w)', 6)} AS twap
+FROM held WHERE w IS NOT NULL
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q134 — running distinct users per day (growth analytics)
+# --------------------------------------------------------------------------
+
+def q134_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day WITHOUT a running COUNT
+    (DISTINCT) window (which buffers the whole id set per frame): each
+    user reduces to their FIRST-seen day (one hash agg), daily
+    first-appearance counts cumulate with an ordinary running sum, and
+    daily actives come from a second small agg. Exact, and every stage
+    is partial-aggregable — the formulation that survives a billion
+    users where the naive distinct-window OOMs."""
+    e = read_testdata(spark, sf_dir, "events")
+    first_day = (
+        e.groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    daily = (
+        e.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    # single-partition OK: input is one row per DAY (bounded by the
+    # calendar, not the data)
+    return (
+        first_day.join(daily, "day")
+        .withColumn("cum_users", F.sum("new_users").over(w))
+        .select("day", "new_users", "active_users", "cum_users")
+    )
+
+
+_Q134_SQL = """
+WITH first_day AS (
+  SELECT day, count(*) AS new_users FROM (
+    SELECT user_id, min(date_trunc('day', ts)) AS day FROM events GROUP BY 1
+  ) GROUP BY 1
+),
+daily AS (
+  SELECT day, count(*) AS active_users FROM (
+    SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+  ) GROUP BY 1
+)
+SELECT f.day, f.new_users, d.active_users,
+       sum(f.new_users) OVER (ORDER BY f.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+FROM first_day f JOIN daily d ON f.day = d.day
+"""
+
+
+# --------------------------------------------------------------------------
 # q131 — grid-bucketed spatial radius self-join (haversine verify)
 # --------------------------------------------------------------------------
 
@@ -863,6 +962,10 @@ SPECS = [
               "grid-bucketed spatial radius self-join (haversine verify)"),
     QuerySpec("q132_session_transitions", q132_session_transitions, _Q132_SQL,
               "session-scoped event-type transition matrix (Markov view)"),
+    QuerySpec("q133_twap", q133_twap, _Q133_SQL,
+              "per-user time-weighted average (holding-duration weights)"),
+    QuerySpec("q134_running_distinct", q134_running_distinct, _Q134_SQL,
+              "running distinct users per day (first-seen reduction, no distinct window)"),
     QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
               "hourly tumbling window aggregation"),
     QuerySpec("q14_events_sliding", q14_events_sliding, _Q14_SQL,
