@@ -12,6 +12,16 @@ Contract bound: parity is guaranteed for |x * 10^d| < 2^53
 can't hold sub-integer precision and Spark's BigDecimal floor diverges
 from C floor — but "rounding to d digits" is meaningless there anyway.
 All suite aggregates are orders of magnitude below the bound.
+
+Literal-injection trap (VERDICT r5 item 4, root-caused round 6): when
+HAND-WRITING a double constant into oracle SQL, DuckDB types a bare
+numeric literal as DECIMAL; a 17-significant-digit literal whose
+decimal mantissa exceeds 2^53 (e.g. -900719925.5546875 ->
+DECIMAL(16,7) mantissa 9007199255546875 > 2^53) converts
+decimal->double one ulp off the correctly-rounded strtod value.
+Inject such values as CAST('<repr>' AS DOUBLE) (string literal) or a
+bind parameter. Runtime columns read from parquet are unaffected —
+the rounding arithmetic itself is bit-identical across engines.
 """
 
 from __future__ import annotations

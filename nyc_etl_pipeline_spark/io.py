@@ -293,7 +293,10 @@ class Warehouse:
         """Small-file compaction: rewrite a table into ~target-sized
         files. Streaming/incremental writes accumulate small files;
         at scale, scan cost is dominated by file-open overhead long
-        before data volume. Returns the new file count.
+        before data volume. Returns the actual post-compaction data
+        file count (counted from the filesystem listing — for a
+        Hive-partitioned table that is ~one file per partition value,
+        which can exceed the size-derived repartition target).
 
         Durability: the compacted copy is fully written to a temporary
         sibling directory FIRST, then swapped over the table path with
@@ -350,7 +353,17 @@ class Warehouse:
             fs.rename(jvm.org.apache.hadoop.fs.Path(old), hpath)
             raise IOError(f"compact: could not swap compacted data into {path}")
         fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
-        return n
+        # Return the REAL post-swap data-file count, not the repartition
+        # target n: for a partitioned table the partitionBy rewrite emits
+        # roughly one file per partition value, so n would mislead any
+        # caller sizing follow-up work off it (ADVICE r5).
+        it = fs.listFiles(hpath, True)
+        n_files = 0
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith(("_", ".")):
+                n_files += 1
+        return n_files
 
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         writer = df.write.format(self.table_format).mode("append")

@@ -116,7 +116,11 @@ def sql_pagerank_chain(
             f" FROM nodes n LEFT JOIN c{i} c USING (node))"
         )
     return (
-        "WITH " + ",\n".join(parts) + f"\nSELECT node, r AS rank_scaled FROM pr{n_iter}"
+        "WITH " + ",\n".join(parts)
+        # the // chain goes HUGEINT in DuckDB after the first sum();
+        # HUGEINT lands in pandas as float64 while Spark emits int64 —
+        # cast the terminal column so the driver's typed hash agrees.
+        + f"\nSELECT node, CAST(r AS BIGINT) AS rank_scaled FROM pr{n_iter}"
     )
 
 

@@ -30,11 +30,14 @@ class QuerySpec:
     doc: str = ""
 
 
-# Names that have appeared in at least one driver CORRECTNESS_r{1..4}.json.
+# Names with a GREEN row in at least one driver CORRECTNESS_r{1..5}.json.
 # The driver gate only checks the FIRST 50 entries of all_specs(); ordering
 # never-driver-checked queries first rotates fresh evidence into that window
 # each round without losing local-sweep coverage of the rest
-# (VERDICT r4 item 1).
+# (VERDICT r4 item 1). Red rows do NOT earn a spot here: q50/q76/q106
+# appeared in r5 but failed its typed hash (uncast HUGEINT oracles, fixed
+# round 6) — they stay in the fresh block until a green driver row exists
+# (VERDICT r5 item 3).
 _DRIVER_CHECKED: frozenset[str] = frozenset({
     "q01_monthly_sales_report", "q02_weekly_sales_report", "q03_clean_project",
     "q04_dim_upsert_anti", "q05_watermark_incremental", "q06_date_dim",
@@ -57,6 +60,21 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "q79_session_window", "q84_anomaly_bands", "q85_variant_props",
     "q89_xml_roundtrip", "q90_activity_streaks", "q91_latest_wins",
     "q92_ratio_to_report",
+    # round-5 green rows (CORRECTNESS_r05.json, 47/50)
+    "q51_contamination", "q52_cc_twophase", "q53_text_normalize",
+    "q54_pii_redact", "q55_funnel", "q58_percentiles_sorted",
+    "q60_cohort_retention", "q61_tpch_q3", "q62_tpch_q5", "q63_tpch_q10",
+    "q64_tpch_q18", "q65_sequence_pack", "q66_stratified_sample",
+    "q67_repetition_stats", "q68_shard_shuffle", "q71_url_parse",
+    "q72_domain_stats", "q73_token_zipf", "q74_quality_deciles",
+    "q80_sketch_rollup", "q81_per_key_sample", "q82_chunk_windows",
+    "q83_tpch_q21", "q86_grouping_sets", "q87_fuzzy_pairs", "q88_tpch_q22",
+    "q93_tpch_q2", "q94_tpch_q4", "q95_tpch_q11", "q96_tpch_q13",
+    "q97_tpch_q15", "q98_tpch_q16", "q99_tpch_q17", "q100_tpch_q20",
+    "q101_pq_clustered", "q102_tpch_q6", "q103_tpch_q7", "q104_tpch_q8",
+    "q105_tpch_q9", "q107_tpch_q14", "q108_tpch_q19", "q109_bm25_topk",
+    "q110_boolean_search", "q111_weighted_sample", "q112_cluster_canonical",
+    "q113_unigram_nll", "q114_triangle_clustering",
 })
 
 

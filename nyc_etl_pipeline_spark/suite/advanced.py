@@ -533,6 +533,11 @@ WITH iv AS (
   SELECT event_id, user_id, epoch_us(ts) AS s,
          epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e
   FROM events
+  -- replicate interval_overlap_pairs' degenerate-interval drop: an
+  -- empty interval (value < 1e-6 -> e == s) would still get one
+  -- generate_series bucket here and emit phantom overlap=0 pairs
+  -- against any interval spanning that instant (ADVICE r5)
+  WHERE floor(value * 1000000.0) > 0
 ),
 ex AS (
   SELECT *, unnest(generate_series(

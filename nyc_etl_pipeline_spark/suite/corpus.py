@@ -377,9 +377,14 @@ def _q124_sql() -> str:
         f"SELECT {i} AS row_i, {sql_cms_bucket('token', i, CMS_WIDTH)} AS bucket FROM tok"
         for i in range(CMS_DEPTH)
     )
+    # coalesce(0) matches cms_estimate's absent-token contract (left
+    # join + coalesce 0): an untouched cell must count as 0, not be
+    # silently dropped from least() as a NULL (ADVICE r5 — latent, the
+    # top-K tokens always touch all cells, but a rare-token query set
+    # would diverge without it)
     lookups = ",\n         ".join(
-        f"(SELECT cnt FROM sketch s WHERE s.row_i = {i} "
-        f"AND s.bucket = {sql_cms_bucket('t.token', i, CMS_WIDTH)})"
+        f"coalesce((SELECT cnt FROM sketch s WHERE s.row_i = {i} "
+        f"AND s.bucket = {sql_cms_bucket('t.token', i, CMS_WIDTH)}), 0)"
         for i in range(CMS_DEPTH)
     )
     return f"""

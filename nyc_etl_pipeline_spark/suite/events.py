@@ -819,8 +819,8 @@ daily AS (
   ) GROUP BY 1
 )
 SELECT f.day, f.new_users, d.active_users,
-       sum(f.new_users) OVER (ORDER BY f.day
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+       CAST(sum(f.new_users) OVER (ORDER BY f.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
 FROM first_day f JOIN daily d ON f.day = d.day
 """
 

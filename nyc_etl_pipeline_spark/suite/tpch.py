@@ -490,7 +490,11 @@ Q95_FRACTION = 0.0006
 def q95_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        F.sum("l_quantity").alias("total_qty"),
+        # dec_sum in lockstep with the oracle's decimal total_qty (ADVICE
+        # r5); the HAVING-style threshold below stays a double compare on
+        # both engines (documented threshold-comparison exception — the
+        # integer-valued l_quantity sums are exact either way).
+        dec_sum("l_quantity").alias("total_qty"),
         R(dec_sum(_rev()), 3).alias("revenue"),
     )
     total = li.agg(F.sum("l_quantity").alias("__total"))
@@ -1013,8 +1017,8 @@ def q106_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q106_SQL = """
 SELECT l_linestatus AS linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

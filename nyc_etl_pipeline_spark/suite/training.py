@@ -67,7 +67,8 @@ def _q50_sql() -> str:
     ) + " END"
     return f"""
 WITH b AS (SELECT doc_id, {bucket} AS bkt FROM documents)
-SELECT {case} AS split, count(*) AS n_docs, sum(doc_id) AS id_sum
+SELECT {case} AS split, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM b GROUP BY 1
 """
 
@@ -692,7 +693,8 @@ kept AS (
   FROM documents d JOIN thr t ON d.source = t.source
   WHERE {bucket} < t.threshold
 )
-SELECT source, count(*) AS n_kept, sum(doc_id) AS id_sum
+SELECT source, count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM kept GROUP BY 1
 """
 

@@ -55,13 +55,61 @@ def values_equal(a, b) -> bool:
     return a == b or str(a) == str(b)
 
 
-def compare(name: str, spark_df, oracle_pdf) -> list[str]:
+def dtype_family(pdf, col: str) -> str:
+    """Coarse dtype family for driver-hash parity.
+
+    The driver hashes TYPED values, so int64 42 vs float64 42.0 is a
+    hash mismatch even though `str(a) == str(b)` — exactly the class
+    that let five uncast-HUGEINT oracles pass locally while failing
+    the round-5 driver gate (VERDICT r5 items 1-3). Any int-family vs
+    float-family (or bool-vs-numeric, etc.) disagreement must FAIL
+    before the value compare."""
+    import numpy as np
+    import pandas as pd
+
+    dt = pdf[col].dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    if dt == object:
+        s = pdf[col].dropna()
+        if len(s):
+            from decimal import Decimal
+
+            v = s.iloc[0]
+            if isinstance(v, (bool, np.bool_)):
+                return "bool"
+            if isinstance(v, (int, np.integer)):
+                return "int"
+            if isinstance(v, (float, np.floating)):
+                return "float"
+            if isinstance(v, Decimal):
+                return "decimal"
+        return "object"
+    return str(dt)
+
+
+def compare_pandas(name: str, spark_pdf, oracle_pdf) -> list[str]:
     problems: list[str] = []
-    spark_pdf = spark_df.toPandas()
     s_rows, s_cols = canon(spark_pdf)
     o_rows, o_cols = canon(oracle_pdf)
     if s_cols != o_cols:
         problems.append(f"{name}: column mismatch spark={s_cols} oracle={o_cols}")
+        return problems
+    for c in s_cols:
+        sf, of = dtype_family(spark_pdf, c), dtype_family(oracle_pdf, c)
+        if sf != of:
+            problems.append(
+                f"{name}: dtype-family mismatch col {c}: spark={sf}"
+                f" ({spark_pdf[c].dtype}) oracle={of} ({oracle_pdf[c].dtype})"
+                " — would fail the driver's typed hash"
+            )
+    if problems:
         return problems
     if len(s_rows) != len(o_rows):
         problems.append(f"{name}: row count spark={len(s_rows)} oracle={len(o_rows)}")
@@ -78,6 +126,10 @@ def compare(name: str, spark_df, oracle_pdf) -> list[str]:
     if bad:
         problems.append(f"{name}: {bad} mismatched cells / {len(s_rows)} rows")
     return problems
+
+
+def compare(name: str, spark_df, oracle_pdf) -> list[str]:
+    return compare_pandas(name, spark_df.toPandas(), oracle_pdf)
 
 
 def run(sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
