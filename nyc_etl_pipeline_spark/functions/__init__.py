@@ -102,6 +102,15 @@ def dec_sum(col: Column | str) -> Column:
     decimal aggregation cost for an accumulator with 22 integral
     digits. Revisit per-column only where the magnitude bound is
     provable.
+
+    DECIMAL(18,6) input casts measured 2026-08-14 (VERDICT r5 item 5):
+    NO win — persisted q43 shape at sf0.1, best-of-3: double 0.62 s /
+    (28,6) 1.99 s / (18,6) 2.26 s. Spark's long-backed Decimal fast
+    path only helps when the value STAYS at precision <= 18; sum() over
+    decimal(18,6) widens its buffer to decimal(28,6), so every
+    accumulator update is BigDecimal arithmetic either way and the
+    narrower input cast just adds an extra representation hop. Keeping
+    (28,6) end to end.
     """
     if isinstance(col, str):
         col = F.col(col)

@@ -51,12 +51,24 @@ def unigram_nll_scores(
         (F.col("c") + F.lit(alpha))
         / (F.col("corpus_tokens") + F.lit(alpha) * F.col("vocab"))
     )
+    # Term-ordered left fold for the transcendental numerator (same
+    # merge-order hardening as bm25_topk / q121; the tf denominator is
+    # an exact integer-valued sum and stays F.sum). Per-doc fold size
+    # = distinct terms in the doc — bounded by document length, the
+    # same rows this group-by already moves.
+    folded = F.aggregate(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("term"), (F.col("tf") * logp).alias("contrib")))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["contrib"],
+    )
     return (
         tf.join(counts, "term")
         .crossJoin(F.broadcast(totals))
         .groupBy(F.col("doc").alias(id_col))
         .agg(
-            round_half_up(-F.sum(F.col("tf") * logp) / F.sum("tf"), 6).alias("nll"),
+            round_half_up(-folded / F.sum("tf"), 6).alias("nll"),
             F.sum("tf").cast("long").alias("n_tokens"),
         )
     )

