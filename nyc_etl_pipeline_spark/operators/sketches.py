@@ -125,3 +125,101 @@ def cms_estimate(
         .groupBy(token_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram sketch: mergeable quantile estimation
+# ---------------------------------------------------------------------------
+
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Fixed-grid histogram sketch of a numeric column: (bin, cnt),
+    at most n_bins rows regardless of input size. The scale-path
+    companion to the exact sort-based percentiles (suite q58): exact
+    quantiles need a full sort (or Spark's percentile agg, which
+    buffers per-group values); this is ONE map-side-combinable
+    aggregation producing a fixed-size summary whose quantile answers
+    carry a <= one-bin-width error bound.
+
+    Grid semantics: bin = clamp(floor((x - lo) / w), 0, n_bins - 1)
+    with w = (hi - lo) / n_bins — out-of-range values saturate into
+    the edge bins (the error bound then only holds for in-range
+    data; pick the grid from domain knowledge, as any fixed-size
+    histogram requires). Null values are dropped. Choose lo/hi/n_bins
+    so w is a dyadic rational (e.g. 216.0) and the bin arithmetic is
+    bit-identical on every IEEE-754 engine.
+
+    Merge property: histograms over disjoint shards merge by
+    cell-wise addition (hist_merge) — partials build map-side on
+    every executor, one tiny reduce yields the global sketch, and a
+    stored per-partition sketch table supports incremental
+    maintenance exactly like operators/incremental.py.
+    """
+    w = (hi - lo) / n_bins
+    x = F.col(value_col).cast("double")
+    b = F.floor((x - F.lit(lo)) / F.lit(w)).cast("int")
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
+    return (
+        df.filter(x.isNotNull())
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge partial histograms by cell-wise addition (associative +
+    commutative: shard order can never change a quantile answer)."""
+    from functools import reduce
+
+    return (
+        reduce(lambda a, b: a.unionByName(b), sketches)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    pcts: list[int],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Quantile estimates from the cumulative histogram: for each
+    integer percentile pct, the UPPER edge of the first bin whose
+    cumulative count reaches k = ceil(pct * N / 100) — a conservative
+    (upper-bounding) estimate within one bin width of the true
+    order statistic for in-range data.
+
+    All arithmetic after the bin ints is fixed-order double ops on
+    dyadic constants, so the emitted estimates are bit-identical
+    cross-engine (no transcendentals, no merge-order sensitivity —
+    the cumulative sum is over the deterministic bin order). The
+    window runs over <= n_bins rows (bounded by the grid, not the
+    data), so the single-partition WindowExec is safe at any scale.
+    """
+    from pyspark.sql import Window as W
+
+    w = (hi - lo) / n_bins
+    total = hist.agg(F.sum("cnt").alias("n_total"))
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+    )
+    pdf = hist.sparkSession.createDataFrame([(p,) for p in pcts], "pct int")
+    k = F.ceil((F.col("pct") * F.col("n_total")) / F.lit(100.0))
+    return (
+        pdf.crossJoin(F.broadcast(total))
+        .join(cum, cum["cum"] >= k)
+        .groupBy("pct")
+        .agg(F.min("bin").alias("__bin"))
+        .select(
+            "pct",
+            (F.lit(lo) + (F.col("__bin") + F.lit(1)) * F.lit(w)).alias("q_upper"),
+        )
+    )

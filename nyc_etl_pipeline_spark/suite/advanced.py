@@ -554,6 +554,57 @@ WHERE a.s < b.e AND b.s < a.e
 """
 
 
+# --------------------------------------------------------------------------
+# q135 — fixed-grid histogram sketch quantiles (mergeable scale path)
+# --------------------------------------------------------------------------
+
+HIST_LO = 0.0
+HIST_HI = 110592.0  # 512 bins x dyadic width 216.0 covers l_extendedprice
+HIST_BINS = 512
+HIST_W = (HIST_HI - HIST_LO) / HIST_BINS  # 216.0 exact in binary
+HIST_PCTS = [50, 90, 95, 99]
+
+
+def q135_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates for l_extendedprice from a fixed-grid
+    histogram sketch (operators/sketches.hist_build/hist_quantiles) —
+    the mergeable, one-pass, fixed-size alternative to the exact
+    sort-based percentiles of q58. The emitted upper-edge estimates
+    are fully deterministic (integer bin counts + fixed-order dyadic
+    double arithmetic), so the gate is exact, and the <= one-bin-width
+    error contract vs the true order statistic is pinned in
+    tests/test_advanced_ops.py along with merge == direct parity."""
+    from nyc_etl_pipeline_spark.operators.sketches import hist_build, hist_quantiles
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    h = hist_build(li, "l_extendedprice", HIST_LO, HIST_HI, HIST_BINS)
+    return hist_quantiles(h, HIST_PCTS, HIST_LO, HIST_HI, HIST_BINS)
+
+
+def _q135_sql() -> str:
+    pcts = ", ".join(str(p) for p in HIST_PCTS)
+    # every constant CAST AS DOUBLE: a bare numeric literal is DECIMAL
+    # in DuckDB (see functions/__init__ literal-injection trap)
+    return f"""
+WITH h AS (
+  SELECT least({HIST_BINS - 1}, greatest(0, CAST(floor(
+           (CAST(l_extendedprice AS DOUBLE) - CAST({HIST_LO!r} AS DOUBLE))
+           / CAST({HIST_W!r} AS DOUBLE)) AS INTEGER))) AS bin,
+         count(*) AS cnt
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT sum(cnt) AS n_total FROM h),
+cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
+p AS (SELECT unnest([{pcts}]) AS pct)
+SELECT p.pct,
+       CAST({HIST_LO!r} AS DOUBLE)
+         + (min(c.bin) + 1) * CAST({HIST_W!r} AS DOUBLE) AS q_upper
+FROM p CROSS JOIN tot t
+JOIN cum c ON c.cum >= ceil((p.pct * t.n_total) / CAST(100 AS DOUBLE))
+GROUP BY p.pct
+"""
+
+
 SPECS = [
     QuerySpec("q28_asof_join", q28_asof_join, _Q28_SQL,
               "as-of join (backward inclusive) via tagged-union window"),
@@ -578,4 +629,6 @@ SPECS = [
               "Z-order clustering key (Morton interleave of rank buckets)"),
     QuerySpec("q129_interval_overlap", q129_interval_overlap, _Q129_SQL,
               "bucketed interval-overlap self-join (large-large intervals)"),
+    QuerySpec("q135_hist_quantiles", q135_hist_quantiles, _q135_sql(),
+              "fixed-grid histogram sketch quantiles (mergeable, one pass)"),
 ]

@@ -215,3 +215,45 @@ def test_interval_overlap_drops_degenerate_intervals(spark):
     # [160,160) sitting inside both 1 and 2 — an empty set overlaps
     # nothing, so no overlap=0 phantom pairs either
     assert pairs == {(1, 2)}
+
+
+def test_hist_quantiles_merge_and_error_bound(spark, sf_dir):
+    """The q135 histogram sketch contracts the oracle can't see:
+    (1) merge == direct — partial histograms over disjoint shards
+    cell-wise-added give bit-identical quantile answers to one build
+    over the whole table (the property that makes it a sketch);
+    (2) the upper-edge estimate brackets the true k-th order
+    statistic: x_k <= q_upper <= x_k + bin width, for in-range data."""
+    from nyc_etl_pipeline_spark.operators.sketches import (
+        hist_build,
+        hist_merge,
+        hist_quantiles,
+    )
+    from nyc_etl_pipeline_spark.suite.advanced import (
+        HIST_BINS,
+        HIST_HI,
+        HIST_LO,
+        HIST_PCTS,
+        HIST_W,
+    )
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    direct = hist_build(li, "l_extendedprice", HIST_LO, HIST_HI, HIST_BINS)
+    shards = [
+        hist_build(li.filter(F.col("l_orderkey") % 3 == i), "l_extendedprice",
+                   HIST_LO, HIST_HI, HIST_BINS)
+        for i in range(3)
+    ]
+    merged = hist_merge(shards)
+    q_direct = {r["pct"]: r["q_upper"] for r in
+                hist_quantiles(direct, HIST_PCTS, HIST_LO, HIST_HI, HIST_BINS).collect()}
+    q_merged = {r["pct"]: r["q_upper"] for r in
+                hist_quantiles(merged, HIST_PCTS, HIST_LO, HIST_HI, HIST_BINS).collect()}
+    assert q_direct == q_merged  # bit-identical, not approximately
+
+    n = li.count()
+    vals = li.select("l_extendedprice").orderBy("l_extendedprice")
+    for pct in HIST_PCTS:
+        k = -(-pct * n // 100)  # ceil(pct*n/100)
+        x_k = vals.limit(int(k)).orderBy(F.desc("l_extendedprice")).first()[0]
+        assert x_k <= q_direct[pct] <= x_k + HIST_W, (pct, x_k, q_direct[pct])
