@@ -136,11 +136,22 @@ def bpe_encode(
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-task memo: corpus words repeat heavily (Zipf), so each
+        # distinct word's merge loop runs once per task, not once per
+        # occurrence — bounded by the task's local vocabulary
+        memo: dict[str, int] = {}
+
+        def n_sub_of(w: str) -> int:
+            n = memo.get(w)
+            if n is None:
+                n = memo[w] = len(bpe_encode_word(w, ranks))
+            return n
+
         for pdf in batches:
             out = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 words = text.split() if isinstance(text, str) else []
-                n_sub = sum(len(bpe_encode_word(w, ranks)) for w in words)
+                n_sub = sum(n_sub_of(w) for w in words)
                 out.append((did, len(words), n_sub))
             res = pd.DataFrame(out, columns=[id_col, "n_words", "n_subwords"])
             res["compression"] = res["n_subwords"] / res["n_words"].clip(lower=1)

@@ -424,7 +424,92 @@ def q125_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q137 — BPE ENCODING with a fixed merge table (the inference op).
+# Unlike q125's training loop, applying a GIVEN merge table is fully
+# SQL-expressible: the per-word lowest-rank-first merge loop becomes a
+# DuckDB recursive CTE over symbol lists (verified token-for-token
+# against bpe_encode_word on every state transition), so the whole
+# distributed inference path — mapInPandas batches included — earns a
+# real value-hash oracle instead of a rows-only check.
+# --------------------------------------------------------------------------
+
+# Fixed inference vocabulary (rank-ordered merges, END_OF_WORD-aware).
+# Deliberately interactive: multi-step chains (t+h -> th+e -> the+</w>)
+# and whole-word captures (s+c -> sc+an</w>) exercise rank precedence.
+Q137_MERGES = [
+    ("e", "r"), ("er", "</w>"), ("i", "n"), ("in", "</w>"), ("o", "r"),
+    ("a", "n"), ("an", "</w>"), ("s", "t"), ("t", "h"), ("th", "e"),
+    ("the", "</w>"), ("q", "u"), ("qu", "er"), ("g", "r"), ("o", "w"),
+    ("ow", "</w>"), ("k", "e"), ("ke", "y"), ("key", "</w>"), ("v", "a"),
+    ("l", "u"), ("s", "c"), ("sc", "an</w>"), ("st", "r"),
+]
+
+
+def q137_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword statistics under the fixed Q137_MERGES
+    vocabulary via operators/bpe.bpe_encode (Arrow-batched per-word
+    merge loop on executors — the real tokenizer-inference shape)."""
+    from nyc_etl_pipeline_spark.operators import bpe
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return bpe.bpe_encode(docs, Q137_MERGES)
+
+
+def _q137_sql() -> str:
+    map_entries = ", ".join(f"'{a} {b}': {i}" for i, (a, b) in enumerate(Q137_MERGES))
+    return f"""
+WITH RECURSIVE
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+),
+tokcnt AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+words AS (SELECT DISTINCT word FROM tok),
+rec AS (
+  SELECT word,
+         list_append(list_transform(range(1, len(word)+1), i -> substr(word, i, 1)), '</w>') AS syms,
+         false AS done
+  FROM words
+  UNION ALL
+  SELECT word,
+         CASE WHEN best_i IS NULL THEN syms
+              ELSE syms[1:best_i-1] || [syms[best_i] || syms[best_i+1]] || syms[best_i+2:]
+         END AS syms,
+         best_i IS NULL AS done
+  FROM (
+    SELECT word, syms,
+           CASE WHEN list_min(rl) IS NULL THEN NULL
+                ELSE list_position(rl, list_min(rl)) END AS best_i
+    FROM (
+      SELECT word, syms,
+             list_transform(range(1, len(syms)),
+               i -> map_extract(MAP {{{map_entries}}}, syms[i] || ' ' || syms[i+1])[1]) AS rl
+      FROM rec WHERE NOT done
+    )
+  )
+),
+enc AS (SELECT word, len(syms) AS n_sub FROM rec WHERE done),
+perdoc AS (
+  SELECT t.doc_id,
+         CAST(sum(t.cnt) AS BIGINT) AS n_words,
+         CAST(sum(t.cnt * e.n_sub) AS BIGINT) AS n_subwords
+  FROM tokcnt t JOIN enc e USING (word)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_words, 0) AS n_words,
+       coalesce(p.n_subwords, 0) AS n_subwords,
+       CAST(coalesce(p.n_subwords, 0) AS DOUBLE)
+         / greatest(coalesce(p.n_words, 0), 1) AS compression
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
 SPECS = [
+    QuerySpec("q137_bpe_encode", q137_bpe_encode, _q137_sql(),
+              "BPE subword encoding with a fixed merge table "
+              "(recursive-CTE oracle for the inference loop)"),
     QuerySpec("q125_bpe_merges", q125_bpe_merges, None,
               "BPE tokenizer merge-table training (iterative, rows-only gate)"),
     QuerySpec("q71_url_parse", q71_url_parse, _Q71_SQL,

@@ -514,6 +514,44 @@ FROM c_n FULL OUTER JOIN s_n ON c_n.nationkey = s_n.nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# q136 — skew-safe salted equi-join (oracle = the plain join)
+# --------------------------------------------------------------------------
+
+SALTED_JOIN_N = 16
+
+
+def q136_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer through operators/skew.salted_join — the big
+    side salted over {SALTED_JOIN_N} sub-keys, the small side
+    replicated once per salt, joined on (key, salt). The manual fix
+    for the join AQE's skew split can't reach (e.g. a hot key inside
+    a broadcast-ineligible side, or a deliberately disabled AQE).
+    The oracle is the PLAIN inner join + group-by, proving salting is
+    result-identical; q77 proves the same for aggregation. Post-join
+    rollup keeps the gated output bounded (|mktsegment| rows)."""
+    from nyc_etl_pipeline_spark.operators.skew import salted_join
+
+    o = read_testdata(spark, sf_dir, "orders")
+    c = read_testdata(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    j = salted_join(o, c, "o_custkey", n_salts=SALTED_JOIN_N)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        R(dec_sum("o_totalprice"), 3).alias("total_price"),
+    )
+
+
+_Q136_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("q01_monthly_sales_report", q01_monthly_sales_report, _Q01_SQL,
               "flagship: star join + wide group-agg (platinum monthly report shape)"),
@@ -538,4 +576,6 @@ SPECS = [
     QuerySpec("q12_pivot_linestatus", q12_pivot_linestatus, _Q12_SQL, "pivot"),
     QuerySpec("q49_outer_joins", q49_outer_joins, _Q49_SQL,
               "full-outer join + null-side handling"),
+    QuerySpec("q136_salted_join", q136_salted_join, _Q136_SQL,
+              "skew-safe salted equi-join (result-identical to plain join)"),
 ]
