@@ -209,3 +209,54 @@ def test_interleave_bits_roundtrip_and_sql_parity(spark):
     )
     duck = [r[0] for r in duckdb.sql(sql).fetchall()]
     assert duck == [r["z"] for r in rows]
+
+
+def test_runtime_bloom_filter_prunes_application_side(spark, sf_dir):
+    """Runtime row-level bloom-filter join pruning — the third leg of
+    the join-pruning story (broadcast for small dims, AQE skew split,
+    and THIS: a selective filter on the creation side injects a
+    might_contain() probe into the big side's scan, dropping rows
+    before the shuffle). At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling only the ~selectivity
+    fraction that can possibly match. Thresholds are production-sized
+    (creation side must be modest, application side huge); scaled down
+    here so the local fixture qualifies. Result must equal the
+    bloom-less plan — might_contain has no false negatives."""
+    from nyc_etl_pipeline_spark.io import read_testdata
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+
+    def shape():
+        li = read_testdata(spark, sf_dir, "lineitem")
+        o = read_testdata(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = shape()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        got = {r["l_linestatus"]: r["n"] for r in j.collect()}
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+    want = {r["l_linestatus"]: r["n"] for r in shape().collect()}
+    assert got == want
