@@ -295,3 +295,67 @@ def mixture_sample(
         .filter(bucket < F.col("threshold"))
         .drop("threshold")
     )
+
+
+def token_budget_fractions(
+    df: DataFrame,
+    source_col: str,
+    token_count_col: str,
+    weights: dict[str, float],
+    total_tokens: int,
+) -> DataFrame:
+    """Per-source keep thresholds realizing a TOKEN budget: source s
+    with weight w gets a budget of total_tokens * w / sum(w) tokens,
+    and its keep fraction is budget / current_token_count — the
+    token-denominated twin of `mixture_fractions` (LLM training mixes
+    are specified in tokens, not documents; a source of long documents
+    must keep fewer of them). Downsampling only: a source under budget
+    keeps everything. Document-level keep decisions mean the realized
+    token count is the budget in expectation, not exactly (documented
+    contract; the kept SET itself is fully deterministic).
+
+    Scale shape: one map-side-combinable aggregate (source -> token
+    sum), thresholds broadcast back. Float expression order is fixed
+    ((total * w / wsum) / tok_src * 1M, then floor), mirroring the
+    q126 oracle convention."""
+    for name, wt in weights.items():
+        if wt < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0, got {wt}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+    w = F.lit(0.0)
+    for name, wt in sorted(weights.items()):
+        w = F.when(F.col(source_col) == name, F.lit(float(wt))).otherwise(w)
+    toks = df.groupBy(source_col).agg(F.sum(token_count_col).alias("tok_src"))
+    desired = F.lit(float(total_tokens)) * w / F.lit(wsum)
+    return toks.withColumn(
+        "threshold",
+        F.least(
+            F.lit(_BUCKETS).cast("bigint"),
+            F.floor(desired / F.col("tok_src") * F.lit(float(_BUCKETS))).cast("bigint"),
+        ),
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    source_col: str,
+    token_count_col: str,
+    weights: dict[str, float],
+    total_tokens: int,
+    key_cols: list[str],
+    salt: str = "v1",
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic token-budget downsample: broadcast-join each row
+    to its source's threshold and keep rows whose stable bucket falls
+    under it (same retry-stable projection+filter shape as
+    mixture_sample — no corpus shuffle)."""
+    thr = token_budget_fractions(df, source_col, token_count_col, weights, total_tokens)
+    bucket = _bucket(key_cols, salt, portable)
+    return (
+        df.join(F.broadcast(thr.select(source_col, "threshold")), on=source_col)
+        .filter(bucket < F.col("threshold"))
+        .drop("threshold")
+    )

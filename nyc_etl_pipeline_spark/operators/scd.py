@@ -121,3 +121,32 @@ def scd2_merge(
         )
     )
     return history.unionByName(kept_current).unionByName(closed).unionByName(opened)
+
+
+def cdc_snapshot(
+    log: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    op_col: str,
+    delete_op: str = "D",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply a CDC change log to produce the current snapshot: per
+    key, the latest row wins (insert/update carry the new image),
+    and a key whose LATEST op is a delete is absent from the result.
+
+    The missing piece between q91's latest-wins upsert (no deletes)
+    and scd2 history: replaying a Debezium/binlog-style feed into a
+    queryable table. One window over one key-partitioned exchange —
+    the same shuffle a MERGE would pay, with no driver-side state.
+    `tie_cols` break same-timestamp ties deterministically (feeds
+    carry a log sequence number; default none = ts must be unique
+    per key, as in an LSN-stamped log).
+    """
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tie_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn")
+    )

@@ -955,6 +955,57 @@ FROM sums
 """
 
 
+# --------------------------------------------------------------------------
+# q139 — CDC change-log apply (latest-wins WITH deletes)
+# --------------------------------------------------------------------------
+
+def q139_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current snapshot from a Debezium/binlog-style change feed via
+    operators/scd.cdc_snapshot — the missing piece between q91's
+    latest-wins upsert (no deletes) and q78's SCD2 history. The op
+    column is injected deterministically from event_type (the
+    q54/q71 injection pattern: signup='I', error='D', rest='U'), so
+    both engines replay the identical log; a user whose LATEST op is
+    a delete must be absent."""
+    from nyc_etl_pipeline_spark.operators.scd import cdc_snapshot
+
+    e = read_testdata(spark, sf_dir, "events")
+    log = e.select(
+        "event_id", "user_id", "ts", "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    snap = cdc_snapshot(log, ["user_id"], "ts", "op", tie_cols=["event_id"])
+    return snap.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        R(F.col("value"), 3).alias("last_value"),
+        F.col("op").alias("last_op"),
+    )
+
+
+_Q139_SQL = f"""
+WITH log AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op
+  FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM log
+)
+SELECT user_id, ts AS last_ts,
+       {sql_round_half_up('value', 3)} AS last_value,
+       op AS last_op
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
 SPECS = [
     QuerySpec("q130_trend_fit", q130_trend_fit, _Q130_SQL,
               "per-key OLS daily-volume trend (bit-exact sums formulation)"),
@@ -966,6 +1017,8 @@ SPECS = [
               "per-user time-weighted average (holding-duration weights)"),
     QuerySpec("q134_running_distinct", q134_running_distinct, _Q134_SQL,
               "running distinct users per day (first-seen reduction, no distinct window)"),
+    QuerySpec("q139_cdc_apply", q139_cdc_apply, _Q139_SQL,
+              "CDC change-log apply: latest-wins snapshot with deletes"),
     QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
               "hourly tumbling window aggregation"),
     QuerySpec("q14_events_sliding", q14_events_sliding, _Q14_SQL,

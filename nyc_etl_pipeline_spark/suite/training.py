@@ -723,6 +723,78 @@ FROM kept GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q138 — TOKEN-budget mixture downsample (training mixes are specified
+# in tokens, not documents; a source of long documents keeps fewer)
+# --------------------------------------------------------------------------
+
+TB_WEIGHTS = {"src0": 2.0, "src1": 1.0, "src2": 1.0, "src3": 0.5}  # src4 dropped
+TB_TOTAL_TOKENS = 60_000
+TB_SALT = "tokbudget-r6"
+
+# DuckDB twin of operators/text.whitespace_token_count
+_SQL_NTOK = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
+def q138_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source report of a token-budget downsample
+    (operators/sampling.token_budget_sample): each source's keep
+    fraction is its token budget (total * w / wsum) over its current
+    token count, so the kept corpus realizes the target token mix in
+    expectation while the kept SET is exactly deterministic (portable
+    md5 keep decision — counts, kept tokens, and id checksum all
+    value-hash gated)."""
+    docs = read_testdata(spark, sf_dir, "documents").withColumn(
+        "n_tokens", TX.whitespace_token_count(F.col("text"))
+    )
+    kept = sampling.token_budget_sample(
+        docs, "source", "n_tokens", TB_WEIGHTS, TB_TOTAL_TOKENS, ["doc_id"],
+        salt=TB_SALT, portable=True,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def _q138_sql() -> str:
+    wsum = float(sum(TB_WEIGHTS.values()))
+    wcase = (
+        "CASE "
+        + " ".join(
+            f"WHEN source = '{name}' THEN {float(wt)}"
+            for name, wt in sorted(TB_WEIGHTS.items())
+        )
+        + " ELSE 0.0 END"
+    )
+    bucket = sampling.sql_bucket(["doc_id"], TB_SALT)
+    # identical float expression ORDER as token_budget_fractions:
+    # (total * w / wsum) / tok_src * BUCKETS, then floor -> bigint
+    return f"""
+WITH d AS (SELECT doc_id, source, CAST({_SQL_NTOK} AS BIGINT) AS n_tokens FROM documents),
+toks AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_src FROM d GROUP BY 1),
+thr AS (
+  SELECT source,
+         least(1000000, CAST(floor({float(TB_TOTAL_TOKENS)} * {wcase} / {wsum}
+               / tok_src * 1000000.0) AS BIGINT)) AS threshold
+  FROM toks
+),
+kept AS (
+  SELECT d.doc_id, d.source, d.n_tokens
+  FROM d JOIN thr t ON d.source = t.source
+  WHERE {bucket} < t.threshold
+)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM kept GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("q50_split_assign", q50_split_assign, _q50_sql(),
               "deterministic portable train/val/test split"),
@@ -752,4 +824,6 @@ SPECS = [
               "week-over-week PSI distribution drift per event type"),
     QuerySpec("q126_mixture_sample", q126_mixture_sample, _q126_sql(),
               "mixture-weighted deterministic downsample (target source weights)"),
+    QuerySpec("q138_token_budget", q138_token_budget, _q138_sql(),
+              "token-budget mixture downsample (token-denominated training mix)"),
 ]

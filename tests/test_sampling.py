@@ -121,3 +121,54 @@ def test_mixture_sample_rejects_bad_weights(spark, sf_dir):
         mixture_sample(docs, "source", {}, 10, ["doc_id"])
     with pytest.raises(ValueError, match="must be >= 0"):
         mixture_sample(docs, "source", {"src0": -1.0}, 10, ["doc_id"])
+
+
+def test_token_budget_sample_contracts(spark, sf_dir):
+    """Token-budget downsample invariants the oracle doesn't check:
+    dropped sources absent, no source upsampled (kept subset of
+    input), an over-budget source lands near its token budget, a
+    source given overwhelming weight keeps everything, determinism."""
+    from nyc_etl_pipeline_spark.operators.text import whitespace_token_count
+
+    docs = read_testdata(spark, sf_dir, "documents").withColumn(
+        "n_tokens", whitespace_token_count(F.col("text"))
+    )
+    weights = {"src0": 1.0, "src1": 1.0}
+    total = 5000
+    kept = S.token_budget_sample(
+        docs, "source", "n_tokens", weights, total, ["doc_id"], portable=True
+    )
+    by_src = {
+        r["source"]: (r["n"], r["tok"])
+        for r in kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    assert set(by_src) <= {"src0", "src1"}  # unlisted sources dropped
+    in_toks = {
+        r["source"]: r["tok"]
+        for r in docs.groupBy("source").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    max_doc = docs.agg(F.max("n_tokens")).first()[0]
+    for src, (_, tok) in by_src.items():
+        budget = total * weights[src] / sum(weights.values())
+        if in_toks[src] > budget:
+            # downsampled: realized tokens within sampling noise of the
+            # budget (doc-level decisions -> generous band, but it must
+            # not keep everything and not collapse to ~0)
+            assert tok < in_toks[src]
+            assert 0.3 * budget - max_doc <= tok <= 3.0 * budget + max_doc, (
+                src, tok, budget
+            )
+    # overwhelming weight -> under budget -> keeps everything
+    all_kept = S.token_budget_sample(
+        docs, "source", "n_tokens", {"src0": 1.0}, 10**9, ["doc_id"], portable=True
+    )
+    assert all_kept.count() == docs.filter(F.col("source") == "src0").count()
+    # determinism
+    again = S.token_budget_sample(
+        docs, "source", "n_tokens", weights, total, ["doc_id"], portable=True
+    )
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in again.select("doc_id").collect()
+    )

@@ -102,3 +102,32 @@ def test_scd2_merge_is_idempotent(spark):
     once = scd2_merge(dim, snap, ["k"], ["plan"], T(2024, 3, 1))
     twice = scd2_merge(once, snap, ["k"], ["plan"], T(2024, 3, 1))
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_cdc_snapshot_applies_deletes_and_latest_wins(spark):
+    """cdc_snapshot vs hand-computed truth: per key the latest row
+    wins (ties broken by the sequence column), and a key whose latest
+    op is a delete is absent — while an earlier delete followed by a
+    re-insert survives."""
+    from nyc_etl_pipeline_spark.operators.scd import cdc_snapshot
+
+    rows = [
+        # (seq, key, ts, op, val)
+        (1, 1, 10.0, "I", "a"),
+        (2, 1, 20.0, "U", "b"),     # key 1 -> b
+        (3, 2, 10.0, "I", "x"),
+        (4, 2, 30.0, "D", None),    # key 2 deleted
+        (5, 3, 10.0, "I", "p"),
+        (6, 3, 15.0, "D", None),
+        (7, 3, 25.0, "I", "q"),     # key 3 re-inserted -> q
+        (8, 4, 40.0, "U", "m"),
+        (9, 4, 40.0, "U", "n"),     # same ts: seq 9 wins -> n
+    ]
+    log = spark.createDataFrame(
+        rows, "seq long, k long, ts double, op string, v string"
+    )
+    snap = {
+        r["k"]: r["v"]
+        for r in cdc_snapshot(log, ["k"], "ts", "op", tie_cols=["seq"]).collect()
+    }
+    assert snap == {1: "b", 3: "q", 4: "n"}
