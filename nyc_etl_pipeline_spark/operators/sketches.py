@@ -203,18 +203,29 @@ def hist_quantiles(
     the cumulative sum is over the deterministic bin order). The
     window runs over <= n_bins rows (bounded by the grid, not the
     data), so the single-partition WindowExec is safe at any scale.
+
+    N (the grand total) is computed as a second window over the SAME
+    bounded bin table, not a separate .agg() branch — a lazy `hist`
+    lineage consumed twice would recompute, i.e. scan the source
+    twice (caught in the round-6 plan audit: 2 parquet scans, 7
+    exchanges before; 1 scan after).
     """
     from pyspark.sql import Window as W
 
     w = (hi - lo) / n_bins
-    total = hist.agg(F.sum("cnt").alias("n_total"))
-    cum = hist.withColumn(
-        "cum", F.sum("cnt").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+    cum = hist.select(
+        "bin",
+        F.sum("cnt").over(
+            W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(
+            W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("n_total"),
     )
     pdf = hist.sparkSession.createDataFrame([(p,) for p in pcts], "pct int")
     k = F.ceil((F.col("pct") * F.col("n_total")) / F.lit(100.0))
     return (
-        pdf.crossJoin(F.broadcast(total))
+        F.broadcast(pdf)
         .join(cum, cum["cum"] >= k)
         .groupBy("pct")
         .agg(F.min("bin").alias("__bin"))
