@@ -167,6 +167,36 @@ def main() -> None:
         "geo_radius_pairs",
         lambda: f"{geo.radius_pairs(pts, 100.0, 0.0013).count():,} pairs within 100m",
     )
+
+    # round-6 additions -----------------------------------------------------
+    from nyc_etl_pipeline_spark.operators import bpe
+    from nyc_etl_pipeline_spark.operators import sampling as SAMP
+    from nyc_etl_pipeline_spark.operators.text import whitespace_token_count
+    from nyc_etl_pipeline_spark.suite.corpus import Q137_MERGES
+
+    # BPE inference: mapInPandas merge loop + per-task word memo — the
+    # memo makes this vocab-bounded per task, not corpus-bounded
+    timed(
+        "bpe_encode",
+        lambda: "avg compression %.3f"
+        % bpe.bpe_encode(docs, Q137_MERGES).agg(F.avg("compression")).first()[0],
+    )
+    # token-budget mixture: one agg + broadcast threshold filter
+    srcd = docs.withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string"))
+    ).withColumn("n_tokens", whitespace_token_count(F.col("text")))
+    timed(
+        "token_budget_sample",
+        lambda: f"{SAMP.token_budget_sample(srcd, 'source', 'n_tokens', {'s0': 2.0, 's1': 1.0, 's2': 1.0}, 20_000_000, ['doc_id']).count():,} docs kept",
+    )
+    # histogram sketch: one map-side-combinable agg over any column
+    timed(
+        "hist_quantiles",
+        lambda: "p99<=%.0f" % SKC.hist_quantiles(
+            SKC.hist_build(docs, "n_chars", 0.0, 4096.0, 512),
+            [50, 95, 99], 0.0, 4096.0, 512,
+        ).agg(F.max("q_upper")).first()[0],
+    )
     docs.unpersist()
 
 
