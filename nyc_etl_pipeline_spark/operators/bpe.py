@@ -130,7 +130,15 @@ def bpe_encode(
     """Per-document subword encoding with the learned merges:
     (id, n_words, n_subwords, compression). The merge table rides to
     executors inside the closure (a few KB); the per-word merge loop
-    runs in Arrow-batched pandas — the real inference shape."""
+    runs in Arrow-batched pandas — the real inference shape.
+
+    Tokenization happens Spark-side via the canonical
+    operators/text.tokens BEFORE the pandas boundary, so this op
+    splits words exactly like every other text operator (and like the
+    oracle's `string_split_regex(trim(text), '\\s+')` twin) — an
+    earlier revision used Python str.split() inside the batch, which
+    silently disagrees on leading tab/newline (phantom empty token)
+    and on Unicode whitespace."""
     import pandas as pd
 
     ranks = {pair: i for i, pair in enumerate(merges)}
@@ -149,15 +157,17 @@ def bpe_encode(
 
         for pdf in batches:
             out = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                words = text.split() if isinstance(text, str) else []
-                n_sub = sum(n_sub_of(w) for w in words)
-                out.append((did, len(words), n_sub))
+            for did, words in zip(pdf[id_col], pdf["__words"]):
+                wl = list(words) if words is not None else []
+                n_sub = sum(n_sub_of(w) for w in wl)
+                out.append((did, len(wl), n_sub))
             res = pd.DataFrame(out, columns=[id_col, "n_words", "n_subwords"])
             res["compression"] = res["n_subwords"] / res["n_words"].clip(lower=1)
             yield res
 
-    return docs.select(id_col, text_col).mapInPandas(
+    return docs.select(
+        id_col, tokens(F.col(text_col)).alias("__words")
+    ).mapInPandas(
         encode,
         schema=f"{id_col} long, n_words long, n_subwords long, compression double",
     )

@@ -234,6 +234,69 @@ def weighted_sample(
     )
 
 
+def _weight_case(source_col: str, weights: dict[str, float]) -> Column:
+    """Validated per-source weight expression (0.0 for unlisted)."""
+    for name, wt in weights.items():
+        if wt < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0, got {wt}")
+    if float(sum(weights.values())) <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+    w = F.lit(0.0)
+    for name, wt in sorted(weights.items()):
+        w = F.when(F.col(source_col) == name, F.lit(float(wt))).otherwise(w)
+    return w
+
+
+def _fraction_thresholds(
+    per_source: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    total: int,
+    denom_col: str,
+) -> DataFrame:
+    """Shared threshold core of mixture_fractions / token_budget_
+    fractions: threshold = least(1M, floor((total * w / wsum) / denom
+    * 1M)) with the float expression ORDER fixed (the q126/q138
+    oracles replicate it verbatim). A zero denominator (a weighted
+    source whose measure sums to 0 — e.g. all-empty documents under a
+    token budget) keeps everything: the source consumes none of the
+    budget, and the division would otherwise raise DIVIDE_BY_ZERO
+    under ANSI mode."""
+    wsum = float(sum(weights.values()))
+    w = _weight_case(source_col, weights)
+    desired = F.lit(float(total)) * w / F.lit(wsum)
+    return per_source.withColumn(
+        "threshold",
+        F.when(F.col(denom_col) == 0, F.lit(_BUCKETS).cast("bigint")).otherwise(
+            F.least(
+                F.lit(_BUCKETS).cast("bigint"),
+                F.floor(desired / F.col(denom_col) * F.lit(float(_BUCKETS))).cast("bigint"),
+            )
+        ),
+    )
+
+
+def _threshold_filter(
+    df: DataFrame,
+    thr: DataFrame,
+    source_col: str,
+    key_cols: list[str],
+    salt: str,
+    portable: bool,
+) -> DataFrame:
+    """Broadcast the per-source thresholds back and keep rows whose
+    stable bucket falls under their source's cutoff. Pure
+    projection+filter after a broadcast join: no shuffle of the
+    corpus, retry-stable, reproducible outside Spark with
+    portable=True."""
+    bucket = _bucket(key_cols, salt, portable)
+    return (
+        df.join(F.broadcast(thr.select(source_col, "threshold")), on=source_col)
+        .filter(bucket < F.col("threshold"))
+        .drop("threshold")
+    )
+
+
 def mixture_fractions(
     df: DataFrame,
     source_col: str,
@@ -253,24 +316,8 @@ def mixture_fractions(
     the expression order of the float math is fixed so any engine
     reproduces the exact integer threshold (see suite/training.py
     q126's oracle)."""
-    for name, wt in weights.items():
-        if wt < 0:
-            raise ValueError(f"weight for {name!r} must be >= 0, got {wt}")
-    wsum = float(sum(weights.values()))
-    if wsum <= 0:
-        raise ValueError("mixture weights must sum to a positive value")
-    w = F.lit(0.0)
-    for name, wt in sorted(weights.items()):
-        w = F.when(F.col(source_col) == name, F.lit(float(wt))).otherwise(w)
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_src"))
-    desired = F.lit(float(total_out)) * w / F.lit(wsum)
-    return counts.withColumn(
-        "threshold",
-        F.least(
-            F.lit(_BUCKETS).cast("bigint"),
-            F.floor(desired / F.col("n_src") * F.lit(float(_BUCKETS))).cast("bigint"),
-        ),
-    )
+    return _fraction_thresholds(counts, source_col, weights, total_out, "n_src")
 
 
 def mixture_sample(
@@ -284,17 +331,9 @@ def mixture_sample(
 ) -> DataFrame:
     """Deterministic mixture-weighted downsample: join each row to its
     source's threshold (broadcast — thresholds are one row per source)
-    and keep rows whose stable bucket falls under it. Pure
-    projection+filter after a broadcast join: no shuffle of the
-    corpus, retry-stable, reproducible outside Spark with
-    portable=True."""
+    and keep rows whose stable bucket falls under it."""
     thr = mixture_fractions(df, source_col, weights, total_out)
-    bucket = _bucket(key_cols, salt, portable)
-    return (
-        df.join(F.broadcast(thr.select(source_col, "threshold")), on=source_col)
-        .filter(bucket < F.col("threshold"))
-        .drop("threshold")
-    )
+    return _threshold_filter(df, thr, source_col, key_cols, salt, portable)
 
 
 def token_budget_fractions(
@@ -310,32 +349,18 @@ def token_budget_fractions(
     token-denominated twin of `mixture_fractions` (LLM training mixes
     are specified in tokens, not documents; a source of long documents
     must keep fewer of them). Downsampling only: a source under budget
-    keeps everything. Document-level keep decisions mean the realized
-    token count is the budget in expectation, not exactly (documented
-    contract; the kept SET itself is fully deterministic).
+    keeps everything, and a source whose tokens sum to ZERO keeps
+    everything too (it consumes no budget — see _fraction_thresholds).
+    Document-level keep decisions mean the realized token count is the
+    budget in expectation, not exactly (documented contract; the kept
+    SET itself is fully deterministic).
 
     Scale shape: one map-side-combinable aggregate (source -> token
     sum), thresholds broadcast back. Float expression order is fixed
     ((total * w / wsum) / tok_src * 1M, then floor), mirroring the
     q126 oracle convention."""
-    for name, wt in weights.items():
-        if wt < 0:
-            raise ValueError(f"weight for {name!r} must be >= 0, got {wt}")
-    wsum = float(sum(weights.values()))
-    if wsum <= 0:
-        raise ValueError("mixture weights must sum to a positive value")
-    w = F.lit(0.0)
-    for name, wt in sorted(weights.items()):
-        w = F.when(F.col(source_col) == name, F.lit(float(wt))).otherwise(w)
     toks = df.groupBy(source_col).agg(F.sum(token_count_col).alias("tok_src"))
-    desired = F.lit(float(total_tokens)) * w / F.lit(wsum)
-    return toks.withColumn(
-        "threshold",
-        F.least(
-            F.lit(_BUCKETS).cast("bigint"),
-            F.floor(desired / F.col("tok_src") * F.lit(float(_BUCKETS))).cast("bigint"),
-        ),
-    )
+    return _fraction_thresholds(toks, source_col, weights, total_tokens, "tok_src")
 
 
 def token_budget_sample(
@@ -348,14 +373,7 @@ def token_budget_sample(
     salt: str = "v1",
     portable: bool = False,
 ) -> DataFrame:
-    """Deterministic token-budget downsample: broadcast-join each row
-    to its source's threshold and keep rows whose stable bucket falls
-    under it (same retry-stable projection+filter shape as
-    mixture_sample — no corpus shuffle)."""
+    """Deterministic token-budget downsample (same broadcast-threshold
+    + stable-bucket filter shape as mixture_sample)."""
     thr = token_budget_fractions(df, source_col, token_count_col, weights, total_tokens)
-    bucket = _bucket(key_cols, salt, portable)
-    return (
-        df.join(F.broadcast(thr.select(source_col, "threshold")), on=source_col)
-        .filter(bucket < F.col("threshold"))
-        .drop("threshold")
-    )
+    return _threshold_filter(df, thr, source_col, key_cols, salt, portable)

@@ -583,13 +583,16 @@ def q135_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q135_sql() -> str:
     pcts = ", ".join(str(p) for p in HIST_PCTS)
-    # every constant CAST AS DOUBLE: a bare numeric literal is DECIMAL
-    # in DuckDB (see functions/__init__ literal-injection trap)
+    # constants injected as STRING-cast doubles ('<repr>' not <repr>):
+    # a bare numeric literal is DECIMAL in DuckDB, and a future grid
+    # retune to a constant with a >2^53 decimal mantissa would hit the
+    # decimal->double 1-ulp conversion trap (functions/__init__); the
+    # string path is strtod, correctly rounded for ANY constant
+    lo, w = f"CAST('{HIST_LO!r}' AS DOUBLE)", f"CAST('{HIST_W!r}' AS DOUBLE)"
     return f"""
 WITH h AS (
   SELECT least({HIST_BINS - 1}, greatest(0, CAST(floor(
-           (CAST(l_extendedprice AS DOUBLE) - CAST({HIST_LO!r} AS DOUBLE))
-           / CAST({HIST_W!r} AS DOUBLE)) AS INTEGER))) AS bin,
+           (CAST(l_extendedprice AS DOUBLE) - {lo}) / {w}) AS INTEGER))) AS bin,
          count(*) AS cnt
   FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
 ),
@@ -597,8 +600,7 @@ tot AS (SELECT sum(cnt) AS n_total FROM h),
 cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
 p AS (SELECT unnest([{pcts}]) AS pct)
 SELECT p.pct,
-       CAST({HIST_LO!r} AS DOUBLE)
-         + (min(c.bin) + 1) * CAST({HIST_W!r} AS DOUBLE) AS q_upper
+       {lo} + (min(c.bin) + 1) * {w} AS q_upper
 FROM p CROSS JOIN tot t
 JOIN cum c ON c.cum >= ceil((p.pct * t.n_total) / CAST(100 AS DOUBLE))
 GROUP BY p.pct

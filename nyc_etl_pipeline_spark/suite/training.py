@@ -779,8 +779,9 @@ WITH d AS (SELECT doc_id, source, CAST({_SQL_NTOK} AS BIGINT) AS n_tokens FROM d
 toks AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_src FROM d GROUP BY 1),
 thr AS (
   SELECT source,
-         least(1000000, CAST(floor({float(TB_TOTAL_TOKENS)} * {wcase} / {wsum}
-               / tok_src * 1000000.0) AS BIGINT)) AS threshold
+         CASE WHEN tok_src = 0 THEN 1000000
+              ELSE least(1000000, CAST(floor({float(TB_TOTAL_TOKENS)} * {wcase} / {wsum}
+                   / tok_src * 1000000.0) AS BIGINT)) END AS threshold
   FROM toks
 ),
 kept AS (

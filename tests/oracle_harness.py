@@ -77,11 +77,9 @@ def dtype_family(pdf, col: str) -> str:
     if pd.api.types.is_datetime64_any_dtype(dt):
         return "datetime"
     if dt == object:
-        s = pdf[col].dropna()
-        if len(s):
-            from decimal import Decimal
+        from decimal import Decimal
 
-            v = s.iloc[0]
+        def fam_of(v) -> str:
             if isinstance(v, (bool, np.bool_)):
                 return "bool"
             if isinstance(v, (int, np.integer)):
@@ -90,7 +88,16 @@ def dtype_family(pdf, col: str) -> str:
                 return "float"
             if isinstance(v, Decimal):
                 return "decimal"
-        return "object"
+            return "object"
+
+        # classify EVERY value, not just the first non-null: a mixed
+        # column (e.g. Decimal in one row, float in another from a
+        # CASE/union oracle) must not pass as whichever type happens
+        # to sort first
+        fams = {fam_of(v) for v in pdf[col].dropna()}
+        if not fams:
+            return "object"
+        return fams.pop() if len(fams) == 1 else "mixed:" + ",".join(sorted(fams))
     return str(dt)
 
 

@@ -64,3 +64,29 @@ def test_bpe_train_guards_driver_memory(spark, sf_dir):
     docs = read_testdata(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="distinct words exceeds"):
         bpe.bpe_train(docs, n_merges=2, max_distinct_words=3)
+
+
+def test_bpe_encode_tokenizes_like_canonical_tokens(spark):
+    """bpe_encode must split words exactly like operators/text.tokens
+    (trim = spaces only, split = \\s+), NOT Python str.split(): a
+    leading tab yields a phantom empty token in the canonical
+    convention (and in the oracle's string_split_regex twin), which
+    encodes to exactly one subword ('</w>'). Round-6 review finding."""
+    from nyc_etl_pipeline_spark.operators import bpe as B
+    from nyc_etl_pipeline_spark.operators.text import tokens
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "\thello world"), (2, "  plain  "), (3, "")],
+        "doc_id long, text string",
+    )
+    enc = {r["doc_id"]: r for r in B.bpe_encode(docs, [("l", "l")]).collect()}
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n")).collect()
+    }
+    for did in (1, 2, 3):
+        assert enc[did]["n_words"] == ntok[did], (did, enc[did], ntok[did])
+    # doc 1: ['', 'hello', 'world'] -> '' encodes to ['</w>'] alone
+    assert enc[1]["n_words"] == 3
+    assert enc[1]["n_subwords"] == 1 + len("hello") + 1 - 1 + len("world") + 1  # '' + he(ll)o</w> merged l+l

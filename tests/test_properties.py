@@ -72,10 +72,15 @@ def test_round_half_up_r5_falsifying_example(spark):
     con = duckdb.connect()
     # string-cast injection: engines agree
     assert _duck_round_half_up(con, [x], digits) == [got] == [-900719925.554687]
-    # the DECIMAL-literal injection artifact, pinned so the mechanism
-    # stays documented: the literal's mantissa exceeds 2^53
+    # the DECIMAL-literal injection artifact that caused the original
+    # failure: checked only while the DuckDB version still exhibits it
+    # (a DuckDB upgrade fixing big-mantissa literal parsing must NOT
+    # turn this test red — the string-cast parity above is the
+    # product contract; this block just documents the mechanism)
     bad = con.sql(f"SELECT CAST({x!r} AS DOUBLE)").fetchone()[0]
-    assert bad != x, "DuckDB now parses big-mantissa numeric literals exactly"
+    if bad == x:
+        return  # DuckDB fixed the literal path; nothing left to pin
+    assert math.floor(bad * 1e6 + 0.5) != math.floor(x * 1e6 + 0.5) or bad != x
 
 
 @settings(max_examples=10, deadline=None)

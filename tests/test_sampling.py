@@ -172,3 +172,19 @@ def test_token_budget_sample_contracts(spark, sf_dir):
     assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in again.select("doc_id").collect()
     )
+
+
+def test_token_budget_zero_token_source_keeps_all(spark):
+    """A weighted source whose tokens sum to 0 (all-empty documents)
+    must keep everything — it consumes no budget — instead of raising
+    DIVIDE_BY_ZERO under ANSI mode (round-6 review finding)."""
+    df = spark.createDataFrame(
+        [(1, "s0", 0), (2, "s0", 0), (3, "s1", 10), (4, "s1", 10)],
+        "doc_id long, source string, n_tokens long",
+    )
+    kept = S.token_budget_sample(
+        df, "source", "n_tokens", {"s0": 1.0, "s1": 1.0}, 5, ["doc_id"],
+        portable=True,
+    )
+    rows = {(r["doc_id"], r["source"]) for r in kept.collect()}
+    assert {(1, "s0"), (2, "s0")} <= rows  # zero-token source fully kept
