@@ -234,3 +234,71 @@ def hist_quantiles(
             (F.lit(lo) + (F.col("__bin") + F.lit(1)) * F.lit(w)).alias("q_upper"),
         )
     )
+
+
+def hist_build_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Per-group fixed-grid histogram: (group..., bin, cnt), at most
+    n_bins rows PER GROUP. Same grid semantics as hist_build (clamped
+    edge bins, nulls dropped, dyadic width for bit-identical bins)."""
+    w = (hi - lo) / n_bins
+    x = F.col(value_col).cast("double")
+    b = F.floor((x - F.lit(lo)) / F.lit(w)).cast("int")
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
+    return (
+        df.filter(x.isNotNull())
+        .select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles_by(
+    hist: DataFrame,
+    group_cols: list[str],
+    pcts: list[int],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Per-group quantile estimates from per-group cumulative
+    histograms — the curation-pipeline form (e.g. per-source document
+    length P95 to set cut thresholds). Windows partition by group and
+    span <= n_bins rows per partition (bounded by the grid, never the
+    data), so the sort inside each partition is O(n_bins log n_bins)
+    regardless of corpus size; group count only widens parallelism.
+    Same deterministic upper-edge arithmetic as hist_quantiles."""
+    from pyspark.sql import Window as W
+
+    w = (hi - lo) / n_bins
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(
+            W.partitionBy(*group_cols).orderBy("bin")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(
+            W.partitionBy(*group_cols).orderBy("bin")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("n_total"),
+    )
+    pdf = hist.sparkSession.createDataFrame([(p,) for p in pcts], "pct int")
+    k = F.ceil((F.col("pct") * F.col("n_total")) / F.lit(100.0))
+    return (
+        F.broadcast(pdf)
+        .join(cum, cum["cum"] >= k)
+        .groupBy(*group_cols, "pct")
+        .agg(F.min("bin").alias("__bin"))
+        .select(
+            *group_cols,
+            "pct",
+            (F.lit(lo) + (F.col("__bin") + F.lit(1)) * F.lit(w)).alias("q_upper"),
+        )
+    )

@@ -506,6 +506,56 @@ FROM documents d LEFT JOIN perdoc p USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# q140 — per-source histogram quantiles (curation cut thresholds)
+# --------------------------------------------------------------------------
+
+Q140_LO, Q140_HI, Q140_BINS = 0.0, 1024.0, 256  # w = 4.0, dyadic
+Q140_W = (Q140_HI - Q140_LO) / Q140_BINS
+Q140_PCTS = [10, 50, 95]
+
+
+def q140_source_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quantiles from per-group fixed-grid
+    histograms (operators/sketches.hist_build_by/hist_quantiles_by) —
+    the numbers a curation pipeline sets its per-source length-cut
+    thresholds from. Windows span <= n_bins rows per source, bounded
+    by the grid at any corpus size; the estimates are deterministic
+    upper bin edges, so the gate is exact."""
+    from nyc_etl_pipeline_spark.operators.sketches import (
+        hist_build_by,
+        hist_quantiles_by,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    h = hist_build_by(docs, ["source"], "n_chars", Q140_LO, Q140_HI, Q140_BINS)
+    return hist_quantiles_by(h, ["source"], Q140_PCTS, Q140_LO, Q140_HI, Q140_BINS)
+
+
+def _q140_sql() -> str:
+    pcts = ", ".join(str(p) for p in Q140_PCTS)
+    lo, w = f"CAST('{Q140_LO!r}' AS DOUBLE)", f"CAST('{Q140_W!r}' AS DOUBLE)"
+    return f"""
+WITH h AS (
+  SELECT source, least({Q140_BINS - 1}, greatest(0, CAST(floor(
+           (CAST(n_chars AS DOUBLE) - {lo}) / {w}) AS INTEGER))) AS bin,
+         count(*) AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, bin,
+         sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS n_total
+  FROM h
+),
+p AS (SELECT unnest([{pcts}]) AS pct)
+SELECT c.source, p.pct,
+       {lo} + (min(c.bin) + 1) * {w} AS q_upper
+FROM p JOIN cum c ON c.cum >= ceil((p.pct * c.n_total) / CAST(100 AS DOUBLE))
+GROUP BY c.source, p.pct
+"""
+
+
 SPECS = [
     QuerySpec("q137_bpe_encode", q137_bpe_encode, _q137_sql(),
               "BPE subword encoding with a fixed merge table "
@@ -526,4 +576,6 @@ SPECS = [
               "fixed-stride context-window chunking (sequence+posexplode, no UDF)"),
     QuerySpec("q124_cms_heavy_hitters", q124_cms_heavy_hitters, _q124_sql(),
               "count-min-sketch point estimates gated against exact counts"),
+    QuerySpec("q140_source_quantiles", q140_source_quantiles, _q140_sql(),
+              "per-source histogram-sketch quantiles (curation cut thresholds)"),
 ]

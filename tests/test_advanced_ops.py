@@ -257,3 +257,42 @@ def test_hist_quantiles_merge_and_error_bound(spark, sf_dir):
         k = -(-pct * n // 100)  # ceil(pct*n/100)
         x_k = vals.limit(int(k)).orderBy(F.desc("l_extendedprice")).first()[0]
         assert x_k <= q_direct[pct] <= x_k + HIST_W, (pct, x_k, q_direct[pct])
+
+
+def test_hist_quantiles_by_error_bound_per_group(spark, sf_dir):
+    """Per-group histogram quantiles bracket each group's true k-th
+    order statistic within one bin width (q140's contract)."""
+    from nyc_etl_pipeline_spark.operators.sketches import (
+        hist_build_by,
+        hist_quantiles_by,
+    )
+    from nyc_etl_pipeline_spark.suite.corpus import (
+        Q140_BINS,
+        Q140_HI,
+        Q140_LO,
+        Q140_PCTS,
+        Q140_W,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    h = hist_build_by(docs, ["source"], "n_chars", Q140_LO, Q140_HI, Q140_BINS)
+    got = {
+        (r["source"], r["pct"]): r["q_upper"]
+        for r in hist_quantiles_by(
+            h, ["source"], Q140_PCTS, Q140_LO, Q140_HI, Q140_BINS
+        ).collect()
+    }
+    vals = {
+        r["source"]: sorted(v["n_chars"] for v in rows)
+        for r, rows in (
+            (r, r["vals"])
+            for r in docs.groupBy("source")
+            .agg(F.collect_list(F.struct("n_chars")).alias("vals"))
+            .collect()
+        )
+    }
+    for (src, pct), q in got.items():
+        xs = vals[src]
+        k = -(-pct * len(xs) // 100)
+        x_k = xs[k - 1]
+        assert x_k <= q <= x_k + Q140_W, (src, pct, x_k, q)
