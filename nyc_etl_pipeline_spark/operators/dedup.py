@@ -247,6 +247,87 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via PPJoin-style PREFIX FILTERING
+    — same output contract as `ngram_jaccard_pairs` (a_id < b_id,
+    jaccard >= threshold, rounded to 3), different candidate plan.
+
+    Where `ngram_jaccard_pairs` self-joins the FULL inverted index (and
+    offers only the lossy `max_doc_freq` cap against hot shingles),
+    this generates candidates from each document's PREFIX: its
+    |A| - ceil(t*|A|) + 1 rarest shingles under a global
+    (doc_freq, hash) order. If J(A,B) >= t then |A∩B| >= t*|A|, so the
+    overlap cannot fit entirely in the |A|'s non-prefix tail — every
+    qualifying pair shares a shingle inside BOTH prefixes, making the
+    filter LOSSLESS (Chaudhuri/Xiao ppjoin bound). Candidates are then
+    exactly verified against the full index.
+
+    Why this matters at 100 TB: the join cost of the inverted-index
+    formulation is sum(df(s)^2) over shingles — dominated by hot,
+    signal-free shingles. Under rarity order those hot shingles sort to
+    the END of every document, i.e. into no document's prefix, so the
+    worst skew buckets vanish from the candidate join WITHOUT the
+    recall loss of `max_doc_freq`. Prefix length shrinks as threshold
+    rises (t=0.9 keeps ~10% of each doc's shingles on the join).
+    """
+    sh = _shingle_table(df, id_col, text_col, n)
+    # feeds: doc-freq, rarity ranking, sizes, and both exact-verify
+    # sides — persist or the shingle generation re-runs 5x.
+    sh = sh.persist()
+    freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    from pyspark.sql.window import Window
+
+    ranked = (
+        sh.join(freq, on="__sh")
+        .withColumn(
+            "__rk",
+            F.row_number().over(Window.partitionBy("__id").orderBy("__df", "__sh")),
+        )
+    )
+    # Prefix length |A| - ceil(t*|A|) + 1. The 1e-9 slack guards the
+    # float product landing one ulp ABOVE an exact integer boundary
+    # (ceil one too high would shorten the prefix and lose pairs); a
+    # too-LONG prefix only admits extra candidates, which the exact
+    # verify then discards — correctness never depends on this float.
+    pref_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9)) + 1
+    pref = (
+        ranked.join(sizes, on="__id")
+        .filter(F.col("__rk") <= pref_len)
+        .select("__id", "__sh")
+    )
+    cand = (
+        pref.select(F.col("__id").alias("a_id"), "__sh")
+        .join(pref.select(F.col("__id").alias("b_id"), "__sh"), on="__sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # Exact verify: overlap counted only for surviving candidates.
+    ov = (
+        cand.join(sh.select(F.col("__id").alias("a_id"), "__sh"), on="a_id")
+        .join(sh.select(F.col("__id").alias("b_id"), "__sh"), on=["b_id", "__sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("__ov"))
+    )
+    sa = sizes.select(F.col("__id").alias("a_id"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("b_id"), F.col("__n").alias("__nb"))
+    # identical scoring expression to ngram_jaccard_pairs (oracle parity)
+    jac = F.col("__ov") / (F.col("__na") + F.col("__nb") - F.col("__ov"))
+    return (
+        ov.join(sa, on="a_id")
+        .join(sb, on="b_id")
+        .filter(jac >= threshold)
+        .select("a_id", "b_id", F.round(jac, 3).alias("jaccard"))
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -591,6 +591,43 @@ WHERE d.doc_id >= {INCR_SPLIT}
 """
 
 
+# --------------------------------------------------------------------------
+# q141 — exact Jaccard pairs via LOSSLESS prefix filtering (ppjoin)
+# --------------------------------------------------------------------------
+
+PREFIX_JACCARD_THRESHOLD = 0.35
+
+
+def q141_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact-output contract as q18 at a lower threshold; the
+    oracle is the NAIVE full inverted-index SQL — hash equality proves
+    the prefix filter drops no qualifying pair (lossless, unlike q47's
+    max_doc_freq recall trade)."""
+    return D.jaccard_prefix_filter_pairs(
+        read_testdata(spark, sf_dir, "documents"),
+        n=NGRAM_N,
+        threshold=PREFIX_JACCARD_THRESHOLD,
+    )
+
+
+_Q141_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+ov AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ov
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       floor((ov * 1.0 / (sa.n + sb.n - ov)) * 1000.0 + 0.5) / 1000.0 AS jaccard
+FROM ov
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+WHERE ov * 1.0 / (sa.n + sb.n - ov) >= {PREFIX_JACCARD_THRESHOLD}
+"""
+
+
 SPECS = [
     QuerySpec("q17_exact_dedup", q17_exact_dedup, _Q17_SQL,
               "exact dedup via md5 digest group-by"),
@@ -618,4 +655,6 @@ SPECS = [
               "MinHash+LSH near-dup (md5-derived chain; oracle rebuilds bands)"),
     QuerySpec("q24_simhash_near_pairs", q24_simhash_near_pairs, _q24_sql(),
               "SimHash near-dup (block trick + hamming verify, oracle-replicated)"),
+    QuerySpec("q141_jaccard_prefix", q141_jaccard_prefix, _Q141_SQL,
+              "exact Jaccard via lossless ppjoin prefix filter (oracle = naive form)"),
 ]

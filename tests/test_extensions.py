@@ -168,3 +168,34 @@ def test_chunk_windows_cover_every_char_with_overlap(spark):
     text = rows[2][1]
     rebuilt = "".join(r["chunk"][:400] for r in by_doc[3][:-1]) + by_doc[3][-1]["chunk"]
     assert rebuilt == text
+
+
+def test_prefix_filter_equals_naive_jaccard(spark, sf_dir):
+    """The ppjoin prefix filter must be LOSSLESS: identical (pair,
+    score) output to the full inverted-index formulation at several
+    thresholds, including one low enough that prefixes get long and
+    one high enough that they shrink to a couple of shingles."""
+    docs = _docs(spark, sf_dir)
+    for t in (0.2, 0.5, 0.8):
+        naive = {
+            (r["a_id"], r["b_id"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pref = {
+            (r["a_id"], r["b_id"]): r["jaccard"]
+            for r in D.jaccard_prefix_filter_pairs(docs, threshold=t).collect()
+        }
+        assert pref == naive, f"t={t}: {set(naive) ^ set(pref)}"
+
+
+def test_prefix_filter_exact_boundary_pair(spark):
+    """Planted pair sitting EXACTLY at the threshold: |A|=|B|=5
+    shingles, overlap 4 -> J = 4/6 = 0.666...; at t=2/3 the ceil in
+    the prefix length lands on an exact integer boundary — the case
+    the 1e-9 slack in pref_len exists for."""
+    a = "w0 w1 w2 w3 w4 w5 w6"          # 5 3-gram shingles
+    b = "w0 w1 w2 w3 w4 w5 x6"          # shares 4 of them
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    got = D.jaccard_prefix_filter_pairs(df, threshold=2 / 3).collect()
+    assert len(got) == 1 and got[0]["a_id"] == 1 and got[0]["b_id"] == 2
+    assert abs(got[0]["jaccard"] - 0.667) < 1e-9
