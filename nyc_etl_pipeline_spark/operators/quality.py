@@ -252,3 +252,57 @@ def referential_integrity(
         F.lit(child_key).alias("column"),
         "n_violations",
     )
+
+
+def mad_outlier_report(
+    df: DataFrame, group_col: str, value_col: str, k: float = 3.0
+) -> DataFrame:
+    """Per-group ROBUST outlier report: median + MAD (median absolute
+    deviation), outlier = |x - median| > k * MAD.
+
+    The z-score bands (q84) break down under contamination — one huge
+    outlier inflates the stddev enough to hide the others (masking).
+    Median/MAD tolerate up to 50% contamination, which is why curation
+    pipelines gate on them for heavy-tailed signals (doc lengths,
+    perplexities, event values).
+
+    Scale shape: two `exact_percentiles_sorted` passes (spillable
+    distributed sort — no in-memory per-group buffer) + broadcasts of
+    the group-cardinality-bounded median/MAD tables; the final count
+    is one partial+final hash agg over the same shuffle key. The
+    `dev > k*MAD` comparison is the documented threshold-comparison
+    class (both engines compare the same doubles; nothing rounds).
+
+    Returns (group, med, mad, n, n_outliers, outlier_rate) with
+    med/mad rounded to 6, rate to 4.
+
+    Caveat (standard MAD degeneracy): if more than half of a group's
+    values are identical, MAD = 0 and EVERY value off the median gets
+    flagged — gate on `mad > 0` or fall back to IQR for near-constant
+    groups.
+    """
+    from nyc_etl_pipeline_spark.functions import round_half_up
+
+    med = exact_percentiles_sorted(df, group_col, value_col, [0.5]).select(
+        group_col, F.col("p_5").alias("__med")
+    )
+    dev = (
+        df.select(group_col, F.col(value_col).cast("double").alias("__v"))
+        .join(F.broadcast(med), group_col)
+        .withColumn("__dev", F.abs(F.col("__v") - F.col("__med")))
+    )
+    mad = exact_percentiles_sorted(dev, group_col, "__dev", [0.5]).select(
+        group_col, F.col("p_5").alias("__mad")
+    )
+    out = F.count(F.when(F.col("__dev") > F.lit(k) * F.col("__mad"), F.lit(1)))
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            round_half_up(F.min("__med"), 6).alias("med"),
+            round_half_up(F.min("__mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            out.alias("n_outliers"),
+            round_half_up(out / F.count(F.lit(1)), 4).alias("outlier_rate"),
+        )
+    )

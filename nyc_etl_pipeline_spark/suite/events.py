@@ -1006,6 +1006,51 @@ FROM r WHERE rn = 1 AND op <> 'D'
 """
 
 
+# --------------------------------------------------------------------------
+# q142 — robust per-type outlier report (median + MAD)
+# --------------------------------------------------------------------------
+
+MAD_K = 3.0
+
+
+def q142_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier gate per event type — the contamination-
+    tolerant counterpart to q84's z-score bands (a single huge value
+    inflates a stddev enough to mask real outliers; it moves a median
+    by one rank)."""
+    from nyc_etl_pipeline_spark.operators.quality import mad_outlier_report
+
+    return mad_outlier_report(
+        read_testdata(spark, sf_dir, "events"), "event_type", "value", k=MAD_K
+    )
+
+
+_Q142_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type,
+         abs(CAST(e.value AS DOUBLE) - m.med) AS dev,
+         m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       {sql_round_half_up('d.med', 6)} AS med,
+       {sql_round_half_up('a.mad', 6)} AS mad,
+       count(*) AS n,
+       count(CASE WHEN d.dev > {MAD_K} * a.mad THEN 1 END) AS n_outliers,
+       {sql_round_half_up(f'count(CASE WHEN d.dev > {MAD_K} * a.mad THEN 1 END) * 1.0 / count(*)', 4)} AS outlier_rate
+FROM dev d JOIN mad a ON d.event_type = a.event_type
+GROUP BY d.event_type, d.med, a.mad
+"""
+
+
 SPECS = [
     QuerySpec("q130_trend_fit", q130_trend_fit, _Q130_SQL,
               "per-key OLS daily-volume trend (bit-exact sums formulation)"),
@@ -1019,6 +1064,8 @@ SPECS = [
               "running distinct users per day (first-seen reduction, no distinct window)"),
     QuerySpec("q139_cdc_apply", q139_cdc_apply, _Q139_SQL,
               "CDC change-log apply: latest-wins snapshot with deletes"),
+    QuerySpec("q142_mad_outliers", q142_mad_outliers, _Q142_SQL,
+              "robust median/MAD outlier report per event type"),
     QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
               "hourly tumbling window aggregation"),
     QuerySpec("q14_events_sliding", q14_events_sliding, _Q14_SQL,

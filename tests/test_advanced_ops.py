@@ -296,3 +296,25 @@ def test_hist_quantiles_by_error_bound_per_group(spark, sf_dir):
         k = -(-pct * len(xs) // 100)
         x_k = xs[k - 1]
         assert x_k <= q <= x_k + Q140_W, (src, pct, x_k, q)
+
+
+def test_mad_outliers_resist_masking(spark):
+    """The case stddev-based bands fail: a cluster of extreme values
+    inflates sigma until NOTHING exceeds mean+3*sigma, while the
+    median/MAD report still flags exactly the planted extremes."""
+    from nyc_etl_pipeline_spark.operators.quality import mad_outlier_report
+
+    vals = [float(v) for v in range(1, 16)] + [1000.0, 1001.0, 1002.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "value"])
+    row = mad_outlier_report(df, "grp", "value", k=3.0).collect()[0]
+    assert row["n"] == len(vals)
+    assert row["n_outliers"] == 3  # exactly the planted extremes
+    # the masking check: classic 3-sigma flags nothing here
+    import statistics
+
+    mu, sd = statistics.mean(vals), statistics.pstdev(vals)
+    assert max(vals) < mu + 3 * sd
+    # median of 1..15 + extremes interpolates to 9.5; MAD = 4.5
+    assert row["med"] == 9.5
+    assert row["mad"] == 4.5
+    assert row["outlier_rate"] == round(3 / len(vals), 4)
