@@ -123,3 +123,57 @@ def interval_overlap_pairs(
         .select("a_id", "b_id", *keys, overlap.alias("overlap"))
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+def skyline_2d(df: DataFrame, x_col: str, y_col: str, buckets: int = 1024) -> DataFrame:
+    """2D Pareto skyline: rows where no other row has x <= and y >=
+    with at least one strict (x minimized, y maximized; negate a
+    column to flip its direction). Duplicate (x, y) points do not
+    dominate each other — all copies of a frontier point survive.
+
+    Scale design (the naive form is an O(n^2) self-anti-join):
+    1. GRID PRUNE — bucket x into a fixed grid (bounds from one tiny
+       min/max agg). Any point in a strictly earlier bucket has
+       strictly smaller x, so a point with y below the running
+       strict-prefix bucket max is PROVABLY dominated and is dropped
+       before any sort. The prefix max runs over <= `buckets` rows.
+       Survivors are the frontier plus points tied with it inside
+       their own bucket — typically a vanishing fraction.
+    2. EXACT FINISH over survivors — per-x best y (one hash agg),
+       then a single ordered pass: dominated iff a strictly-smaller x
+       has best-y >= y, or the same x has best-y > y. The global
+       window runs only on the pruned survivor set; if the data is so
+       adversarial that pruning keeps everything (all one bucket),
+       the sort is Spark's spillable external sort, not a buffer.
+    """
+    bounds = df.select(
+        F.min(x_col).alias("lo"), F.max(x_col).alias("hi"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if bounds["n"] == 0:
+        return df
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    width = (hi - lo) / buckets or 1.0
+    bucket = F.least(
+        F.lit(buckets - 1), F.floor((F.col(x_col) - F.lit(lo)) / F.lit(width))
+    ).cast("int")
+    b = df.withColumn("__b", bucket)
+    per_bucket = b.groupBy("__b").agg(F.max(y_col).alias("__bymax"))
+    wprev = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+    prefix = per_bucket.withColumn("__prevmax", F.max("__bymax").over(wprev)).select(
+        "__b", "__prevmax"
+    )
+    survivors = b.join(F.broadcast(prefix), on="__b").filter(
+        F.col("__prevmax").isNull() | (F.col(y_col) > F.col("__prevmax"))
+    )
+    # exact finish on the pruned set
+    per_x = survivors.groupBy(x_col).agg(F.max(y_col).alias("__xbest"))
+    wx = W.orderBy(x_col).rowsBetween(W.unboundedPreceding, -1)
+    ranked = per_x.withColumn("__strict", F.max("__xbest").over(wx))
+    return (
+        survivors.join(ranked, on=x_col)
+        .filter(
+            (F.col("__strict").isNull() | (F.col(y_col) > F.col("__strict")))
+            & (F.col(y_col) >= F.col("__xbest"))
+        )
+        .drop("__b", "__prevmax", "__xbest", "__strict")
+    )

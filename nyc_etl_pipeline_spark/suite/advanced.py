@@ -607,9 +607,55 @@ GROUP BY p.pct
 """
 
 
+# --------------------------------------------------------------------------
+# q143 — 2D Pareto skyline (revenue-efficiency frontier per part)
+# --------------------------------------------------------------------------
+
+def q143_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts on the (min total_qty, max revenue) Pareto frontier —
+    most revenue from least volume shipped. Dominance compares the
+    ROUNDED metrics on both engines (same convention as q61's rounded
+    tie-break) so the surviving set is deterministic. Spark runs the
+    grid-pruned O(n log n) `skyline_2d`; the oracle is the O(n^2)
+    NOT-EXISTS dominance definition — hash equality proves the pruned
+    plan exact."""
+    from nyc_etl_pipeline_spark.operators.joins import skyline_2d
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_partkey").agg(
+        R(dec_sum("l_quantity"), 3).alias("total_qty"),
+        R(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3).alias(
+            "revenue"
+        ),
+    )
+    return skyline_2d(m, "total_qty", "revenue").select(
+        F.col("l_partkey").alias("partkey"), "total_qty", "revenue"
+    )
+
+
+_Q143_SQL = """
+WITH m AS (
+  SELECT l_partkey AS partkey,
+         floor((CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_qty,
+         floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT partkey, total_qty, revenue
+FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.total_qty <= a.total_qty AND b.revenue >= a.revenue
+    AND (b.total_qty < a.total_qty OR b.revenue > a.revenue)
+)
+"""
+
+
 SPECS = [
     QuerySpec("q28_asof_join", q28_asof_join, _Q28_SQL,
               "as-of join (backward inclusive) via tagged-union window"),
+    QuerySpec("q143_skyline", q143_skyline, _Q143_SQL,
+              "2D Pareto skyline (grid-pruned exact plan vs NOT-EXISTS oracle)"),
     QuerySpec("q29_range_join", q29_range_join, _Q29_SQL,
               "non-equi range join, broadcast small side"),
     QuerySpec("q30_cube", q30_cube, _Q30_SQL, "cube grouping sets"),

@@ -318,3 +318,38 @@ def test_mad_outliers_resist_masking(spark):
     assert row["med"] == 9.5
     assert row["mad"] == 4.5
     assert row["outlier_rate"] == round(3 / len(vals), 4)
+
+
+def _brute_skyline(pts):
+    out = []
+    for i, (x, y) in enumerate(pts):
+        dominated = any(
+            (bx <= x and by >= y and (bx < x or by > y)) for j, (bx, by) in enumerate(pts) if j != i
+        )
+        if not dominated:
+            out.append((x, y))
+    return sorted(out)
+
+
+def test_skyline_matches_bruteforce_random(spark):
+    from nyc_etl_pipeline_spark.operators.joins import skyline_2d
+    import random
+
+    rng = random.Random(7)
+    pts = [(round(rng.uniform(0, 100), 2), round(rng.uniform(0, 100), 2)) for _ in range(400)]
+    # plant duplicates ON the frontier: both copies must survive
+    pts += [(0.5, 99.5), (0.5, 99.5)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect())
+    assert got == _brute_skyline(pts)
+    assert got.count((0.5, 99.5)) == 2
+
+
+def test_skyline_single_bucket_degenerate(spark):
+    """All points share one x: grid pruning keeps everything (one
+    bucket) and the exact finish alone must produce max-y ties."""
+    from nyc_etl_pipeline_spark.operators.joins import skyline_2d
+
+    df = spark.createDataFrame([(5.0, float(v)) for v in (1, 7, 7, 3)], ["x", "y"])
+    got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect())
+    assert got == [(5.0, 7.0), (5.0, 7.0)]
