@@ -117,3 +117,38 @@ def gapfill(
             F.last("__avg", ignorenulls=True).over(w), ndigits
         ).alias("filled_avg"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    preceding: int = 6,
+) -> "Column":
+    """Exact rolling median over a trailing row frame — the robust
+    smoother for monitoring series (a mean-based rolling average
+    chases every spike; the median ignores anything rarer than half
+    the frame).
+
+    Spark refuses `median`/`percentile` with a window frame
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so this collects the
+    frame into an array (bounded: `preceding`+1 elements regardless
+    of data size) and interpolates 1 + (n-1)*0.5 between the two
+    middle ranks — the identical lower + frac*(upper-lower) form as
+    `exact_percentiles_sorted` / DuckDB's windowed quantile_cont.
+    Returns a Column to select alongside the frame keys.
+    """
+    w = (
+        W.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(-preceding, W.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(F.col(value_col).cast("double")).over(w))
+    n = F.size(arr)
+    pos = 1 + (n - 1) * F.lit(0.5)
+    lo = F.floor(pos).cast("int")
+    hi = F.ceil(pos).cast("int")
+    lo_v = F.element_at(arr, lo)
+    hi_v = F.element_at(arr, hi)
+    return lo_v + (pos - F.floor(pos)) * (hi_v - lo_v)

@@ -1051,6 +1051,47 @@ GROUP BY d.event_type, d.med, a.mad
 """
 
 
+# --------------------------------------------------------------------------
+# q144 — 7-day rolling median of daily totals per event type
+# --------------------------------------------------------------------------
+
+ROLL_MED_PRECEDING = 6
+
+
+def q144_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust monitoring smoother: daily dec_sum totals, then an exact
+    trailing-7-row median. Spark can't frame `median`, so the operator
+    collects the bounded frame and interpolates with the identical
+    lower + frac*(upper-lower) arithmetic as DuckDB's windowed
+    quantile_cont."""
+    from nyc_etl_pipeline_spark.operators.timeseries import rolling_median
+
+    e = read_testdata(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(dec_sum("value").alias("__total"))
+    return daily.select(
+        "event_type",
+        "day",
+        R(
+            rolling_median(daily, "event_type", "day", "__total", ROLL_MED_PRECEDING),
+            3,
+        ).alias("med7"),
+    )
+
+
+_Q144_SQL = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       {sql_round_half_up("quantile_cont(total, 0.5) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN " + str(ROLL_MED_PRECEDING) + " PRECEDING AND CURRENT ROW)", 3)} AS med7
+FROM daily
+"""
+
+
 SPECS = [
     QuerySpec("q130_trend_fit", q130_trend_fit, _Q130_SQL,
               "per-key OLS daily-volume trend (bit-exact sums formulation)"),
@@ -1066,6 +1107,8 @@ SPECS = [
               "CDC change-log apply: latest-wins snapshot with deletes"),
     QuerySpec("q142_mad_outliers", q142_mad_outliers, _Q142_SQL,
               "robust median/MAD outlier report per event type"),
+    QuerySpec("q144_rolling_median", q144_rolling_median, _Q144_SQL,
+              "7-day rolling exact median of daily totals (framed collect+interpolate)"),
     QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
               "hourly tumbling window aggregation"),
     QuerySpec("q14_events_sliding", q14_events_sliding, _Q14_SQL,

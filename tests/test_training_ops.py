@@ -955,3 +955,25 @@ def test_cms_estimate_absent_token_is_zero_not_overestimate(spark):
     # a legitimate collision overcount — assert the contract: bounded
     # by total stream count, never missing
     assert 0 <= est["zz-never-seen"] <= 8
+
+
+def test_rolling_median_hand_checked(spark):
+    """Trailing-4-row frame over a short series: growing frames at the
+    start (1..4 elements — both odd and even interpolation), then the
+    full frame sliding. Values chosen so every median is exact."""
+    from nyc_etl_pipeline_spark.operators import timeseries
+
+    vals = [10.0, 2.0, 8.0, 4.0, 100.0, 6.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], ["k", "i", "v"]
+    )
+    out = (
+        df.select(
+            "i", timeseries.rolling_median(df, "k", "i", "v", preceding=3).alias("m")
+        )
+        .orderBy("i")
+        .collect()
+    )
+    got = [r["m"] for r in out]
+    # frames: [10] [10,2] [10,2,8] [10,2,8,4] [2,8,4,100] [8,4,100,6]
+    assert got == [10.0, 6.0, 8.0, 6.0, 6.0, 7.0]
