@@ -714,3 +714,61 @@ def label_cohesion(
             round_half_up(F.avg(F.col("dot") / (F.col("nv") * F.col("nc"))), 6).alias("cohesion"),
         )
     )
+
+
+def jl_sign_matrix(d_in: int, d_out: int, seed_prefix: str = "jl") -> list[list[float]]:
+    """Deterministic Rademacher (+-1) projection matrix derived from
+    md5 parity — reproducible in ANY engine (the oracle SQL embeds the
+    same literals; `py_md5_long` is the shared derivation)."""
+    from nyc_etl_pipeline_spark.functions import py_md5_long
+
+    return [
+        [
+            1.0 if py_md5_long(f"{seed_prefix}:{i}:{j}") % 2 == 0 else -1.0
+            for i in range(1, d_in + 1)
+        ]
+        for j in range(1, d_out + 1)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    d_in: int = 64,
+    d_out: int = 16,
+    id_cols: tuple[str, ...] = ("vec_id",),
+    seed_prefix: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: d_in -> d_out dims via
+    a signed-sum sketch, x'_j = (sum_i x_i * s_ij) / sqrt(d_out).
+
+    The cheap dimensionality cut BEFORE an ANN index: pairwise
+    distances are preserved within (1 +- eps) w.h.p. (JL lemma;
+    Achlioptas shows Rademacher entries suffice — no Gaussians), so a
+    16-dim index probes ~4x fewer bytes per candidate than 64-dim
+    with a modest recall cost that exact re-scoring on the original
+    vectors recovers.
+
+    Engine parity: the sign matrix is embedded as LITERAL arrays
+    (from `jl_sign_matrix`, same constants as the oracle SQL), each
+    output dim is an index-ORDERED left fold (same double-addition
+    sequence in Spark's aggregate() and DuckDB's list_reduce), and
+    d_out a power of 4 keeps 1/sqrt(d_out) an exact power of two.
+    All JVM-side column expressions — no UDF, no shuffle.
+    """
+    signs = jl_sign_matrix(d_in, d_out, seed_prefix)
+    scale = d_out ** 0.5
+
+    def _term(arr):
+        # bind the per-j sign array via closure (a defaulted lambda
+        # param would change the arity PySpark infers for aggregate)
+        return lambda acc, i: acc + F.element_at(F.col(vec_col), i).cast(
+            "double"
+        ) * F.element_at(arr, i)
+
+    cols = list(id_cols)
+    for j, row in enumerate(signs, start=1):
+        arr = F.array(*[F.lit(s) for s in row])
+        fold = F.aggregate(F.sequence(F.lit(1), F.lit(d_in)), F.lit(0.0), _term(arr))
+        cols.append((fold / F.lit(scale)).alias(f"jl_{j}"))
+    return df.select(*cols)

@@ -402,6 +402,43 @@ WHERE b.vec_id <> rv.rep_id
 """
 
 
+# --------------------------------------------------------------------------
+# q145 — Johnson-Lindenstrauss random projection (64 -> 16 dims)
+# --------------------------------------------------------------------------
+
+JL_D_IN = 64
+JL_D_OUT = 16
+
+
+def q145_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-sum JL sketch of every embedding, rounded to 6 — the
+    dimensionality cut before an ANN index. Sign matrix, fold order,
+    and the power-of-two scale are shared with the oracle (bit-exact
+    before the rounding)."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    proj = SIM.jl_project(emb, "embedding", JL_D_IN, JL_D_OUT)
+    return proj.select(
+        "vec_id", *[R(F.col(f"jl_{j}"), 6).alias(f"jl_{j}") for j in range(1, JL_D_OUT + 1)]
+    )
+
+
+def _q145_sql() -> str:
+    from nyc_etl_pipeline_spark.functions import sql_round_half_up
+
+    signs = SIM.jl_sign_matrix(JL_D_IN, JL_D_OUT)
+    outs = []
+    for j, row in enumerate(signs, start=1):
+        lits = "[" + ", ".join(str(s) for s in row) + "]"
+        fold = (
+            f"list_reduce(list_transform(range(1, {JL_D_IN + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * (CAST({lits} AS DOUBLE[]))[i]), "
+            "(a, b) -> a + b)"
+        )
+        outs.append(f"       {sql_round_half_up(fold + ' / 4.0', 6)} AS jl_{j}")
+    cols = ",\n".join(outs)
+    return f"SELECT vec_id,\n{cols}\nFROM embeddings"
+
+
 SPECS = [
     QuerySpec("q25_embedding_topk", q25_embedding_topk, _Q25_SQL,
               "exact cosine top-k (broadcast queries, no corpus shuffle)"),
@@ -415,6 +452,8 @@ SPECS = [
               "SQ8 scalar-quantized top-k (deterministic, fully oracle-replicated)"),
     QuerySpec("q101_pq_clustered", q101_pq_clustered, _Q101_SQL,
               "PQ ADC retrieval on in-query clustered vectors (recall contract)"),
+    QuerySpec("q145_jl_project", q145_jl_project, _q145_sql(),
+              "JL random projection 64->16 (md5 Rademacher signs, ordered fold)"),
     QuerySpec("q123_semantic_dedup", q123_semantic_dedup, _q123_sql(),
               "SemDeDup-style linear embedding dedup vs bucket representative"),
     QuerySpec("q115_label_cohesion", q115_label_cohesion, _Q115_SQL,

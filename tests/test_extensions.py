@@ -199,3 +199,38 @@ def test_prefix_filter_exact_boundary_pair(spark):
     got = D.jaccard_prefix_filter_pairs(df, threshold=2 / 3).collect()
     assert len(got) == 1 and got[0]["a_id"] == 1 and got[0]["b_id"] == 2
     assert abs(got[0]["jaccard"] - 0.667) < 1e-9
+
+
+def test_jl_projection_onehot_and_norms(spark, sf_dir):
+    from nyc_etl_pipeline_spark.operators.similarity import jl_project, jl_sign_matrix
+
+    signs = jl_sign_matrix(64, 16)
+    # one-hot e_i projects to column i of the sign matrix / 4 exactly
+    # — pins the (i, j) orientation against silent transposition
+    onehot = spark.createDataFrame(
+        [(7, [1.0 if i == 7 else 0.0 for i in range(64)])], ["vec_id", "embedding"]
+    )
+    row = jl_project(onehot).collect()[0]
+    for j in range(1, 17):
+        assert row[f"jl_{j}"] == signs[j - 1][7] / 4.0
+    # norm preservation: E||x'||^2 == ||x||^2; with d_out=16 the
+    # per-vector distortion concentrates (sd ~ sqrt(2/16)) — every
+    # fixture vector should land well inside [0.25, 2.2]
+    emb = read_testdata(spark, sf_dir, "embeddings").limit(50)
+    proj = jl_project(emb)
+    ratios = (
+        proj.join(emb, "vec_id")
+        .select(
+            (
+                sum(F.col(f"jl_{j}") * F.col(f"jl_{j}") for j in range(1, 17))
+                / F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            ).alias("r")
+        )
+        .collect()
+    )
+    for r in ratios:
+        assert 0.25 < r["r"] < 2.2
