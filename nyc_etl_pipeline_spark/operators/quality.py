@@ -306,3 +306,44 @@ def mad_outlier_report(
             round_half_up(out / F.count(F.lit(1)), 4).alias("outlier_rate"),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame, group_col: str, value_col: str, weight_col: str
+) -> DataFrame:
+    """Per-group LOWER weighted median: the smallest value v whose
+    cumulative weight (in ascending value order) reaches half the
+    group's total weight. With integer weights the entire computation
+    is integer arithmetic — `2*cum >= total` — so there is no float
+    boundary to diverge on, cross-engine or cross-partitioning.
+
+    Shape: pre-aggregate weight per (group, value) — ties collapse
+    BEFORE the window, so the cumulative sum is over distinct values
+    and the running state is bounded by value cardinality, not row
+    count — then one ordered window pass and a min-reduction.
+
+    Returns (group, w_median, total_weight).
+    """
+    per_v = df.groupBy(group_col, value_col).agg(
+        F.sum(weight_col).alias("__w")
+    )
+    wcum = (
+        W.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy(group_col)
+    flagged = per_v.select(
+        group_col,
+        F.col(value_col),
+        F.sum("__w").over(wcum).alias("__cum"),
+        F.sum("__w").over(wtot).alias("__tot"),
+    )
+    return (
+        flagged.filter(F.lit(2) * F.col("__cum") >= F.col("__tot"))
+        .groupBy(group_col)
+        .agg(
+            F.min(value_col).alias("w_median"),
+            F.min("__tot").alias("total_weight"),
+        )
+    )

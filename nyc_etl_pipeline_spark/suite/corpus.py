@@ -556,6 +556,57 @@ GROUP BY c.source, p.pct
 """
 
 
+# --------------------------------------------------------------------------
+# q146 — per-source token-weighted median doc length (all-integer)
+# --------------------------------------------------------------------------
+
+def q146_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lower weighted median of n_chars per source, weighted by
+    whitespace token count — 'the doc length where half the SOURCE'S
+    TOKENS sit at or below', the curation statistic that a plain
+    median (one doc one vote) distorts when long docs dominate the
+    token budget. Integer-only output: no float boundary exists in
+    this query on either engine."""
+    from nyc_etl_pipeline_spark.operators.quality import weighted_median
+
+    d = read_testdata(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        TX.whitespace_token_count(F.col("text")).alias("__w"),
+    )
+    return weighted_median(d, "source", "n_chars", "__w").select(
+        "source",
+        F.col("w_median").alias("med_len"),
+        F.col("total_weight").alias("total_tokens"),
+    )
+
+
+_Q146_SQL = """
+WITH base AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+),
+per_v AS (
+  SELECT source, n_chars, sum(w) AS w
+  FROM base GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, n_chars,
+         sum(w) OVER (PARTITION BY source ORDER BY n_chars
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         sum(w) OVER (PARTITION BY source) AS t
+  FROM per_v
+)
+SELECT source,
+       CAST(min(n_chars) AS BIGINT) AS med_len,
+       CAST(min(t) AS BIGINT) AS total_tokens
+FROM cum
+WHERE 2 * c >= t
+GROUP BY source
+"""
+
+
 SPECS = [
     QuerySpec("q137_bpe_encode", q137_bpe_encode, _q137_sql(),
               "BPE subword encoding with a fixed merge table "
@@ -576,6 +627,8 @@ SPECS = [
               "fixed-stride context-window chunking (sequence+posexplode, no UDF)"),
     QuerySpec("q124_cms_heavy_hitters", q124_cms_heavy_hitters, _q124_sql(),
               "count-min-sketch point estimates gated against exact counts"),
+    QuerySpec("q146_weighted_median", q146_weighted_median, _Q146_SQL,
+              "per-source token-weighted median doc length (integer-only)"),
     QuerySpec("q140_source_quantiles", q140_source_quantiles, _q140_sql(),
               "per-source histogram-sketch quantiles (curation cut thresholds)"),
 ]

