@@ -562,3 +562,32 @@ def test_decimal_aggregation_keeps_hash_agg_path(spark, sf_dir):
     plan = P.explain_str(q43_tpch_q1(spark, sf_dir))
     assert "ObjectHashAggregate" not in plan and "SortAggregate" not in plan, plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_jaccard_prefix_no_cartesian_and_hash_join_on_shingle(spark, sf_dir):
+    """q141's candidate join must be an equi-join on the shingle hash
+    (never a cartesian), and the exact-verify joins equi on ids."""
+    from nyc_etl_pipeline_spark.suite.textops import q141_jaccard_prefix
+
+    plan = P.explain_str(q141_jaccard_prefix(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skyline_broadcasts_prefix_table_no_cartesian(spark, sf_dir):
+    """q143: the per-bucket prefix-max table (<=1024 rows) joins back
+    broadcast; nothing in the plan may be cartesian."""
+    from nyc_etl_pipeline_spark.suite.advanced import q143_skyline
+
+    plan = P.explain_str(q143_skyline(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_jl_projection_is_pure_projection(spark, sf_dir):
+    """q145's projection itself is shuffle-free: scan -> project. The
+    gate query adds only rounding, so its whole plan must contain NO
+    Exchange at all."""
+    from nyc_etl_pipeline_spark.suite.vectors import q145_jl_project
+
+    plan = P.explain_str(q145_jl_project(spark, sf_dir), "simple")
+    assert "Exchange" not in plan, plan
