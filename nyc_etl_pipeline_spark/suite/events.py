@@ -1198,6 +1198,92 @@ CROSS JOIN ns
 """
 
 
+# --------------------------------------------------------------------------
+# q148 — IPv4/CIDR network classification (broadcast range join)
+# --------------------------------------------------------------------------
+
+# (label, cidr) -> [lo, hi) computed in Python; the SAME integers land
+# in the Spark literal DataFrame and the oracle's VALUES list.
+CIDR_NETS = [
+    ("private10", "10.0.0.0/8"),
+    ("cgnat", "100.64.0.0/10"),
+    ("private172", "172.16.0.0/12"),
+    ("private192", "192.168.0.0/16"),
+    ("multicast", "224.0.0.0/4"),
+]
+
+
+def _cidr_bounds() -> list[tuple[str, int, int]]:
+    out = []
+    for label, cidr in CIDR_NETS:
+        base, plen = cidr.split("/")
+        a, b, c, d = (int(x) for x in base.split("."))
+        lo = (a << 24) | (b << 16) | (c << 8) | d
+        out.append((label, lo, lo + (1 << (32 - int(plen)))))
+    return out
+
+
+def _dotted_quad(col):  # Spark column: bigint ip -> 'a.b.c.d'
+    octs = [
+        (F.shiftright(col, s).bitwiseAND(F.lit(255))).cast("string")
+        for s in (24, 16, 8, 0)
+    ]
+    return F.concat_ws(".", *octs)
+
+
+def q148_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify per-user synthetic IPv4 addresses (md5-derived, same
+    derivation in the oracle) into CIDR blocks: the log-enrichment /
+    bot-filtering primitive. The range table is bounded, so the
+    non-equi containment join broadcasts (BroadcastNestedLoopJoin is
+    linear in the probe side); unmatched IPs fall through to
+    'public'. Output is integers + formatted dotted quads."""
+    from nyc_etl_pipeline_spark.functions import md5_long
+
+    users = read_testdata(spark, sf_dir, "events").select("user_id").distinct()
+    ips = users.select(
+        F.pmod(
+            md5_long(F.concat(F.lit("ip:"), F.col("user_id").cast("string"))),
+            F.lit(4294967296),
+        ).alias("ip")
+    )
+    nets = spark.createDataFrame(_cidr_bounds(), ["label", "lo", "hi"])
+    j = ips.join(
+        F.broadcast(nets),
+        (F.col("ip") >= F.col("lo")) & (F.col("ip") < F.col("hi")),
+        "left",
+    ).select("ip", F.coalesce(F.col("label"), F.lit("public")).alias("label"))
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("ip").alias("min_ip"),
+        _dotted_quad(F.min("ip")).alias("sample_ip"),
+    )
+
+
+def _q148_sql() -> str:
+    from nyc_etl_pipeline_spark.functions import sql_md5_long
+
+    vals = ", ".join(f"('{l}', {lo}, {hi})" for l, lo, hi in _cidr_bounds())
+    ip_expr = sql_md5_long("'ip:' || CAST(user_id AS VARCHAR)") + " % 4294967296"
+    quad = " || '.' || ".join(
+        f"CAST((min(ip) >> {s}) & 255 AS VARCHAR)" for s in (24, 16, 8, 0)
+    )
+    return f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+ips AS (SELECT {ip_expr} AS ip FROM users),
+nets(label, lo, hi) AS (VALUES {vals}),
+j AS (
+  SELECT i.ip, coalesce(n.label, 'public') AS label
+  FROM ips i LEFT JOIN nets n ON i.ip >= n.lo AND i.ip < n.hi
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(ip) AS BIGINT) AS min_ip,
+       {quad} AS sample_ip
+FROM j GROUP BY label
+"""
+
+
 SPECS = [
     QuerySpec("q130_trend_fit", q130_trend_fit, _Q130_SQL,
               "per-key OLS daily-volume trend (bit-exact sums formulation)"),
@@ -1217,6 +1303,8 @@ SPECS = [
               "7-day rolling exact median of daily totals (framed collect+interpolate)"),
     QuerySpec("q147_session_lift", q147_session_lift, _Q147_SQL,
               "session-basket association rules: support/confidence/lift"),
+    QuerySpec("q148_ip_cidr", q148_ip_cidr, _q148_sql(),
+              "IPv4/CIDR classification via broadcast range join"),
     QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
               "hourly tumbling window aggregation"),
     QuerySpec("q14_events_sliding", q14_events_sliding, _Q14_SQL,

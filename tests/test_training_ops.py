@@ -1016,3 +1016,35 @@ def test_session_lift_identities(spark, sf_dir):
         assert r["n_ab"] > 0 and r["lift"] > 0
     # a pair of the same type never appears (strict a < b)
     assert all(r["a_type"] < r["b_type"] for r in rows)
+
+
+def test_cidr_bounds_and_membership(spark):
+    """Pin the CIDR arithmetic (10.0.0.0/8 bounds) and classify one
+    known address per block + one public through the same join shape
+    the gate query uses."""
+    from pyspark.sql import functions as F
+
+    from nyc_etl_pipeline_spark.suite.events import _cidr_bounds
+
+    bounds = dict((l, (lo, hi)) for l, lo, hi in _cidr_bounds())
+    assert bounds["private10"] == (10 << 24, 11 << 24)
+    assert bounds["private192"] == ((192 << 24) | (168 << 16), (192 << 24) | (169 << 16))
+    probes = [
+        ((10 << 24) + 1, "private10"),
+        ((192 << 24) | (168 << 16) | 555, "private192"),
+        ((8 << 24) | (8 << 16) | (8 << 8) | 8, "public"),  # 8.8.8.8
+    ]
+    ips = spark.createDataFrame([(ip,) for ip, _ in probes], ["ip"])
+    nets = spark.createDataFrame(_cidr_bounds(), ["label", "lo", "hi"])
+    got = {
+        r["ip"]: r["l"]
+        for r in ips.join(
+            F.broadcast(nets),
+            (F.col("ip") >= F.col("lo")) & (F.col("ip") < F.col("hi")),
+            "left",
+        )
+        .select("ip", F.coalesce("label", F.lit("public")).alias("l"))
+        .collect()
+    }
+    for ip, want in probes:
+        assert got[ip] == want
