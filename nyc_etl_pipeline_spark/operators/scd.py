@@ -150,3 +150,57 @@ def cdc_snapshot(
         .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
         .drop("__rn")
     )
+
+
+def diff_tables(
+    old: DataFrame, new: DataFrame, key_cols: list[str], compare_cols: list[str]
+) -> DataFrame:
+    """Data-diff audit between two versions of a table: ONE full-outer
+    join on the key and ONE aggregate produce row-status counts
+    (added / removed / changed / unchanged) plus per-column change
+    counts — the validation step after a CDC apply or a backfill,
+    at the cost of a single co-partitioned join (each side shuffles
+    once on the key; no second scan for the per-column breakdown).
+
+    NULL-safe comparison via eqNullSafe: NULL -> value and
+    value -> NULL both count as changes, NULL -> NULL does not.
+    Returns long format (metric, n), integer-only.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    j = o.join(n, on=[f"__k_{k}" for k in key_cols], how="full_outer")
+    both = F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull()
+    col_changed = {
+        c: both & ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")) for c in compare_cols
+    }
+    any_changed = F.lit(False)
+    for c in compare_cols:
+        any_changed = any_changed | col_changed[c]
+    aggs = [
+        F.count(F.when(F.col("__in_old").isNull(), 1)).alias("added"),
+        F.count(F.when(F.col("__in_new").isNull(), 1)).alias("removed"),
+        F.count(F.when(any_changed, 1)).alias("changed"),
+        F.count(F.when(both & ~any_changed, 1)).alias("unchanged"),
+    ] + [F.count(F.when(col_changed[c], 1)).alias(f"col_{c}") for c in compare_cols]
+    wide = j.agg(*aggs)
+    metrics = ["added", "removed", "changed", "unchanged"] + [
+        f"col_{c}" for c in compare_cols
+    ]
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("metric"), F.col(m).alias("n"))
+                    for m in metrics
+                ]
+            )
+        ).alias("s")
+    ).select("s.metric", "s.n")

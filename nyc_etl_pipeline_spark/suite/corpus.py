@@ -557,6 +557,75 @@ GROUP BY c.source, p.pct
 
 
 # --------------------------------------------------------------------------
+# q149 — data-diff audit between two table versions
+# --------------------------------------------------------------------------
+
+def _new_version(d: DataFrame) -> DataFrame:
+    """Deterministic simulated next version of `documents`: drop
+    doc_id%97==0, relabel lang='xx' where doc_id%31==0, add copies
+    shifted by 1e6 where doc_id%101==0 — same derivation in the
+    oracle, so the diff counts are exactly checkable."""
+    changed = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 31 == 0, F.lit("xx")).otherwise(F.col("lang")).alias("lang"),
+        "source",
+    )
+    added = d.filter(F.col("doc_id") % 101 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "source"
+    )
+    return changed.unionByName(added)
+
+
+def q149_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_etl_pipeline_spark.operators.scd import diff_tables
+
+    d = read_testdata(spark, sf_dir, "documents")
+    old = d.select("doc_id", "lang", "source")
+    return diff_tables(old, _new_version(d), ["doc_id"], ["lang", "source"])
+
+
+_Q149_SQL = """
+WITH newv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 31 = 0 THEN 'xx' ELSE lang END AS lang,
+         source
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, source
+  FROM documents WHERE doc_id % 101 = 0
+),
+o AS (SELECT doc_id, lang, source FROM documents),
+j AS (
+  SELECT o.doc_id AS ko, n.doc_id AS kn,
+         o.lang AS ol, n.lang AS nl, o.source AS os, n.source AS ns
+  FROM o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+),
+wide AS (
+  SELECT
+    count(CASE WHEN ko IS NULL THEN 1 END) AS added,
+    count(CASE WHEN kn IS NULL THEN 1 END) AS removed,
+    count(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+               AND (ol IS DISTINCT FROM nl OR os IS DISTINCT FROM ns)
+          THEN 1 END) AS changed,
+    count(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+               AND NOT (ol IS DISTINCT FROM nl OR os IS DISTINCT FROM ns)
+          THEN 1 END) AS unchanged,
+    count(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+               AND ol IS DISTINCT FROM nl THEN 1 END) AS col_lang,
+    count(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+               AND os IS DISTINCT FROM ns THEN 1 END) AS col_source
+  FROM j
+)
+SELECT 'added' AS metric, added AS n FROM wide
+UNION ALL SELECT 'removed', removed FROM wide
+UNION ALL SELECT 'changed', changed FROM wide
+UNION ALL SELECT 'unchanged', unchanged FROM wide
+UNION ALL SELECT 'col_lang', col_lang FROM wide
+UNION ALL SELECT 'col_source', col_source FROM wide
+"""
+
+
+# --------------------------------------------------------------------------
 # q146 — per-source token-weighted median doc length (all-integer)
 # --------------------------------------------------------------------------
 
@@ -629,6 +698,8 @@ SPECS = [
               "count-min-sketch point estimates gated against exact counts"),
     QuerySpec("q146_weighted_median", q146_weighted_median, _Q146_SQL,
               "per-source token-weighted median doc length (integer-only)"),
+    QuerySpec("q149_table_diff", q149_table_diff, _Q149_SQL,
+              "data-diff audit: one full-outer join, row + column change counts"),
     QuerySpec("q140_source_quantiles", q140_source_quantiles, _q140_sql(),
               "per-source histogram-sketch quantiles (curation cut thresholds)"),
 ]

@@ -131,3 +131,24 @@ def test_cdc_snapshot_applies_deletes_and_latest_wins(spark):
         for r in cdc_snapshot(log, ["k"], "ts", "op", tie_cols=["seq"]).collect()
     }
     assert snap == {1: "b", 3: "q", 4: "n"}
+
+
+def test_diff_tables_null_semantics(spark):
+    """NULL->value and value->NULL are changes; NULL->NULL is not;
+    added/removed/changed/unchanged partition the key universe."""
+    from nyc_etl_pipeline_spark.operators.scd import diff_tables
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None), (5, "e")], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "b2"), (3, None), (4, None), (6, "f")], ["k", "v"]
+    )
+    got = {r["metric"]: r["n"] for r in diff_tables(old, new, ["k"], ["v"]).collect()}
+    assert got == {
+        "added": 1,      # k=6
+        "removed": 1,    # k=5
+        "changed": 2,    # k=2 NULL->b2, k=3 c->NULL
+        "unchanged": 2,  # k=1, k=4 (NULL->NULL)
+        "col_v": 2,
+    }
