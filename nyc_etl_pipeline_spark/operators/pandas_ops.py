@@ -146,3 +146,55 @@ def cogrouped_asof_merge(
         .cogroup(right.groupBy(key))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def capped_sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tie_col: str,
+    gap_us: int,
+    cap_us: int,
+) -> DataFrame:
+    """Sessionize with an inactivity gap AND a hard session-duration
+    cap (the GA4 rule: a session ends after 30 idle minutes OR when
+    it has lasted N hours since its first event).
+
+    The cap makes assignment inherently SEQUENTIAL: whether row i
+    opens a new session depends on the current session's start, which
+    depends on every earlier split — no lag/window/gaps-and-islands
+    composition expresses it (the plain-gap form is one `sum over
+    lag`, q15). This is the documented custom-operator tier (b):
+    applyInPandas per user runs the linear scan; state is one
+    (start, prev) pair, rows stream through Arrow in user-sized
+    groups (bounded by a user's event count). The per-row Python loop
+    is honest — the recurrence has a loop-carried dependency, so
+    there is nothing to vectorize.
+
+    Returns (user_col, ts_col, tie_col, session_idx) with 1-based
+    session numbering per user. Integer-microsecond comparisons only.
+    """
+
+    src = df.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(tie_col),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+    )
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__us", tie_col]).reset_index(drop=True)
+        us = pdf["__us"].to_numpy()
+        out = np.ones(len(us), dtype=np.int64)
+        sess = 1
+        start = us[0] if len(us) else 0
+        for i in range(1, len(us)):
+            if us[i] - us[i - 1] > gap_us or us[i] - start > cap_us:
+                sess += 1
+                start = us[i]
+            out[i] = sess
+        pdf["session_idx"] = out
+        return pdf.drop(columns=["__us"])
+
+    out_schema = src.drop("__us").schema.add("session_idx", "long")
+    return src.groupBy(user_col).applyInPandas(assign, out_schema)

@@ -1284,6 +1284,54 @@ FROM j GROUP BY label
 """
 
 
+# --------------------------------------------------------------------------
+# q150 — capped sessionization (inactivity gap OR hard duration cap)
+# --------------------------------------------------------------------------
+
+CAP_GAP_US = 30 * 60 * 1_000_000   # 30-min inactivity, as q15/q132
+CAP_DUR_US = 45 * 60 * 1_000_000   # 45-min hard cap (fixture sessions reach ~57 min)
+
+
+def q150_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-user session counts under gap-OR-cap
+    sessionization. The cap's loop-carried dependency forces the
+    applyInPandas scan on the Spark side; the oracle replays the same
+    recurrence as a recursive CTE stepping one event rank at a time
+    (depth = max events per user)."""
+    from nyc_etl_pipeline_spark.operators.pandas_ops import capped_sessionize
+
+    e = read_testdata(spark, sf_dir, "events")
+    s = capped_sessionize(e, "user_id", "ts", "event_id", CAP_GAP_US, CAP_DUR_US)
+    per_user = s.groupBy("user_id").agg(F.max("session_idx").alias("n_sessions"))
+    return per_user.groupBy("n_sessions").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+_Q150_SQL = f"""
+WITH RECURSIVE ordered AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, rn, us, 1 AS session_idx, us AS session_start
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.us,
+         CASE WHEN o.us - r.us > {CAP_GAP_US} OR o.us - r.session_start > {CAP_DUR_US}
+              THEN r.session_idx + 1 ELSE r.session_idx END,
+         CASE WHEN o.us - r.us > {CAP_GAP_US} OR o.us - r.session_start > {CAP_DUR_US}
+              THEN o.us ELSE r.session_start END
+  FROM r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+),
+per_user AS (
+  SELECT user_id, CAST(max(session_idx) AS BIGINT) AS n_sessions
+  FROM r GROUP BY 1
+)
+SELECT n_sessions, CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("q130_trend_fit", q130_trend_fit, _Q130_SQL,
               "per-key OLS daily-volume trend (bit-exact sums formulation)"),
@@ -1305,6 +1353,8 @@ SPECS = [
               "session-basket association rules: support/confidence/lift"),
     QuerySpec("q148_ip_cidr", q148_ip_cidr, _q148_sql(),
               "IPv4/CIDR classification via broadcast range join"),
+    QuerySpec("q150_capped_sessions", q150_capped_sessions, _Q150_SQL,
+              "gap-OR-cap sessionization (sequential recurrence; recursive-CTE oracle)"),
     QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
               "hourly tumbling window aggregation"),
     QuerySpec("q14_events_sliding", q14_events_sliding, _Q14_SQL,

@@ -1048,3 +1048,33 @@ def test_cidr_bounds_and_membership(spark):
     }
     for ip, want in probes:
         assert got[ip] == want
+
+
+def test_capped_sessionize_cap_fires_without_idle_gap(spark):
+    """Events 20 min apart never trip a 30-min gap; a 45-min cap must
+    still split at the event where (t - session_start) exceeds it,
+    and the new session's clock restarts from that event."""
+    import datetime as dt
+
+    from nyc_etl_pipeline_spark.operators.pandas_ops import capped_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    mins = [0, 20, 40, 55, 70, 130]
+    rows = [(1, t0 + dt.timedelta(minutes=m), i) for i, m in enumerate(mins)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    gap, cap = 30 * 60 * 10**6, 45 * 60 * 10**6
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in capped_sessionize(df, "user_id", "ts", "event_id", gap, cap).collect()
+    }
+    # 0,20,40 in session 1; 55 trips the cap -> session 2 starts at 55;
+    # 70 is 15 min later (inside); 130 trips the 30-min GAP -> session 3
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 3}
+    # with an effectively infinite cap the same data is gap-only
+    got_nocap = {
+        r["event_id"]: r["session_idx"]
+        for r in capped_sessionize(
+            df, "user_id", "ts", "event_id", gap, 10**15
+        ).collect()
+    }
+    assert got_nocap == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 2}
