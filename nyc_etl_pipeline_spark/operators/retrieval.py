@@ -121,3 +121,47 @@ def boolean_and_search(
         .filter(F.col("n_matched") == n_terms)
         .drop("n_matched")
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document: score = tf * ln(N/df) —
+    the classic keyword-extraction / doc-tagging primitive next to
+    BM25's ranked retrieval.
+
+    Scale shape: tf is one (doc, term) shuffle; df reduces the tf
+    table by term (vocabulary-sized — NOT broadcast, a 100 TB corpus
+    has a huge tail vocabulary, so the tf-df join shuffles on term);
+    N is a broadcast scalar; the per-doc top-k is a window over the
+    doc's own terms (doc-length bounded). Ties break on term text so
+    ranks are a total order; the single per-row ln() is the
+    documented libm 1-ulp residual class (same as BM25/NLL).
+
+    Returns (id_col, term, rk, score) with rk 1..k, score rounded 6.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.log(F.col("__n") / F.col("df")))
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("rk").cast("bigint").alias("rk"),
+            round_half_up(F.col("score"), 6).alias("score"),
+        )
+    )

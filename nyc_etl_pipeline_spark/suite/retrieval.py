@@ -187,6 +187,43 @@ LIMIT {PMI_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# q151 — TF-IDF keyword extraction (top-K terms per document)
+# --------------------------------------------------------------------------
+
+TFIDF_K = 3
+
+
+def q151_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_etl_pipeline_spark.operators.retrieval import tfidf_keywords
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, k=TFIDF_K)
+
+
+def _tfidf_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n * 1.0 / dfreq.df) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, CAST(rk AS BIGINT) AS rk,
+       floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
+FROM r WHERE rk <= {TFIDF_K}
+"""
+
+
 SPECS = [
     QuerySpec("q109_bm25_topk", q109_bm25_topk, _bm25_sql(),
               "BM25 top-k retrieval (broadcast stats, filtered postings)"),
@@ -198,4 +235,6 @@ SPECS = [
               "perplexity-proxy scores under the corpus unigram LM"),
     QuerySpec("q116_pmi_collocations", q116_pmi_collocations, _pmi_sql(),
               "PMI collocation mining over adjacent word pairs"),
+    QuerySpec("q151_tfidf_keywords", q151_tfidf_keywords, _tfidf_sql(),
+              "TF-IDF top-K keyword extraction per document"),
 ]

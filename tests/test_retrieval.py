@@ -145,3 +145,22 @@ def test_expectations_counts_planted_violations(spark):
     parent = spark.createDataFrame([(100,), (300,)], "pk long")
     ri = referential_integrity(df, parent, "fk", "pk").first()
     assert ri.n_violations == 1               # 999 orphan; NULL fk not counted
+
+
+def test_tfidf_keywords_planted_rare_term(spark):
+    """A term unique to one doc must outscore corpus-wide terms in
+    that doc; a term present in EVERY doc has idf 0 and never ranks
+    above a rarer one."""
+    from nyc_etl_pipeline_spark.operators.retrieval import tfidf_keywords
+
+    rows = [
+        (1, "common zebra common common"),
+        (2, "common common apple apple apple"),
+        (3, "common filler other words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_keywords(df, k=2).collect()
+    top = {r["doc_id"]: r["term"] for r in out if r["rk"] == 1}
+    assert top[1] == "zebra" and top[2] == "apple"
+    # 'common' appears in all 3 docs -> idf = ln(1) = 0 exactly
+    assert all(r["score"] == 0.0 for r in out if r["term"] == "common")
