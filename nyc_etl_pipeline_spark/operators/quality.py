@@ -347,3 +347,103 @@ def weighted_median(
             F.min("__tot").alias("total_weight"),
         )
     )
+
+
+def winsorize_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Winsorized statistics per group: clamp values at the exact
+    [p_lo, p_hi] percentiles and report how the mean moves — the
+    heavy-tail taming step before ratio/mean features feed a model
+    (trimming DROPS tail rows and shifts counts; winsorizing keeps
+    them at the boundary).
+
+    Scale shape: one spillable exact-percentile pass for both edges,
+    edges broadcast back (group-cardinality-bounded), clamp is a pure
+    projection, and both means are decimal-accumulated so partial-
+    merge order can't move the rounded output. The clamp comparisons
+    are the documented threshold class.
+
+    Returns (group, n, n_low, n_high, mean_raw, mean_winsor).
+    """
+    from nyc_etl_pipeline_spark.functions import dec_avg, round_half_up
+
+    names = [
+        f"p_{str(p).replace('0.', '').replace('.', '_')}" for p in (p_lo, p_hi)
+    ]
+    edges = exact_percentiles_sorted(df, group_col, value_col, [p_lo, p_hi]).select(
+        group_col,
+        F.col(names[0]).alias("__lo"),
+        F.col(names[1]).alias("__hi"),
+    )
+    v = F.col("__v")
+    clamped = (
+        df.select(group_col, F.col(value_col).cast("double").alias("__v"))
+        .join(F.broadcast(edges), group_col)
+        .withColumn(
+            "__w",
+            F.when(v < F.col("__lo"), F.col("__lo"))
+            .when(v > F.col("__hi"), F.col("__hi"))
+            .otherwise(v),
+        )
+    )
+    return clamped.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(v < F.col("__lo"), 1)).alias("n_low"),
+        F.count(F.when(v > F.col("__hi"), 1)).alias("n_high"),
+        round_half_up(dec_avg("__v"), 6).alias("mean_raw"),
+        round_half_up(dec_avg("__w"), 6).alias("mean_winsor"),
+    )
+
+
+# Benford expected first-digit probabilities, embedded as literals on
+# BOTH engines (no ln() in the query - the constants are the contract).
+BENFORD_P = [0.0] + [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def benford_report(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law per
+    group, with a chi-square statistic — the classic fabricated-data /
+    unit-mixup smoke test for positive heavy-ranged measures.
+
+    Digit extraction avoids log10 entirely (a 1-ulp log10 boundary
+    would flip the leading digit): values scale to exact integers
+    (floor(v * 1e6), bigint) and the first digit is the first
+    character of the INTEGER's string form — integer formatting is
+    identical on every engine. chi2 sums its 9 terms in a fixed
+    written-out order (one conditional-count agg, then a chained
+    expression), so there is no merge-order variance; Benford p's are
+    shared literals.
+
+    Returns (group, n, d1..d9 counts, chi2 rounded 6).
+    """
+    from nyc_etl_pipeline_spark.functions import round_half_up
+
+    scaled = df.select(
+        group_col,
+        F.floor(F.col(value_col).cast("double") * 1e6).cast("bigint").alias("__s"),
+    ).filter(F.col("__s") > 0)
+    digit = F.substring(F.col("__s").cast("string"), 1, 1).cast("int")
+    counts = scaled.withColumn("__d", digit).groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.count(F.when(F.col("__d") == d, 1)).alias(f"d{d}") for d in range(1, 10)],
+    )
+    chi2 = None
+    for d in range(1, 10):
+        exp = F.col("n") * F.lit(BENFORD_P[d])
+        term = (F.col(f"d{d}") - exp) * (F.col(f"d{d}") - exp) / exp
+        chi2 = term if chi2 is None else chi2 + term
+    return counts.select(
+        group_col,
+        "n",
+        *[f"d{d}" for d in range(1, 10)],
+        round_half_up(chi2, 6).alias("chi2"),
+    )

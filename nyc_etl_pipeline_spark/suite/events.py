@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from nyc_etl_pipeline_spark.io import read_testdata
 from nyc_etl_pipeline_spark.functions import dec_avg, dec_sum
 from nyc_etl_pipeline_spark.functions import round_half_up as R
-from nyc_etl_pipeline_spark.functions import sql_round_half_up
+from nyc_etl_pipeline_spark.functions import sql_dec_avg, sql_round_half_up
 from nyc_etl_pipeline_spark.suite import QuerySpec
 
 
@@ -1332,6 +1332,89 @@ FROM per_user GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q152 — winsorized statistics per event type
+# --------------------------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def q152_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_etl_pipeline_spark.operators.quality import winsorize_report
+
+    return winsorize_report(
+        read_testdata(spark, sf_dir, "events"), "event_type", "value", WINSOR_LO, WINSOR_HI
+    )
+
+
+_Q152_SQL = f"""
+WITH p AS (
+  SELECT event_type,
+         quantile_cont(CAST(value AS DOUBLE), {WINSOR_LO}) AS lo,
+         quantile_cont(CAST(value AS DOUBLE), {WINSOR_HI}) AS hi
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT e.event_type, CAST(e.value AS DOUBLE) AS v, p.lo, p.hi,
+         CASE WHEN CAST(e.value AS DOUBLE) < p.lo THEN p.lo
+              WHEN CAST(e.value AS DOUBLE) > p.hi THEN p.hi
+              ELSE CAST(e.value AS DOUBLE) END AS w
+  FROM events e JOIN p ON e.event_type = p.event_type
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CASE WHEN v < lo THEN 1 END) AS BIGINT) AS n_low,
+       CAST(count(CASE WHEN v > hi THEN 1 END) AS BIGINT) AS n_high,
+       {sql_round_half_up(sql_dec_avg('v'), 6)} AS mean_raw,
+       {sql_round_half_up(sql_dec_avg('w'), 6)} AS mean_winsor
+FROM c GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q153 — Benford first-digit distribution + chi-square per event type
+# --------------------------------------------------------------------------
+
+def q153_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_etl_pipeline_spark.operators.quality import benford_report
+
+    return benford_report(read_testdata(spark, sf_dir, "events"), "event_type", "value")
+
+
+def _q153_sql() -> str:
+    from nyc_etl_pipeline_spark.operators.quality import BENFORD_P
+
+    dcounts = ",\n       ".join(
+        f"CAST(count(CASE WHEN d = {d} THEN 1 END) AS BIGINT) AS d{d}"
+        for d in range(1, 10)
+    )
+    terms = " + ".join(
+        f"(d{d} - n * CAST('{BENFORD_P[d]!r}' AS DOUBLE)) * "
+        f"(d{d} - n * CAST('{BENFORD_P[d]!r}' AS DOUBLE)) / "
+        f"(n * CAST('{BENFORD_P[d]!r}' AS DOUBLE))"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT) AS sc
+  FROM events
+),
+f AS (
+  SELECT event_type, CAST(substr(CAST(sc AS VARCHAR), 1, 1) AS INTEGER) AS d
+  FROM s WHERE sc > 0
+),
+c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       {dcounts}
+  FROM f GROUP BY 1
+)
+SELECT event_type, n, d1, d2, d3, d4, d5, d6, d7, d8, d9,
+       {sql_round_half_up(terms, 6)} AS chi2
+FROM c
+"""
+
+
 SPECS = [
     QuerySpec("q130_trend_fit", q130_trend_fit, _Q130_SQL,
               "per-key OLS daily-volume trend (bit-exact sums formulation)"),
@@ -1355,6 +1438,10 @@ SPECS = [
               "IPv4/CIDR classification via broadcast range join"),
     QuerySpec("q150_capped_sessions", q150_capped_sessions, _Q150_SQL,
               "gap-OR-cap sessionization (sequential recurrence; recursive-CTE oracle)"),
+    QuerySpec("q152_winsorize", q152_winsorize, _Q152_SQL,
+              "winsorized per-type stats (exact percentile clamp, decimal means)"),
+    QuerySpec("q153_benford", q153_benford, _q153_sql(),
+              "Benford first-digit distribution + chi-square (log-free digits)"),
     QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
               "hourly tumbling window aggregation"),
     QuerySpec("q14_events_sliding", q14_events_sliding, _Q14_SQL,

@@ -1078,3 +1078,47 @@ def test_capped_sessionize_cap_fires_without_idle_gap(spark):
         ).collect()
     }
     assert got_nocap == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 2}
+
+
+def test_winsorize_clamps_only_tails(spark):
+    """Planted tail: 18 mid values + two extremes. Extremes clamp to
+    the exact p05/p95 edges; the winsorized mean moves toward the
+    middle; counts partition."""
+    from nyc_etl_pipeline_spark.operators.quality import winsorize_report
+
+    vals = [float(v) for v in range(10, 28)] + [-1000.0, 5000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "value"])
+    r = winsorize_report(df, "grp", "value", 0.05, 0.95).collect()[0]
+    assert r["n"] == 20 and r["n_low"] == 1 and r["n_high"] == 1
+    # closed form: sorted ranks 1..20; p05 at pos 1.95 interpolates
+    # -1000 -> 10, p95 at 19.05 interpolates 27 -> 5000 (the edges DO
+    # carry some outlier mass - winsorizing tames, not removes)
+    lo = -1000.0 + 0.95 * (10.0 - -1000.0)        # -40.5
+    hi = 27.0 + 0.05 * (5000.0 - 27.0)            # 275.65
+    want = round((lo + sum(range(10, 28)) + hi) / 20.0, 6)
+    assert r["mean_winsor"] == want
+    assert abs(r["mean_raw"] - round(sum(vals) / 20.0, 6)) <= 1e-9
+    assert r["mean_winsor"] < r["mean_raw"]  # the high tail dominated
+
+
+def test_benford_digits_and_chi2(spark):
+    """Digit extraction is string-of-integer (no log10): 0.0000025
+    scales to 2, 31.4 to 31400000 -> digit 3. A perfectly Benford-
+    weighted sample yields chi2 == 0 exactly when counts equal n*p —
+    approximate that with a known small case instead: single digit
+    bucket -> chi2 is a deterministic closed form."""
+    from nyc_etl_pipeline_spark.operators.quality import BENFORD_P, benford_report
+
+    df = spark.createDataFrame(
+        [("g", 0.0000025), ("g", 31.4), ("g", 0.9), ("g", -5.0), ("g", 0.0)],
+        ["grp", "value"],
+    )
+    r = benford_report(df, "grp", "value").collect()[0]
+    # -5.0 scales negative, 0.0 scales to 0 -> both excluded
+    assert r["n"] == 3
+    assert r["d2"] == 1 and r["d3"] == 1 and r["d9"] == 1
+    expected = sum(
+        (c - 3 * BENFORD_P[d]) ** 2 / (3 * BENFORD_P[d])
+        for d, c in [(1, 0), (2, 1), (3, 1), (4, 0), (5, 0), (6, 0), (7, 0), (8, 0), (9, 1)]
+    )
+    assert abs(r["chi2"] - round(expected, 6)) <= 1e-6
