@@ -165,3 +165,39 @@ def tfidf_keywords(
             round_half_up(F.col("score"), 6).alias("score"),
         )
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search via POSITIONAL postings: docs where the
+    words of `phrase` appear consecutively, with occurrence counts —
+    what boolean/BM25 term matching cannot express ("new york" as a
+    unit, not two words anywhere).
+
+    Scale shape: the posting explode filters to the phrase's terms
+    IMMEDIATELY (postings for a k-word phrase are k tiny slices of
+    the index, the same trick as bm25_topk); each subsequent term
+    joins on (doc, pos - offset) — equi-joins that stay co-partitioned
+    on the doc after one shuffle. Join count = phrase length - 1.
+
+    Returns (id_col, n_occ) for docs containing the phrase.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase_search needs at least 2 words")
+    post = (
+        df.select(
+            F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "term")
+        )
+        .filter(F.col("term").isin(phrase))
+    )
+    matched = post.filter(F.col("term") == phrase[0]).select(id_col, "pos")
+    for i, w in enumerate(phrase[1:], start=1):
+        nxt = post.filter(F.col("term") == w).select(
+            F.col(id_col), (F.col("pos") - i).alias("pos")
+        )
+        matched = matched.join(nxt, on=[id_col, "pos"])
+    return matched.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_occ"))

@@ -224,6 +224,39 @@ FROM r WHERE rk <= {TFIDF_K}
 """
 
 
+# --------------------------------------------------------------------------
+# q154 — exact phrase search (positional postings)
+# --------------------------------------------------------------------------
+
+PHRASE = ["big", "order", "scan"]
+
+
+def q154_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-postings chain join on Spark; the oracle scans each
+    doc's token array for the same consecutive run (list_filter over
+    start positions) — two very different plans, identical counts."""
+    from nyc_etl_pipeline_spark.operators.retrieval import phrase_search
+
+    return phrase_search(read_testdata(spark, sf_dir, "documents"), PHRASE)
+
+
+def _phrase_sql() -> str:
+    k = len(PHRASE)
+    cond = " AND ".join(f"t[i + {j}] = '{w}'" for j, w in enumerate(PHRASE))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK} AS t FROM documents WHERE trim(text) <> ''
+),
+occ AS (
+  SELECT doc_id,
+         CAST(len(list_filter(range(1, len(t) - {k - 2}), i -> {cond})) AS BIGINT)
+           AS n_occ
+  FROM toks
+)
+SELECT doc_id, n_occ FROM occ WHERE n_occ > 0
+"""
+
+
 SPECS = [
     QuerySpec("q109_bm25_topk", q109_bm25_topk, _bm25_sql(),
               "BM25 top-k retrieval (broadcast stats, filtered postings)"),
@@ -237,4 +270,6 @@ SPECS = [
               "PMI collocation mining over adjacent word pairs"),
     QuerySpec("q151_tfidf_keywords", q151_tfidf_keywords, _tfidf_sql(),
               "TF-IDF top-K keyword extraction per document"),
+    QuerySpec("q154_phrase_search", q154_phrase_search, _phrase_sql(),
+              "exact phrase search via positional-postings chain join"),
 ]

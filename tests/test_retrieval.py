@@ -164,3 +164,22 @@ def test_tfidf_keywords_planted_rare_term(spark):
     assert top[1] == "zebra" and top[2] == "apple"
     # 'common' appears in all 3 docs -> idf = ln(1) = 0 exactly
     assert all(r["score"] == 0.0 for r in out if r["term"] == "common")
+
+
+def test_phrase_search_adjacency_and_overlap(spark):
+    """Phrase must be CONSECUTIVE (scattered words don't match),
+    overlapping occurrences all count, phrase at start/end included."""
+    from nyc_etl_pipeline_spark.operators.retrieval import phrase_search
+
+    rows = [
+        (1, "a b c x a b c"),        # 2 occurrences of 'a b c'
+        (2, "a x b x c"),            # scattered -> no match
+        (3, "a b c"),                # whole doc is the phrase
+        (4, "a a b c"),              # 1, phrase not at pos 0
+        (5, "a b a b a b"),          # overlapping 'a b a': positions 0,2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_occ"] for r in phrase_search(df, ["a", "b", "c"]).collect()}
+    assert got == {1: 2, 3: 1, 4: 1}
+    got2 = {r["doc_id"]: r["n_occ"] for r in phrase_search(df, ["a", "b", "a"]).collect()}
+    assert got2[5] == 2
