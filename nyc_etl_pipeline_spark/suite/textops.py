@@ -592,6 +592,51 @@ WHERE d.doc_id >= {INCR_SPLIT}
 
 
 # --------------------------------------------------------------------------
+# q155 — feature hashing (hashing-trick vectorizer) bucket profile
+# --------------------------------------------------------------------------
+
+HASH_BUCKETS = 64
+
+
+def q155_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick token vectorizer: every token maps to
+    md5_long(token) % B — no vocabulary table, no fit step, bounded
+    width, the standard way to featurize unbounded token streams at
+    scale (collisions are the accepted trade). Gate output is the
+    corpus bucket profile: per bucket, total token mass and document
+    frequency — all integers, derivation shared with the oracle."""
+    from nyc_etl_pipeline_spark.functions import md5_long
+    from nyc_etl_pipeline_spark.operators.text import tokens as _tokens
+
+    d = read_testdata(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    ).withColumn("bucket", F.pmod(md5_long("term"), F.lit(HASH_BUCKETS)))
+    return tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("term").alias("n_terms"),
+    )
+
+
+def _q155_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+b AS (
+  SELECT doc_id, term, {sql_md5_long('term')} % {HASH_BUCKETS} AS bucket FROM tok
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS total_count,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+FROM b GROUP BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
 # q141 — exact Jaccard pairs via LOSSLESS prefix filtering (ppjoin)
 # --------------------------------------------------------------------------
 
@@ -657,4 +702,6 @@ SPECS = [
               "SimHash near-dup (block trick + hamming verify, oracle-replicated)"),
     QuerySpec("q141_jaccard_prefix", q141_jaccard_prefix, _Q141_SQL,
               "exact Jaccard via lossless ppjoin prefix filter (oracle = naive form)"),
+    QuerySpec("q155_feature_hashing", q155_feature_hashing, _q155_sql(),
+              "hashing-trick vectorizer bucket profile (md5 buckets, integer-only)"),
 ]

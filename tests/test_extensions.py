@@ -234,3 +234,27 @@ def test_jl_projection_onehot_and_norms(spark, sf_dir):
     )
     for r in ratios:
         assert 0.25 < r["r"] < 2.2
+
+
+def test_feature_hashing_determinism_and_conservation(spark, sf_dir):
+    """Bucket assignment is a pure function of the token (same token
+    never lands in two buckets) and bucket totals conserve the corpus
+    token count."""
+    from pyspark.sql import functions as F
+
+    from nyc_etl_pipeline_spark.functions import md5_long, py_md5_long
+    from nyc_etl_pipeline_spark.operators.text import tokens
+    from nyc_etl_pipeline_spark.suite.textops import HASH_BUCKETS, q155_feature_hashing
+
+    prof = q155_feature_hashing(spark, sf_dir).collect()
+    d = read_testdata(spark, sf_dir, "documents")
+    total_tokens = d.select(F.explode(tokens(F.col("text"))).alias("t")).count()
+    assert sum(r["total_count"] for r in prof) == total_tokens
+    assert all(0 <= r["bucket"] < HASH_BUCKETS for r in prof)
+    # cross-check one token's bucket against the plain-Python derivation
+    one = (
+        d.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .select("t", F.pmod(md5_long("t"), F.lit(HASH_BUCKETS)).alias("b"))
+        .first()
+    )
+    assert one["b"] == py_md5_long(one["t"]) % HASH_BUCKETS
