@@ -81,3 +81,44 @@ def finalize(partials: DataFrame, measures: list[str], digits: int = 3) -> DataF
             round_half_up(s_dbl / F.col(f"cnt_{m}"), digits),
         ).withColumn(f"sum_{m}", round_half_up(s_dbl, digits))
     return out
+
+
+def join_delta(
+    a_old: DataFrame, da: DataFrame, b_old: DataFrame, db: DataFrame, on: list[str]
+) -> DataFrame:
+    """The DELTA of an inner join under insertions on both sides —
+    textbook incremental-view-maintenance algebra:
+
+        Δ(A ⋈ B) = (A_old ⋈ ΔB) ∪ (ΔA ⋈ B_old) ∪ (ΔA ⋈ ΔB)
+
+    With disjoint deltas (ΔA ∩ A_old = ∅, same for B) the three terms
+    are pairwise disjoint, so a plain union (no dedup) is exact:
+    appending this delta to the stored join result maintains it
+    without re-joining history. At 100 TB the three delta joins each
+    have one DELTA-sized side — cost is proportional to the new
+    batch, not to the accumulated tables (the big-side scan of
+    A_old ⋈ ΔB broadcasts or bucket-joins the small ΔB).
+
+    q156 proves the algebra the q120 way: Spark takes the
+    old ∪ delta path, the oracle joins the COMPLETE tables — hash
+    equality means no duplicated and no lost join rows.
+    """
+    return (
+        a_old.join(db, on)
+        .unionByName(da.join(b_old, on))
+        .unionByName(da.join(db, on))
+    )
+
+
+def maintained_join(
+    old_join: DataFrame,
+    a_old: DataFrame,
+    da: DataFrame,
+    b_old: DataFrame,
+    db: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """old stored join result + `join_delta` = the join of the
+    updated tables. Column order must match for the union; callers
+    keep the stored result in the join's natural projection."""
+    return old_join.unionByName(join_delta(a_old, da, b_old, db, on))

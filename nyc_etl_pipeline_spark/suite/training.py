@@ -548,6 +548,49 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# q156 — incremental JOIN maintenance (delta-join algebra)
+# --------------------------------------------------------------------------
+
+JOIN_SPLIT_MOD = 7  # key % MOD == 0 rows form each side's delta batch
+
+
+def q156_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer maintained incrementally: both tables split
+    deterministically into (old, delta); the Spark side materializes
+    old_join ∪ Δ(A⋈B) via the IVM algebra (A_old⋈ΔB ∪ ΔA⋈B_old ∪
+    ΔA⋈ΔB) and aggregates; the oracle joins the COMPLETE tables and
+    aggregates the same way — hash equality proves the delta algebra
+    drops and duplicates nothing."""
+    from nyc_etl_pipeline_spark.functions import dec_sum
+    from nyc_etl_pipeline_spark.operators.incremental import maintained_join
+
+    o = read_testdata(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderkey"
+    )
+    c = read_testdata(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = o.withColumnRenamed("o_custkey", "c_custkey")
+    o_old = o.filter(F.col("o_orderkey") % JOIN_SPLIT_MOD != 0)
+    o_new = o.filter(F.col("o_orderkey") % JOIN_SPLIT_MOD == 0)
+    c_old = c.filter(F.col("c_custkey") % JOIN_SPLIT_MOD != 0)
+    c_new = c.filter(F.col("c_custkey") % JOIN_SPLIT_MOD == 0)
+    old_join = o_old.join(c_old, "c_custkey")
+    full = maintained_join(old_join, o_old, o_new, c_old, c_new, ["c_custkey"])
+    return full.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        R(dec_sum("o_totalprice"), 3).alias("total_price"),
+    )
+
+
+_Q156_SQL = """
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       floor((CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # q121 — week-over-week PSI distribution drift (pipeline monitoring)
 # --------------------------------------------------------------------------
 
@@ -819,6 +862,8 @@ SPECS = [
               "Gopher-style repetition signals (top-token / dup-bigram)"),
     QuerySpec("q68_shard_shuffle", q68_shard_shuffle, _q68_sql(),
               "deterministic shard shuffle for training-example order"),
+    QuerySpec("q156_join_maintenance", q156_join_maintenance, _Q156_SQL,
+              "incremental join maintenance (IVM delta algebra; oracle = full join)"),
     QuerySpec("q120_incremental_mart", q120_incremental_mart, _q120_sql(),
               "incremental mart via mergeable partial aggregates (merge == recompute)"),
     QuerySpec("q121_psi_drift", q121_psi_drift, _Q121_SQL,

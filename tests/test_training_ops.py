@@ -1122,3 +1122,29 @@ def test_benford_digits_and_chi2(spark):
         for d, c in [(1, 0), (2, 1), (3, 1), (4, 0), (5, 0), (6, 0), (7, 0), (8, 0), (9, 1)]
     )
     assert abs(r["chi2"] - round(expected, 6)) <= 1e-6
+
+
+def test_join_delta_equals_direct_join_multiset(spark):
+    """IVM algebra on small tables with DUPLICATE join keys on both
+    sides (multiplicities must multiply, not dedup): maintained join
+    == direct join of the full tables, as an exact row multiset."""
+    from collections import Counter
+
+    from nyc_etl_pipeline_spark.operators.incremental import maintained_join
+
+    a = [(k, f"a{i}") for i, k in enumerate([1, 1, 2, 3, 5, 5, 5])]
+    b = [(k, f"b{i}") for i, k in enumerate([1, 2, 2, 4, 5, 5])]
+    A = spark.createDataFrame(a, ["k", "av"])
+    B = spark.createDataFrame(b, ["k", "bv"])
+    # split: every third row of each is "delta"
+    A_old = A.filter(F.length("av") >= 0).where(F.col("av").isin([x for i, (_, x) in enumerate(a) if i % 3 != 0]))
+    A_new = A.subtract(A_old)
+    B_old = B.where(F.col("bv").isin([x for i, (_, x) in enumerate(b) if i % 3 != 0]))
+    B_new = B.subtract(B_old)
+    old_join = A_old.join(B_old, "k")
+    got = Counter(
+        (r["k"], r["av"], r["bv"])
+        for r in maintained_join(old_join, A_old, A_new, B_old, B_new, ["k"]).collect()
+    )
+    want = Counter((r["k"], r["av"], r["bv"]) for r in A.join(B, "k").collect())
+    assert got == want
