@@ -447,3 +447,65 @@ def benford_report(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         *[f"d{d}" for d in range(1, 10)],
         round_half_up(chi2, 6).alias("chi2"),
     )
+
+
+def ks_vs_global(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic of each group's
+    value distribution against the pooled corpus — the
+    distribution-drift test that, unlike binned PSI, needs no bin
+    width and detects shape changes binning washes out.
+
+    INTEGER-EXACT formulation: at every pooled distinct value v,
+    D_num(v) = |cumA(v) * n_total - cumG(v) * n_A| over the common
+    denominator n_A * n_total; the max runs over exact integers and
+    ONE final division produces KS — no float accumulates anywhere,
+    so there is no merge-order or ulp surface at all (bounds: counts
+    <= 1e9 keep every product under 2^63).
+
+    Scale shape: two hash aggs (per-group and pooled value counts), a
+    groups x distinct-values grid joined from the pooled side (prune
+    or quantize values first if distinct cardinality ~ rows at 100 TB
+    — thresholds subsampled to ~1e4 bound the KS error by 1/1e4), a
+    spillable per-group window, and a max-reduction.
+
+    Returns (group, n_a, d_num, ks) with ks rounded to 6.
+    """
+    from nyc_etl_pipeline_spark.functions import round_half_up
+
+    vals = df.select(group_col, F.col(value_col).cast("double").alias("__v"))
+    ac = vals.groupBy(group_col, "__v").agg(F.count(F.lit(1)).alias("__a"))
+    gc = vals.groupBy("__v").agg(F.count(F.lit(1)).alias("__g"))
+    types = vals.select(group_col).distinct()
+    grid = (
+        types.crossJoin(gc)
+        .join(ac, [group_col, "__v"], "left")
+        .select(group_col, "__v", "__g", F.coalesce("__a", F.lit(0)).alias("__a"))
+    )
+    w = (
+        W.partitionBy(group_col)
+        .orderBy("__v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = grid.select(
+        group_col,
+        F.sum("__a").over(w).alias("__ca"),
+        F.sum("__g").over(w).alias("__cg"),
+    )
+    na = grid.groupBy(group_col).agg(F.sum("__a").alias("__na"))
+    ng = vals.agg(F.count(F.lit(1)).alias("__ng"))
+    d = (
+        cum.join(F.broadcast(na), group_col)
+        .crossJoin(F.broadcast(ng))
+        .groupBy(group_col, "__na", "__ng")
+        .agg(
+            F.max(
+                F.abs(F.col("__ca") * F.col("__ng") - F.col("__cg") * F.col("__na"))
+            ).alias("__d")
+        )
+    )
+    return d.select(
+        group_col,
+        F.col("__na").alias("n_a"),
+        F.col("__d").alias("d_num"),
+        round_half_up(F.col("__d") / (F.col("__na") * F.col("__ng")), 6).alias("ks"),
+    )

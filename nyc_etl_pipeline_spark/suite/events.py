@@ -1415,6 +1415,48 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# q157 — exact KS drift statistic per event type vs the pooled corpus
+# --------------------------------------------------------------------------
+
+def q157_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_etl_pipeline_spark.operators.quality import ks_vs_global
+
+    return ks_vs_global(read_testdata(spark, sf_dir, "events"), "event_type", "value")
+
+
+_Q157_SQL = f"""
+WITH vals AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+ac AS (SELECT event_type, v, count(*) AS a FROM vals GROUP BY 1, 2),
+gc AS (SELECT v, count(*) AS g FROM vals GROUP BY 1),
+types AS (SELECT DISTINCT event_type FROM vals),
+grid AS (
+  SELECT t.event_type, gc.v, gc.g, coalesce(ac.a, 0) AS a
+  FROM types t CROSS JOIN gc
+  LEFT JOIN ac ON ac.event_type = t.event_type AND ac.v = gc.v
+),
+cum AS (
+  SELECT event_type,
+         CAST(sum(a) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+         CAST(sum(g) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cg
+  FROM grid
+),
+tot AS (SELECT event_type, CAST(sum(a) AS BIGINT) AS na FROM grid GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM vals),
+d AS (
+  SELECT c.event_type, t.na, n.ng,
+         CAST(max(abs(c.ca * n.ng - c.cg * t.na)) AS BIGINT) AS dnum
+  FROM cum c JOIN tot t ON c.event_type = t.event_type CROSS JOIN n
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, na AS n_a, dnum AS d_num,
+       {sql_round_half_up('dnum * 1.0 / (na * ng)', 6)} AS ks
+FROM d
+"""
+
+
 SPECS = [
     QuerySpec("q130_trend_fit", q130_trend_fit, _Q130_SQL,
               "per-key OLS daily-volume trend (bit-exact sums formulation)"),
@@ -1442,6 +1484,8 @@ SPECS = [
               "winsorized per-type stats (exact percentile clamp, decimal means)"),
     QuerySpec("q153_benford", q153_benford, _q153_sql(),
               "Benford first-digit distribution + chi-square (log-free digits)"),
+    QuerySpec("q157_ks_drift", q157_ks_drift, _Q157_SQL,
+              "exact KS drift statistic (integer-exact, one final division)"),
     QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
               "hourly tumbling window aggregation"),
     QuerySpec("q14_events_sliding", q14_events_sliding, _Q14_SQL,

@@ -1148,3 +1148,23 @@ def test_join_delta_equals_direct_join_multiset(spark):
     )
     want = Counter((r["k"], r["av"], r["bv"]) for r in A.join(B, "k").collect())
     assert got == want
+
+
+def test_ks_vs_global_known_values(spark):
+    """Hand-checkable KS: group 'a' = {1,2}, group 'b' = {3,4}.
+    Pooled = {1,2,3,4}. For 'a': ecdfA jumps to 1 by v=2 while pooled
+    is 1/2 -> D = |2*4 - 2*2| = 4, ks = 4/(2*4) = 0.5. Scipy-free
+    closed form; also identical group == pooled -> ks from equal
+    proportions only."""
+    from nyc_etl_pipeline_spark.operators.quality import ks_vs_global
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)], ["g", "v"]
+    )
+    got = {r["g"]: (r["n_a"], r["d_num"], r["ks"]) for r in ks_vs_global(df, "g", "v").collect()}
+    assert got["a"] == (2, 4, 0.5)
+    assert got["b"] == (2, 4, 0.5)
+    # a group that IS the corpus: D_num = |c*n - c*n| = 0 everywhere
+    one = spark.createDataFrame([("x", 5.0), ("x", 6.0)], ["g", "v"])
+    r = ks_vs_global(one, "g", "v").collect()[0]
+    assert r["d_num"] == 0 and r["ks"] == 0.0
