@@ -1457,6 +1457,71 @@ FROM d
 """
 
 
+# --------------------------------------------------------------------------
+# q158 — Theil-Sen robust slope of daily totals per event type
+# --------------------------------------------------------------------------
+
+_DAY_US = "CAST(86400000000 AS DOUBLE)"
+
+
+def q158_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median of all pairwise day-slopes — the robust trend estimator
+    q130's OLS is not (one corrupted day drags a least-squares line;
+    it moves the slope median by one rank). The pair self-join is
+    per-type and bounded by days^2 (~30 days -> <=435 pairs/type —
+    this is the small-group robust fit, not a corpus-sized join); the
+    median reuses the spillable exact-percentile pass. Slopes are
+    per-pair doubles with identical expression order on both engines;
+    daily totals are decimal-accumulated first."""
+    from nyc_etl_pipeline_spark.operators.quality import exact_percentiles_sorted
+
+    e = read_testdata(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(dec_sum("value").alias("t"))
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("t").alias("ta"))
+    b = daily.select("event_type", F.col("d").alias("db"), F.col("t").alias("tb"))
+    pairs = a.join(b, "event_type").filter(F.col("da") < F.col("db"))
+    slope = (F.col("tb") - F.col("ta")) / (
+        (F.unix_micros(F.col("db")) - F.unix_micros(F.col("da")))
+        / F.lit(86400000000.0)
+    )
+    slopes = pairs.select("event_type", slope.alias("slope"))
+    med = exact_percentiles_sorted(slopes, "event_type", "slope", [0.5]).select(
+        "event_type", F.col("p_5").alias("__m")
+    )
+    n_days = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    n_pairs = slopes.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        n_days.join(n_pairs, "event_type")
+        .join(med, "event_type")
+        .select("event_type", "n_days", "n_pairs", R(F.col("__m"), 6).alias("ts_slope"))
+    )
+
+
+_Q158_SQL = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS t
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT a.event_type,
+         (b.t - a.t) / ((epoch_us(b.d) - epoch_us(a.d)) / {_DAY_US}) AS slope
+  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
+),
+m AS (
+  SELECT event_type, quantile_cont(slope, 0.5) AS ts_slope,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM p GROUP BY 1
+),
+nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1)
+SELECT nd.event_type, nd.n_days, m.n_pairs,
+       {sql_round_half_up('m.ts_slope', 6)} AS ts_slope
+FROM nd JOIN m ON nd.event_type = m.event_type
+"""
+
+
 SPECS = [
     QuerySpec("q130_trend_fit", q130_trend_fit, _Q130_SQL,
               "per-key OLS daily-volume trend (bit-exact sums formulation)"),
@@ -1486,6 +1551,8 @@ SPECS = [
               "Benford first-digit distribution + chi-square (log-free digits)"),
     QuerySpec("q157_ks_drift", q157_ks_drift, _Q157_SQL,
               "exact KS drift statistic (integer-exact, one final division)"),
+    QuerySpec("q158_theil_sen", q158_theil_sen, _Q158_SQL,
+              "Theil-Sen robust slope of daily totals (median of pair slopes)"),
     QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
               "hourly tumbling window aggregation"),
     QuerySpec("q14_events_sliding", q14_events_sliding, _Q14_SQL,

@@ -1168,3 +1168,47 @@ def test_ks_vs_global_known_values(spark):
     one = spark.createDataFrame([("x", 5.0), ("x", 6.0)], ["g", "v"])
     r = ks_vs_global(one, "g", "v").collect()[0]
     assert r["d_num"] == 0 and r["ks"] == 0.0
+
+
+def test_theil_sen_resists_one_corrupted_day(spark):
+    """Perfect slope-2 line with ONE wild day: OLS moves far from 2;
+    the Theil-Sen median stays exactly 2.0 (a majority of pair slopes
+    still connect two clean points)."""
+    import datetime as dt
+
+    from nyc_etl_pipeline_spark.functions import dec_sum
+    from nyc_etl_pipeline_spark.operators.quality import exact_percentiles_sorted
+
+    t0 = dt.datetime(2024, 3, 1)
+    pts = [(t0 + dt.timedelta(days=i), 100.0 + 2.0 * i) for i in range(9)]
+    pts.append((t0 + dt.timedelta(days=9), 100000.0))  # corrupted day
+    df = spark.createDataFrame([("g", d, v) for d, v in pts], ["event_type", "ts", "value"])
+    from nyc_etl_pipeline_spark.suite.events import q158_theil_sen  # noqa: F401  (shape ref)
+    # run the same construction inline on this frame
+    from pyspark.sql import functions as F
+
+    daily = df.groupBy("event_type", F.date_trunc("day", "ts").alias("d")).agg(
+        dec_sum("value").alias("t")
+    )
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("t").alias("ta"))
+    b = daily.select("event_type", F.col("d").alias("db"), F.col("t").alias("tb"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            (
+                (F.col("tb") - F.col("ta"))
+                / ((F.unix_micros("db") - F.unix_micros("da")) / F.lit(86400000000.0))
+            ).alias("slope"),
+        )
+    )
+    med = exact_percentiles_sorted(slopes, "event_type", "slope", [0.5]).collect()[0]
+    assert med["p_5"] == 2.0
+    # sanity: OLS on the same data is nowhere near 2
+    import statistics
+
+    xs = list(range(10))
+    ys = [v for _, v in pts]
+    ols = statistics.linear_regression(xs, ys).slope
+    assert abs(ols - 2.0) > 100
