@@ -175,26 +175,38 @@ def capped_sessionize(
     session numbering per user. Integer-microsecond comparisons only.
     """
 
+    # Spark grouping key is a HASH BUCKET of the user, not the user:
+    # per-group pandas overhead dominates tiny groups (the
+    # zscore_per_group lesson, 24s -> ~1s) — each Arrow batch carries
+    # many users and the scan walks user boundaries inside the batch.
+    n_buckets = 64
     src = df.select(
         F.col(user_col),
         F.col(ts_col),
         F.col(tie_col),
         F.unix_micros(F.col(ts_col)).alias("__us"),
+        F.pmod(F.xxhash64(F.col(user_col)), F.lit(n_buckets)).alias("__b"),
     )
 
     def assign(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__us", tie_col]).reset_index(drop=True)
+        pdf = pdf.sort_values([user_col, "__us", tie_col]).reset_index(drop=True)
         us = pdf["__us"].to_numpy()
+        users = pdf[user_col].to_numpy()
         out = np.ones(len(us), dtype=np.int64)
-        sess = 1
-        start = us[0] if len(us) else 0
-        for i in range(1, len(us)):
-            if us[i] - us[i - 1] > gap_us or us[i] - start > cap_us:
-                sess += 1
-                start = us[i]
-            out[i] = sess
+        i = 0
+        while i < len(us):
+            j = i + 1
+            while j < len(us) and users[j] == users[i]:
+                j += 1
+            sess, start = 1, us[i]
+            for k in range(i + 1, j):
+                if us[k] - us[k - 1] > gap_us or us[k] - start > cap_us:
+                    sess += 1
+                    start = us[k]
+                out[k] = sess
+            i = j
         pdf["session_idx"] = out
-        return pdf.drop(columns=["__us"])
+        return pdf.drop(columns=["__us", "__b"])
 
-    out_schema = src.drop("__us").schema.add("session_idx", "long")
-    return src.groupBy(user_col).applyInPandas(assign, out_schema)
+    out_schema = src.drop("__us", "__b").schema.add("session_idx", "long")
+    return src.groupBy("__b").applyInPandas(assign, out_schema)
