@@ -1522,6 +1522,55 @@ FROM nd JOIN m ON nd.event_type = m.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q159 — Gini concentration coefficient of value per event type
+# --------------------------------------------------------------------------
+
+def q159_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient via the sorted-rank identity
+    G = 2*sum(i*x_(i)) / (n*sum(x)) - (n+1)/n — the concentration
+    report behind 'how skewed is the token/value budget across
+    users/sources'. One spillable per-group sort (row_number), then
+    two decimal-accumulated sums; rank ties on equal x don't affect
+    sum(i*x) (equal values x distribute over consecutive ranks), so
+    no tie-break column is needed. All remaining arithmetic is a
+    fixed-order scalar expression on both engines."""
+    e = read_testdata(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("__x")
+    ranked = e.select(
+        "event_type",
+        F.col("value").cast("double").alias("__x"),
+    ).withColumn("__i", F.row_number().over(w))
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("__x").alias("__s0"),
+        dec_sum(F.col("__i") * F.col("__x")).alias("__s1"),
+    )
+    gini = (F.lit(2.0) * F.col("__s1")) / (F.col("n") * F.col("__s0")) - (
+        F.col("n") + F.lit(1.0)
+    ) / F.col("n")
+    return agg.select("event_type", "n", R(gini, 6).alias("gini"))
+
+
+_Q159_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS i
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS s0,
+         CAST(sum(CAST(i * x AS DECIMAL(28,6))) AS DOUBLE) AS s1
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n,
+       {sql_round_half_up('(2.0 * s1) / (n * s0) - (n + 1.0) / n', 6)} AS gini
+FROM agg
+"""
+
+
 SPECS = [
     QuerySpec("q130_trend_fit", q130_trend_fit, _Q130_SQL,
               "per-key OLS daily-volume trend (bit-exact sums formulation)"),
@@ -1553,6 +1602,8 @@ SPECS = [
               "exact KS drift statistic (integer-exact, one final division)"),
     QuerySpec("q158_theil_sen", q158_theil_sen, _Q158_SQL,
               "Theil-Sen robust slope of daily totals (median of pair slopes)"),
+    QuerySpec("q159_gini", q159_gini, _Q159_SQL,
+              "Gini concentration coefficient (sorted-rank identity, decimal sums)"),
     QuerySpec("q13_events_tumbling", q13_events_tumbling, _Q13_SQL,
               "hourly tumbling window aggregation"),
     QuerySpec("q14_events_sliding", q14_events_sliding, _Q14_SQL,

@@ -1212,3 +1212,34 @@ def test_theil_sen_resists_one_corrupted_day(spark):
     ys = [v for _, v in pts]
     ols = statistics.linear_regression(xs, ys).slope
     assert abs(ols - 2.0) > 100
+
+
+def test_gini_known_distributions(spark):
+    """Closed-form pins: perfect equality -> G = 0; with n=4 and all
+    mass on one value, G = (n-1)/n * ... the sorted-rank identity
+    gives exactly 0.75 - interpolation-free integers chosen so the
+    decimal accumulation is exact."""
+    from nyc_etl_pipeline_spark.suite.events import q159_gini  # noqa: F401  shape ref
+    from nyc_etl_pipeline_spark.functions import dec_sum, round_half_up as R
+    from pyspark.sql import Window as W
+
+    rows = [("eq", v) for v in [5.0, 5.0, 5.0, 5.0]] + [
+        ("one", v) for v in [0.0, 0.0, 0.0, 10.0]
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    w = W.partitionBy("event_type").orderBy("__x")
+    ranked = df.select(
+        "event_type", F.col("value").cast("double").alias("__x")
+    ).withColumn("__i", F.row_number().over(w))
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("__x").alias("s0"),
+        dec_sum(F.col("__i") * F.col("__x")).alias("s1"),
+    )
+    gini = (F.lit(2.0) * F.col("s1")) / (F.col("n") * F.col("s0")) - (
+        F.col("n") + F.lit(1.0)
+    ) / F.col("n")
+    got = {r["event_type"]: r["g"] for r in agg.select("event_type", R(gini, 6).alias("g")).collect()}
+    assert got["eq"] == 0.0
+    # all mass on the top rank: G = 2*4*10/(4*10) - 5/4 = 0.75
+    assert got["one"] == 0.75
