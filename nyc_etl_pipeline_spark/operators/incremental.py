@@ -119,6 +119,8 @@ def maintained_join(
     on: list[str],
 ) -> DataFrame:
     """old stored join result + `join_delta` = the join of the
-    updated tables. Column order must match for the union; callers
-    keep the stored result in the join's natural projection."""
+    updated tables. The union matches columns BY NAME
+    (unionByName) — the stored result needs the same column NAMES as
+    the delta join's projection, in any order; a missing/renamed
+    column fails fast rather than silently misaligning."""
     return old_join.unionByName(join_delta(a_old, da, b_old, db, on))

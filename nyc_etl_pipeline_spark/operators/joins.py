@@ -145,7 +145,15 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str, buckets: int = 1024) -> Da
        window runs only on the pruned survivor set; if the data is so
        adversarial that pruning keeps everything (all one bucket),
        the sort is Spark's spillable external sort, not a buffer.
+
+    NULL metrics are not part of the dominance order: rows with a
+    NULL x or y are dropped up front (a NULL compares UNKNOWN against
+    everything, so neither 'dominated' nor 'dominating' is decidable
+    — SQL NOT-EXISTS would vacuously keep them, which is an artifact,
+    not a frontier). Filter or impute before calling if NULL rows
+    must be retained.
     """
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     bounds = df.select(
         F.min(x_col).alias("lo"), F.max(x_col).alias("hi"), F.count(F.lit(1)).alias("n")
     ).collect()[0]

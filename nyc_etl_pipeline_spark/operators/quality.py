@@ -90,6 +90,13 @@ def quantile_bucket(
     return out.withColumn("bucket", bucket.cast("int")).drop("__edges")
 
 
+def pct_col_name(p: float) -> str:
+    """Output-column name `exact_percentiles_sorted` emits for
+    percentile p (p_25, p_5, p_99, ...) — shared so callers never
+    re-derive the munging."""
+    return f"p_{str(p).replace('0.', '').replace('.', '_')}"
+
+
 def exact_percentiles_sorted(
     df: DataFrame, group_col: str, value_col: str, percentiles: list[float]
 ) -> DataFrame:
@@ -132,8 +139,7 @@ def exact_percentiles_sorted(
         lo = F.max(F.when(F.col("__rn") == F.floor(pos), F.col("__v")))
         hi = F.max(F.when(F.col("__rn") == F.ceil(pos), F.col("__v")))
         frac = F.max(F.when(F.col("__rn") == F.floor(pos), pos - F.floor(pos)))
-        name = f"p_{str(p).replace('0.', '').replace('.', '_')}"
-        aggs.append((lo + frac * (hi - lo)).alias(name))
+        aggs.append((lo + frac * (hi - lo)).alias(pct_col_name(p)))
     return picked.groupBy(group_col).agg(*aggs)
 
 
@@ -372,9 +378,7 @@ def winsorize_report(
     """
     from nyc_etl_pipeline_spark.functions import dec_avg, round_half_up
 
-    names = [
-        f"p_{str(p).replace('0.', '').replace('.', '_')}" for p in (p_lo, p_hi)
-    ]
+    names = [pct_col_name(p) for p in (p_lo, p_hi)]
     edges = exact_percentiles_sorted(df, group_col, value_col, [p_lo, p_hi]).select(
         group_col,
         F.col(names[0]).alias("__lo"),

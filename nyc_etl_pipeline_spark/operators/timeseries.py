@@ -120,7 +120,6 @@ def gapfill(
 
 
 def rolling_median(
-    df: DataFrame,
     part_col: str,
     order_col: str,
     value_col: str,
@@ -137,7 +136,8 @@ def rolling_median(
     of data size) and interpolates 1 + (n-1)*0.5 between the two
     middle ranks — the identical lower + frac*(upper-lower) form as
     `exact_percentiles_sorted` / DuckDB's windowed quantile_cont.
-    Returns a Column to select alongside the frame keys.
+    Returns a pure window Column (bound to no particular DataFrame):
+    select it on any frame carrying the three named columns.
     """
     w = (
         W.partitionBy(part_col)

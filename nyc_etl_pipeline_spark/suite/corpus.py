@@ -653,7 +653,8 @@ def q146_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q146_SQL = """
 WITH base AS (
   SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
-         len(string_split_regex(trim(text), '\\s+')) AS w
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS w
   FROM documents
 ),
 per_v AS (

@@ -1074,7 +1074,7 @@ def q144_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         R(
-            rolling_median(daily, "event_type", "day", "__total", ROLL_MED_PRECEDING),
+            rolling_median("event_type", "day", "__total", ROLL_MED_PRECEDING),
             3,
         ).alias("med7"),
     )
@@ -1461,7 +1461,8 @@ FROM d
 # q158 — Theil-Sen robust slope of daily totals per event type
 # --------------------------------------------------------------------------
 
-_DAY_US = "CAST(86400000000 AS DOUBLE)"
+DAY_US = 86400000000.0  # one shared constant feeds BOTH engines
+_DAY_US = f"CAST({int(DAY_US)} AS DOUBLE)"
 
 
 def q158_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1484,7 +1485,7 @@ def q158_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, "event_type").filter(F.col("da") < F.col("db"))
     slope = (F.col("tb") - F.col("ta")) / (
         (F.unix_micros(F.col("db")) - F.unix_micros(F.col("da")))
-        / F.lit(86400000000.0)
+        / F.lit(DAY_US)
     )
     slopes = pairs.select("event_type", slope.alias("slope"))
     med = exact_percentiles_sorted(slopes, "event_type", "slope", [0.5]).select(

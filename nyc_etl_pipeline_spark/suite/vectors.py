@@ -434,7 +434,8 @@ def _q145_sql() -> str:
             f"i -> CAST(embedding[i] AS DOUBLE) * (CAST({lits} AS DOUBLE[]))[i]), "
             "(a, b) -> a + b)"
         )
-        outs.append(f"       {sql_round_half_up(fold + ' / 4.0', 6)} AS jl_{j}")
+        scale = f"CAST('{JL_D_OUT ** 0.5!r}' AS DOUBLE)"  # string-cast: literal trap
+        outs.append(f"       {sql_round_half_up(fold + ' / ' + scale, 6)} AS jl_{j}")
     cols = ",\n".join(outs)
     return f"SELECT vec_id,\n{cols}\nFROM embeddings"
 

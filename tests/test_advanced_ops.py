@@ -353,3 +353,19 @@ def test_skyline_single_bucket_degenerate(spark):
     df = spark.createDataFrame([(5.0, float(v)) for v in (1, 7, 7, 3)], ["x", "y"])
     got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect())
     assert got == [(5.0, 7.0), (5.0, 7.0)]
+
+
+def test_skyline_drops_null_metrics_documented(spark):
+    """NULL x or y rows are excluded from the dominance order (the
+    documented contract); an all-NULL frame returns empty instead of
+    crashing on float(None) bounds."""
+    from nyc_etl_pipeline_spark.operators.joins import skyline_2d
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (None, 9.0), (3.0, None), (0.5, 1.0)],
+        "x double, y double",
+    )
+    got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect())
+    assert got == [(0.5, 1.0), (1.0, 2.0)]
+    allnull = spark.createDataFrame([(None, None)], "x double, y double")
+    assert skyline_2d(allnull, "x", "y").count() == 0

@@ -969,7 +969,7 @@ def test_rolling_median_hand_checked(spark):
     )
     out = (
         df.select(
-            "i", timeseries.rolling_median(df, "k", "i", "v", preceding=3).alias("m")
+            "i", timeseries.rolling_median("k", "i", "v", preceding=3).alias("m")
         )
         .orderBy("i")
         .collect()
