@@ -184,7 +184,7 @@ def capped_sessionize(
         F.col(user_col),
         F.col(ts_col),
         F.col(tie_col),
-        F.unix_micros(F.col(ts_col)).alias("__us"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
         F.pmod(F.xxhash64(F.col(user_col)), F.lit(n_buckets)).alias("__b"),
     )
 

@@ -125,3 +125,83 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("session_idx", LongType()),
+    ]
+)
+
+# (last event us, current session start us, current session idx)
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("start_us", LongType()),
+        StructField("idx", LongType()),
+    ]
+)
+
+
+def stream_capped_sessions(
+    events: DataFrame, gap_us: int, cap_us: int
+) -> DataFrame:
+    """Streaming twin of `pandas_ops.capped_sessionize` (gap-OR-cap,
+    GA4 semantics): each micro-batch's events get session indices
+    continuing from the checkpointed per-user state, so a session
+    spanning several micro-batches keeps ONE index and the duration
+    cap is enforced against the session's true cross-batch start.
+
+    State per user is three longs — the store scales with users, not
+    events. Contract: per-user event-time order across batches (the
+    recurrence is sequential; replaying history out of order would
+    need the batch operator instead). Within a batch, events sort by
+    (ts, event_id) before assignment — identical tie order to the
+    batch twin, which the parity test pins.
+    """
+    from pyspark.sql import functions as F
+
+    def _assign(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            last, start, idx = state.get
+        else:
+            last, start, idx = None, None, 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(["__us", "event_id"]).reset_index(drop=True)
+        out = []
+        for t in pdf["__us"].tolist():
+            if idx == 0:
+                idx, start = 1, t
+            elif t - last > gap_us or t - start > cap_us:
+                idx += 1
+                start = t
+            last = t
+            out.append(idx)
+        state.update((int(last), int(start), int(idx)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "event_id": pdf["event_id"],
+                "session_idx": out,
+            }
+        )
+
+    # raw parquet reads surface ts as TIMESTAMP_NTZ; the session TZ is
+    # UTC so the cast is value-preserving and unix_micros resolves on
+    # either physical type
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _assign,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

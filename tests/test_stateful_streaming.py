@@ -103,3 +103,56 @@ def test_state_accumulates_across_batches(spark, sf_dir, tmp_path):
     assert got2
     for uid, (n, t) in got2.items():
         assert (n, t) == want2[uid], uid
+
+
+def test_stream_capped_sessions_matches_batch_across_batches(spark, sf_dir, tmp_path):
+    """A session spanning the batch boundary must keep ONE index and
+    the cap must count from the session's true cross-batch start:
+    feed the events in two TIME-ORDERED arrival batches (the
+    operator's in-order contract) through a shared checkpoint and
+    compare every (user, event) session assignment with the batch
+    operator on the full data."""
+    from nyc_etl_pipeline_spark.operators.pandas_ops import capped_sessionize
+    from nyc_etl_pipeline_spark.streaming.stateful import stream_capped_sessions
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    gap, cap = 30 * 60 * 10**6, 45 * 60 * 10**6
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = events.agg(F.expr(
+        "percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)"
+    )).first()[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    events.filter(us <= cut).write.parquet(str(src / "b1"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        rows = []
+        q = (
+            stream_capped_sessions(stream, gap, cap)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _e: rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    got_rows = run_once()
+    events.filter(us > cut).write.parquet(str(src / "b2"))
+    got_rows += run_once()
+
+    got = {(r["user_id"], r["event_id"]): r["session_idx"] for r in got_rows}
+    want = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in capped_sessionize(events, "user_id", "ts", "event_id", gap, cap).collect()
+    }
+    assert got == want
+    # non-vacuous: some user must actually have >1 session
+    assert max(got.values()) > 1
