@@ -269,3 +269,65 @@ def test_partial_merge_equals_direct_for_any_split(spark, rows):
                 assert math.isclose(dv, mv, rel_tol=1e-9, abs_tol=1e-3), (d, m)
             else:
                 assert dv == mv, (d, m)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(-100, 100),
+            st.integers(1, 50),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_median_matches_bruteforce(spark, rows):
+    """Lower weighted median == the smallest value whose cumulative
+    weight (ascending order) reaches half the total — brute-forced in
+    plain Python over random (group, value, weight) rows."""
+    from nyc_etl_pipeline_spark.operators.quality import weighted_median
+
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    got = {
+        r["g"]: (r["w_median"], r["total_weight"])
+        for r in weighted_median(df, "g", "v", "w").collect()
+    }
+    from collections import defaultdict
+
+    per_g = defaultdict(list)
+    for g, v, w in rows:
+        per_g[g].append((v, w))
+    for g, vw in per_g.items():
+        total = sum(w for _, w in vw)
+        cum = 0
+        want = None
+        for v, w in sorted(vw):
+            cum += w
+            if 2 * cum >= total:
+                want = v
+                break
+        assert got[g] == (want, total), f"group {g}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 15), st.integers(0, 5)), min_size=0, max_size=25),
+    st.lists(st.tuples(st.integers(0, 15), st.integers(0, 5)), min_size=0, max_size=25),
+)
+def test_diff_tables_partition_identities(spark, old_rows, new_rows):
+    """On key-unique tables: added + changed + unchanged == |new|,
+    removed + changed + unchanged == |old|, and col-change counts
+    never exceed 'changed'."""
+    from nyc_etl_pipeline_spark.operators.scd import diff_tables
+
+    old_rows = list({k: (k, v) for k, v in old_rows}.values())
+    new_rows = list({k: (k, v) for k, v in new_rows}.values())
+    schema = "k int, v int"
+    old = spark.createDataFrame(old_rows, schema) if old_rows else spark.createDataFrame([], schema)
+    new = spark.createDataFrame(new_rows, schema) if new_rows else spark.createDataFrame([], schema)
+    m = {r["metric"]: r["n"] for r in diff_tables(old, new, ["k"], ["v"]).collect()}
+    assert m["added"] + m["changed"] + m["unchanged"] == len(new_rows)
+    assert m["removed"] + m["changed"] + m["unchanged"] == len(old_rows)
+    assert m["col_v"] == m["changed"]  # single compare column
