@@ -156,3 +156,32 @@ def test_curation_mixture_weighting(spark, sf_dir):
         union = union.unionByName(splits[name])
     srcs = {r["source"] for r in union.select("source").distinct().collect()}
     assert srcs and srcs <= set(weights)
+
+
+def test_curation_mad_length_gate_drops_planted_giant(spark, sf_dir):
+    """Stage 7b: a quality-passing English doc 100x the source's
+    typical token count must be dropped by the median/MAD length
+    bound, while the ordinary docs of the same source survive. The
+    planted giant repeats normal-looking sentences, so it passes the
+    quality/lang/NLL gates and ONLY the robust length gate can catch
+    it. (Repeating unique-per-sentence filler words keeps its passage
+    dup_frac at zero.)"""
+    mod = _load()
+    docs = read_testdata(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0)
+    base = docs.filter(F.col("doc_id") % 17 != 0)
+    sent = " ".join(
+        f"the data w{i} is a good and fast table for all work" for i in range(220)
+    )
+    giant = spark.createDataFrame(
+        [(999_999, sent, "en", "src1", len(sent))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    splits = mod.curate(base.unionByName(giant), benchmark)
+    union = None
+    for f in splits.values():
+        union = f if union is None else union.unionByName(f)
+    ids = {r["doc_id"] for r in union.select("doc_id").collect()}
+    assert 999_999 not in ids, "giant doc survived the MAD length gate"
+    # the gate is targeted: src1's ordinary docs still present
+    assert union.filter(F.col("source") == "src1").count() > 0
