@@ -637,6 +637,56 @@ FROM b GROUP BY bucket
 
 
 # --------------------------------------------------------------------------
+# q160 — source-level content-overlap matrix (corpus composition)
+# --------------------------------------------------------------------------
+
+def q160_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-set Jaccard between SOURCES (not documents) —
+    the corpus-composition report that tells a training-mix designer
+    which sources are near-copies of each other before weighting them
+    as if independent. Same inverted-index shape as q18 one level up:
+    distinct (source, shingle) rows are the index; the self-join is
+    over source-level sets so its output is |sources|^2-bounded."""
+    d = read_testdata(spark, sf_dir, "documents")
+    sh = D._shingle_table(d, "source", "text", NGRAM_N).distinct()
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col("__id").alias("a_source"), "__sh")
+    b = sh.select(F.col("__id").alias("b_source"), "__sh")
+    ov = (
+        a.join(b, "__sh")
+        .filter(F.col("a_source") < F.col("b_source"))
+        .groupBy("a_source", "b_source")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sa = sizes.select(F.col("__id").alias("a_source"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("b_source"), F.col("__n").alias("__nb"))
+    jac = F.col("overlap") / (F.col("__na") + F.col("__nb") - F.col("overlap"))
+    return (
+        ov.join(sa, "a_source")
+        .join(sb, "b_source")
+        .select("a_source", "b_source", "overlap", F.round(jac, 3).alias("jaccard"))
+    )
+
+
+_Q160_SQL = f"""
+WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+sh AS (SELECT DISTINCT source, unnest({_SHINGLES}) AS s FROM toks),
+sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+ov AS (
+  SELECT a.source AS a_source, b.source AS b_source,
+         CAST(count(*) AS BIGINT) AS overlap
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT a_source, b_source, overlap,
+       floor((overlap * 1.0 / (sa.n + sb.n - overlap)) * 1000.0 + 0.5) / 1000.0 AS jaccard
+FROM ov
+JOIN sizes sa ON a_source = sa.source
+JOIN sizes sb ON b_source = sb.source
+"""
+
+
+# --------------------------------------------------------------------------
 # q141 — exact Jaccard pairs via LOSSLESS prefix filtering (ppjoin)
 # --------------------------------------------------------------------------
 
@@ -711,4 +761,6 @@ SPECS = [
               "exact Jaccard via lossless ppjoin prefix filter (oracle = naive form)"),
     QuerySpec("q155_feature_hashing", q155_feature_hashing, _q155_sql(),
               "hashing-trick vectorizer bucket profile (md5 buckets, integer-only)"),
+    QuerySpec("q160_source_overlap", q160_source_overlap, _Q160_SQL,
+              "source-level shingle-set overlap matrix (corpus composition)"),
 ]

@@ -258,3 +258,33 @@ def test_feature_hashing_determinism_and_conservation(spark, sf_dir):
         .first()
     )
     assert one["b"] == py_md5_long(one["t"]) % HASH_BUCKETS
+
+
+def test_source_overlap_planted_copy(spark):
+    """Two sources sharing every shingle must report jaccard 1.0; a
+    disjoint source pairs with overlap only where real shingles are
+    shared (none here)."""
+    from nyc_etl_pipeline_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "s1"),
+        (2, "alpha beta gamma delta epsilon", "s2"),   # exact content copy
+        (3, "zeta eta theta iota kappa", "s3"),        # disjoint
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    sh = D._shingle_table(df, "source", "text", 3).distinct()
+    sizes = sh.groupBy("__id").count()
+    a = sh.select(F.col("__id").alias("a"), "__sh")
+    b = sh.select(F.col("__id").alias("b"), "__sh")
+    pairs = {
+        (r["a"], r["b"]): r["n"]
+        for r in a.join(b, "__sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_shingles = {r["__id"]: r["count"] for r in sizes.collect()}
+    assert pairs == {("s1", "s2"): n_shingles["s1"]}  # full overlap, s3 absent
+    assert n_shingles["s1"] == n_shingles["s2"] == 3  # 5 tokens -> 3 shingles
