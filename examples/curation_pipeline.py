@@ -140,13 +140,19 @@ def curate(
     # outliers (truncation artifacts, concatenation accidents) drop.
     # MAD == 0 (over half the source same length) disables the gate
     # for that source rather than flagging every off-median doc.
-    # PERSIST the staged frame first: the two percentile passes and
-    # the final filter each re-derive this lineage, and everything
-    # upstream (dedup joins, NLL model) would otherwise re-execute
-    # ~4x (measured: turns a ~1 min sf0.001 run into ~10 min). At
-    # warehouse scale this materialization point is where a real
-    # pipeline writes its intermediate table.
-    curated = curated.persist()
+    # CHECKPOINT the staged frame first (localCheckpoint: materialize
+    # + TRUNCATE the logical plan). Two reasons, both measured:
+    # (a) the two percentile passes and the final filter each
+    # re-derive this lineage — everything upstream (dedup joins, NLL
+    # model) re-executes ~4x without materialization (~1 min sf0.001
+    # run -> ~10 min); (b) a plain persist() caches data but KEEPS
+    # the logical plan, and the med/mad self-reference doubles an
+    # already-deep tree until plan stringification alone can OOM the
+    # driver heap (seen at 4g after several pipeline runs in one
+    # JVM). At warehouse scale this materialization point is where a
+    # real pipeline writes its intermediate table (a durable
+    # checkpoint dir on a cluster — localCheckpoint is single-node).
+    curated = curated.localCheckpoint()
     bounds = mad_outlier_report(curated, "source", "n_tokens", k=MAD_GATE_K).select(
         "source", "med", "mad"
     )
