@@ -134,10 +134,12 @@ def tfidf_keywords(
     BM25's ranked retrieval.
 
     Scale shape: tf is one (doc, term) shuffle; df reduces the tf
-    table by term (vocabulary-sized — NOT broadcast, a 100 TB corpus
-    has a huge tail vocabulary, so the tf-df join shuffles on term);
-    N is a broadcast scalar; the per-doc top-k is a window over the
-    doc's own terms (doc-length bounded). Ties break on term text so
+    table by term. The tf-df join carries NO broadcast hint — cost-
+    based selection broadcasts a small vocabulary and falls back to a
+    shuffle join when the tail vocabulary of a real corpus blows past
+    the threshold (forcing either strategy is wrong at one of the two
+    scales). N is a broadcast scalar; the per-doc top-k is a window
+    over the doc's own terms (doc-length bounded). Ties break on term text so
     ranks are a total order; the single per-row ln() is the
     documented libm 1-ulp residual class (same as BM25/NLL).
 

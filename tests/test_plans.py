@@ -591,3 +591,39 @@ def test_jl_projection_is_pure_projection(spark, sf_dir):
 
     plan = P.explain_str(q145_jl_project(spark, sf_dir), "simple")
     assert "Exchange" not in plan, plan
+
+
+def test_tfidf_no_cartesian_and_no_forced_broadcast(spark, sf_dir):
+    """q151's tf-df term join is left to COST-BASED choice: no
+    broadcast() hint in the operator, so tiny fixture stats pick
+    broadcast while a corpus-scale vocabulary exceeds the threshold
+    and falls back to a shuffle join. The assertable invariant is
+    that nothing degenerates to a cartesian and the plan text carries
+    no explicit broadcast hint on the term join."""
+    from nyc_etl_pipeline_spark.operators import retrieval as R_OP
+    import inspect
+
+    from nyc_etl_pipeline_spark.suite.retrieval import q151_tfidf_keywords
+
+    plan = P.explain_str(q151_tfidf_keywords(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    # the operator source must not FORCE broadcast of the vocab side
+    src = inspect.getsource(R_OP.tfidf_keywords)
+    assert "broadcast(dfreq" not in src
+
+
+def test_phrase_search_equi_joins_only(spark, sf_dir):
+    from nyc_etl_pipeline_spark.suite.retrieval import q154_phrase_search
+
+    plan = P.explain_str(q154_phrase_search(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ks_drift_no_cartesian_grid(spark, sf_dir):
+    """q157's types x values grid is a broadcast cross join of a
+    <=|types|-row side — never a CartesianProduct of two big sides."""
+    from nyc_etl_pipeline_spark.suite.events import q157_ks_drift
+
+    plan = P.explain_str(q157_ks_drift(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
