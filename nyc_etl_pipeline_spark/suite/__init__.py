@@ -52,7 +52,9 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "q33_distinct_aggs", "q34_approx_aggs", "q35_ivf_topk",
     "q36_grouped_map_zscore", "q37_grouped_agg_geomean",
     "q38_correlated_subquery", "q39_string_gauntlet", "q40_datetime_gauntlet",
-    "q41_neardup_clusters", "q42_percentiles", "q43_tpch_q1",
+    "q41_neardup_clusters", "q43_tpch_q1",
+    # q42_percentiles: demoted from the gate in r5 (pytest anchor for
+    # q58); removed here when the window-invariant test flagged it stale.
     "q44_data_profile", "q45_array_ops", "q46_udtf_word_counts",
     "q47_ngram_jaccard_capped", "q48_incremental_dedup", "q49_outer_joins",
     "q56_sq8_topk", "q57_arrow_zscore", "q69_window_gauntlet",

@@ -52,3 +52,27 @@ def test_harness_is_dtype_strict():
     b = pd.DataFrame({"f": [True, False]})
     i = pd.DataFrame({"f": [1, 0]})
     assert compare_pandas("selftest3", b, i)
+
+
+def test_driver_window_holds_every_fresh_query():
+    """The driver's correctness gate checks only the FIRST 50 entries
+    of all_specs(). Rotation invariants that keep that window useful:
+    every never-driver-checked query must sit inside it (a query
+    outside the window earns no driver evidence this round), names in
+    _DRIVER_CHECKED must all still exist (a renamed query would
+    silently re-enter the fresh block), and spec names are unique."""
+    from nyc_etl_pipeline_spark import suite
+
+    specs = suite.all_specs()
+    names = [s.name for s in specs]
+    assert len(names) == len(set(names)), "duplicate spec names"
+    fresh = [n for n in names if n not in suite._DRIVER_CHECKED]
+    window = set(names[:50])
+    outside = [n for n in fresh if n not in window]
+    assert not outside, (
+        f"{len(fresh)} fresh queries but these fall OUTSIDE the 50-slot "
+        f"driver window (add to _DRIVER_CHECKED only with a green driver "
+        f"row, or stop adding queries this round): {outside}"
+    )
+    stale = sorted(suite._DRIVER_CHECKED - set(names))
+    assert not stale, f"_DRIVER_CHECKED names no spec defines: {stale}"
