@@ -1,8 +1,15 @@
 """Benchmark harness: run the full query suite at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
-ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (driver keeps only a ~2000-char stdout TAIL, so the
+LAST line must be a complete, compact JSON summary — the full
+per-query map printed first was truncated out of rounds 5-6's
+BENCH_r{N}.json, leaving "parsed": null):
+  line 1: full JSON {"metric", "value", "unit", "queries": {name: sec},
+          "sf", "runs", "timing"} — also written to
+          BENCH_full_latest.json next to this script.
+  last line: compact JSON <=200 chars {"metric", "value", "unit",
+          "sf", "runs", "queries_n", "per_query_sec"}.
 
 Each query materializes through the `noop` sink — full execution
 (scan -> shuffle -> agg), no driver collect, no output I/O skew.
@@ -62,20 +69,39 @@ def main() -> None:
         timings[spec.name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # methodology markers: per-query time is best of
+        # `runs` executions. Numbers are NOT comparable to a
+        # single-shot harness (run 2 benefits from JIT/page
+        # cache) — measure any baseline with identical settings.
+        "runs": max(1, BENCH_RUNS),
+        "timing": "best_of_n",
+    }
+    full_line = json.dumps(full)
+    print(full_line)
+    # Durable copy of the per-query map (stdout tail may truncate it).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full_latest.json"),
+        "w",
+    ) as f:
+        f.write(full_line + "\n")
+    # The driver records only a ~2000-char stdout tail: end with a
+    # compact summary line that always fits and parses on its own.
     print(
         json.dumps(
             {
                 "metric": "suite_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-                # methodology markers: per-query time is best of
-                # `runs` executions. Numbers are NOT comparable to a
-                # single-shot harness (run 2 benefits from JIT/page
-                # cache) — measure any baseline with identical settings.
                 "runs": max(1, BENCH_RUNS),
-                "timing": "best_of_n",
+                "queries_n": len(timings),
+                "per_query_sec": round(total / max(1, len(timings)), 3),
             }
         )
     )

@@ -143,12 +143,12 @@ def duplicated_passage_stats(
     """
     toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t"))
     # Windows table feeds BOTH the duplicated-hash set and the per-doc
-    # rollup; persist so the explode+hash runs once (same rationale as
-    # ngram_jaccard_pairs; blocks freed by the ContextCleaner).
+    # rollup; materialize so the explode+hash runs once (lazy
+    # localCheckpoint, not persist — see ngram_jaccard_pairs).
     wins = (
         toks.select("doc_id", F.explode(positional_windows(F.col("__t"), k)).alias("__w"))
         .select("doc_id", md5_long("__w").alias("__h"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     dup = (
         wins.groupBy("__h")
@@ -222,10 +222,16 @@ def ngram_jaccard_pairs(
             "__id", "__sh"
         )
     # The shingle table feeds three subtrees (sizes + both join sides);
-    # without persist Spark re-runs the explode+distinct generation 3x
-    # (measured: 3x the query's total join cost). The ContextCleaner
-    # drops the blocks once the result DataFrame is unreferenced.
-    sh = sh.persist()
+    # without materialization Spark re-runs the explode+distinct
+    # generation 3x (measured: 3x the query's total join cost). Lazy
+    # localCheckpoint, not persist(): a CacheManager entry outlives the
+    # result (each sweep invocation leaked one cached dataset until LRU
+    # pressure), while checkpoint blocks are ContextCleaner-reclaimed
+    # once the result DataFrame is unreferenced. Trade-off: truncated
+    # lineage means a lost executor fails the stage instead of
+    # recomputing — acceptable for a single deterministic stage that a
+    # job retry rebuilds.
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
 
     a = sh.select(F.col("__id").alias("a_id"), "__sh")
@@ -278,8 +284,11 @@ def jaccard_prefix_filter_pairs(
     """
     sh = _shingle_table(df, id_col, text_col, n)
     # feeds: doc-freq, rarity ranking, sizes, and both exact-verify
-    # sides — persist or the shingle generation re-runs 5x.
-    sh = sh.persist()
+    # sides — materialize or the shingle generation re-runs 5x. Lazy
+    # localCheckpoint, not persist(): see ngram_jaccard_pairs (cleaner
+    # reclaims blocks when the result is dropped; persist leaked one
+    # cache entry per sweep invocation on this hot q141 path).
+    sh = sh.localCheckpoint(eager=False)
     freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     from pyspark.sql.window import Window
@@ -352,7 +361,9 @@ def ngram_containment_pairs(
         sh = sh.join(freq.filter(F.col("__df") <= max_doc_freq), on="__sh", how="inner").select(
             "__id", "__sh"
         )
-    sh = sh.persist()  # sizes + both join sides (see ngram_jaccard_pairs)
+    # sizes + both join sides (see ngram_jaccard_pairs for the
+    # localCheckpoint-not-persist rationale)
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     a = sh.select(F.col("__id").alias("a_id"), "__sh")
     b = sh.select(F.col("__id").alias("b_id"), "__sh")
@@ -899,12 +910,12 @@ def simhash_near_pairs(
     """
     if max_hamming > n_blocks - 1:
         raise ValueError("block trick guarantees recall only for max_hamming <= n_blocks-1")
-    # Both join sides derive from sig; without persist the 64-column
-    # vote aggregation runs twice (measured ~2x the query cost).
-    # DELIBERATE leak-until-eviction — same contract as
-    # minhash_lsh_pairs' sh_cached: lazy result, so no in-function
-    # unpersist; ContextCleaner/LRU reclaims the blocks.
-    sig = simhash_blocks(df, id_col, text_col, n_blocks).persist()
+    # Both join sides derive from sig; without materialization the
+    # 64-column vote aggregation runs twice (measured ~2x the query
+    # cost). Lazy localCheckpoint, not persist(): see
+    # ngram_jaccard_pairs — the cleaner reclaims checkpoint blocks
+    # when the result is dropped, where a cache entry lives until LRU.
+    sig = simhash_blocks(df, id_col, text_col, n_blocks).localCheckpoint(eager=False)
     blk_arr = F.array(*[F.col(f"__blk{b}") for b in range(n_blocks)])
     blocks = sig.select(
         F.col(id_col).alias("__id"),

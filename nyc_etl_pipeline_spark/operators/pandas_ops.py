@@ -155,6 +155,7 @@ def capped_sessionize(
     tie_col: str,
     gap_us: int,
     cap_us: int,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Sessionize with an inactivity gap AND a hard session-duration
     cap (the GA4 rule: a session ends after 30 idle minutes OR when
@@ -165,21 +166,24 @@ def capped_sessionize(
     depends on every earlier split — no lag/window/gaps-and-islands
     composition expresses it (the plain-gap form is one `sum over
     lag`, q15). This is the documented custom-operator tier (b):
-    applyInPandas per user runs the linear scan; state is one
-    (start, prev) pair, rows stream through Arrow in user-sized
-    groups (bounded by a user's event count). The per-row Python loop
-    is honest — the recurrence has a loop-carried dependency, so
-    there is nothing to vectorize.
+    applyInPandas runs the linear scan; state is one (start, prev)
+    pair per user. The per-row Python loop is honest — the recurrence
+    has a loop-carried dependency, so there is nothing to vectorize.
+
+    Memory contract: the Spark grouping key is a HASH BUCKET of the
+    user, so applyInPandas materializes ~n_rows/n_buckets rows as ONE
+    in-memory pandas DataFrame per task — NOT a user-sized group. At
+    the default 64 buckets that is fine to the 10M-event probe
+    (~156k rows/group); for larger inputs pass n_buckets sized so
+    rows/n_buckets fits executor memory (e.g. n_rows/1e6). Bucketing
+    by user hash rather than user is deliberate: per-group pandas
+    overhead dominates tiny groups (the zscore_per_group lesson,
+    24s -> ~1s) — each Arrow batch carries many users and the scan
+    walks user boundaries inside the batch.
 
     Returns (user_col, ts_col, tie_col, session_idx) with 1-based
     session numbering per user. Integer-microsecond comparisons only.
     """
-
-    # Spark grouping key is a HASH BUCKET of the user, not the user:
-    # per-group pandas overhead dominates tiny groups (the
-    # zscore_per_group lesson, 24s -> ~1s) — each Arrow batch carries
-    # many users and the scan walks user boundaries inside the batch.
-    n_buckets = 64
     src = df.select(
         F.col(user_col),
         F.col(ts_col),

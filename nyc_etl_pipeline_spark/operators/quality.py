@@ -328,10 +328,16 @@ def weighted_median(
     and the running state is bounded by value cardinality, not row
     count — then one ordered window pass and a min-reduction.
 
+    NULL values are dropped (the hist_build/benford/ks_vs_global null
+    contract): a NULL value would sort FIRST in Spark's window but
+    LAST in a DuckDB ORDER BY, shifting every cumulative weight.
+
     Returns (group, w_median, total_weight).
     """
-    per_v = df.groupBy(group_col, value_col).agg(
-        F.sum(weight_col).alias("__w")
+    per_v = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.sum(weight_col).alias("__w"))
     )
     wcum = (
         W.partitionBy(group_col)
@@ -472,11 +478,18 @@ def ks_vs_global(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     — thresholds subsampled to ~1e4 bound the KS error by 1/1e4), a
     spillable per-group window, and a max-reduction.
 
+    NULL values are dropped (same null contract as hist_build and
+    benford_report): a NULL __v would otherwise form its own grid
+    point, and Spark windows order NULLs FIRST while the DuckDB
+    oracle orders them LAST — shifting every cumulative count.
+
     Returns (group, n_a, d_num, ks) with ks rounded to 6.
     """
     from nyc_etl_pipeline_spark.functions import round_half_up
 
-    vals = df.select(group_col, F.col(value_col).cast("double").alias("__v"))
+    vals = df.select(
+        group_col, F.col(value_col).cast("double").alias("__v")
+    ).where(F.col("__v").isNotNull())
     ac = vals.groupBy(group_col, "__v").agg(F.count(F.lit(1)).alias("__a"))
     gc = vals.groupBy("__v").agg(F.count(F.lit(1)).alias("__g"))
     types = vals.select(group_col).distinct()

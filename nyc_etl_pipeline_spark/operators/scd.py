@@ -164,6 +164,11 @@ def diff_tables(
 
     NULL-safe comparison via eqNullSafe: NULL -> value and
     value -> NULL both count as changes, NULL -> NULL does not.
+
+    PRECONDITION: key_cols uniquely identify a row on EACH side
+    (the cdc_snapshot output contract). Duplicate keys fan out the
+    full-outer join and silently inflate every count; callers diffing
+    raw (pre-snapshot) data must dropDuplicates(key_cols) first.
     Returns long format (metric, n), integer-only.
     """
     o = old.select(

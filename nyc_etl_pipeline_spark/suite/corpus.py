@@ -658,8 +658,9 @@ WITH base AS (
   FROM documents
 ),
 per_v AS (
+  -- NULL n_chars dropped: mirrors weighted_median's null contract
   SELECT source, n_chars, sum(w) AS w
-  FROM base GROUP BY 1, 2
+  FROM base WHERE n_chars IS NOT NULL GROUP BY 1, 2
 ),
 cum AS (
   SELECT source, n_chars,

@@ -1426,7 +1426,8 @@ def q157_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q157_SQL = f"""
-WITH vals AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+WITH vals AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+              WHERE value IS NOT NULL),
 ac AS (SELECT event_type, v, count(*) AS a FROM vals GROUP BY 1, 2),
 gc AS (SELECT v, count(*) AS g FROM vals GROUP BY 1),
 types AS (SELECT DISTINCT event_type FROM vals),
@@ -1535,13 +1536,20 @@ def q159_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     two decimal-accumulated sums; rank ties on equal x don't affect
     sum(i*x) (equal values x distribute over consecutive ranks), so
     no tie-break column is needed. All remaining arithmetic is a
-    fixed-order scalar expression on both engines."""
+    fixed-order scalar expression on both engines. NULL values are
+    dropped on both sides (the quality-operator null contract): a
+    NULL ranks FIRST in Spark's window but LAST in DuckDB's, shifting
+    every i."""
     e = read_testdata(spark, sf_dir, "events")
     w = W.partitionBy("event_type").orderBy("__x")
-    ranked = e.select(
-        "event_type",
-        F.col("value").cast("double").alias("__x"),
-    ).withColumn("__i", F.row_number().over(w))
+    ranked = (
+        e.select(
+            "event_type",
+            F.col("value").cast("double").alias("__x"),
+        )
+        .where(F.col("__x").isNotNull())
+        .withColumn("__i", F.row_number().over(w))
+    )
     agg = ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         dec_sum("__x").alias("__s0"),
@@ -1557,7 +1565,7 @@ _Q159_SQL = f"""
 WITH ranked AS (
   SELECT event_type, CAST(value AS DOUBLE) AS x,
          row_number() OVER (PARTITION BY event_type ORDER BY value) AS i
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 agg AS (
   SELECT event_type,
