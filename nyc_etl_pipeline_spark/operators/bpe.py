@@ -60,7 +60,16 @@ def bpe_train_from_word_freqs(
 ) -> list[tuple[str, str]]:
     """Classic BPE merge learning over a word->freq dict (pure Python,
     deterministic): each round counts adjacent symbol pairs weighted
-    by word frequency and merges the (count DESC, pair ASC) winner."""
+    by word frequency and merges the (count DESC, pair ASC) winner.
+
+    State is keyed by SYMBOL TUPLE with frequencies ACCUMULATED on
+    collision: two distinct tuples can merge to the same tuple in one
+    round (e.g. (a,b,x) and (ab,x) under pair (a,b) — possible once
+    multi-char symbols recur), and their masses must add, exactly as
+    the word-keyed Sennrich formulation adds them implicitly. An
+    earlier revision's dict comprehension silently kept only the last
+    colliding tuple's frequency; the q125 oracle's GROUP BY state /
+    SUM(freq) is this same accumulate semantics."""
     words: dict[tuple[str, ...], int] = {}
     for w, f in word_freqs:
         words[tuple(w) + (END_OF_WORD,)] = words.get(tuple(w) + (END_OF_WORD,), 0) + f
@@ -74,9 +83,11 @@ def bpe_train_from_word_freqs(
             break
         best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
-        words = {
-            _merge_pair_in_word(syms, best): f for syms, f in words.items()
-        }
+        merged: dict[tuple[str, ...], int] = {}
+        for syms, f in words.items():
+            m = _merge_pair_in_word(syms, best)
+            merged[m] = merged.get(m, 0) + f
+        words = merged
     return merges
 
 

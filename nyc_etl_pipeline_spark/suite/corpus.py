@@ -402,7 +402,7 @@ FROM top t
 
 
 # --------------------------------------------------------------------------
-# q125 — BPE merge-table training (iterative; no single-SQL oracle)
+# q125 — BPE merge-table training (iterative; CHAINED-CTE UNROLL oracle)
 # --------------------------------------------------------------------------
 
 BPE_MERGES = 24
@@ -411,10 +411,12 @@ BPE_MERGES = 24
 def q125_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned BPE merge table over the corpus: distributed
     word-frequency pass + bounded driver-side merge loop
-    (operators/bpe.py). Iterative pair-merging has no single-statement
-    SQL form, so this entry carries no oracle (driver records the
-    rows-only check); determinism and parity with a from-scratch
-    reference implementation are pinned in tests/test_bpe.py."""
+    (operators/bpe.py). n_merges is a small fixed constant, so the
+    training loop — which has no single-statement SQL form — unrolls
+    into BPE_MERGES chained CTE rounds generated from the SAME Python
+    constant (_q125_sql below); determinism and parity with a
+    from-scratch reference implementation are additionally pinned in
+    tests/test_bpe.py."""
     from nyc_etl_pipeline_spark.operators import bpe
 
     merges = bpe.bpe_train(read_testdata(spark, sf_dir, "documents"), n_merges=BPE_MERGES)
@@ -422,6 +424,83 @@ def q125_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string, merged string",
     )
+
+
+def _q125_sql() -> str:
+    """BPE TRAINING as SQL: one (pair-count -> argmin -> rewrite) CTE
+    triple per merge round, BPE_MERGES rounds chained.
+
+    Encoding choice that makes the rewrite a single `replace()`: a
+    word's symbol state is ONE string with every symbol wrapped in
+    tab/newline sentinels (TAB sym NL TAB sym NL ...). Symbols can
+    never contain tab or newline — both engines split words on \\s+ —
+    so a sentinel-wrapped pattern matches exactly at symbol
+    boundaries, and SQL replace()'s left-to-right non-overlapping
+    scan IS the Python merge loop's semantics (after replacing
+    TAB a NL TAB b NL the scan resumes past the replacement, so
+    [x,x,x] under pair (x,x) gives [xx,x] in both). The parallel
+    `syms` list column re-derives from the state string each round
+    for pair counting. Frequencies GROUP BY state / SUM — the
+    accumulate-on-collision contract bpe_train_from_word_freqs
+    documents. Every CTE is MATERIALIZED: w{r} feeds both p{r} and
+    w{r+1}, and inlining would double the tree per round (2^24).
+
+    If the corpus exhausts pairs before BPE_MERGES rounds, b{r} is
+    empty, the cross join empties every later w — and the merge list
+    simply ends, exactly like the Python loop's break."""
+    L, R = "chr(9)", "chr(10)"
+    parts = [
+        """
+tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+),
+wf AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1),""",
+        f"""
+w0 AS MATERIALIZED (
+  SELECT state, string_split(trim(both {L}||{R} FROM state), {R}||{L}) AS syms, f
+  FROM (
+    SELECT {L} || array_to_string(
+             list_append(
+               list_transform(range(1, len(word)+1), i -> substr(word, i, 1)),
+               '</w>'),
+             {R}||{L}) || {R} AS state,
+           CAST(sum(f) AS BIGINT) AS f
+    FROM wf GROUP BY 1
+  )
+),""",
+    ]
+    for r in range(BPE_MERGES):
+        parts.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT pr.a AS a, pr.b AS b, CAST(sum(f) AS BIGINT) AS cnt
+  FROM w{r}, unnest(list_transform(range(1, len(syms)),
+         i -> {{'a': syms[i], 'b': syms[i+1]}})) AS t(pr)
+  GROUP BY 1, 2
+),
+b{r} AS MATERIALIZED (
+  SELECT a, b FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w{r + 1} AS MATERIALIZED (
+  SELECT state, string_split(trim(both {L}||{R} FROM state), {R}||{L}) AS syms, f
+  FROM (
+    SELECT replace(state, {L}||a||{R}||{L}||b||{R}, {L}||a||b||{R}) AS state,
+           CAST(sum(f) AS BIGINT) AS f
+    FROM w{r} CROSS JOIN b{r} GROUP BY 1
+  )
+),""")
+    union = "\nUNION ALL\n".join(
+        f'SELECT CAST({r} AS INTEGER) AS rank, a, b FROM b{r}'
+        for r in range(BPE_MERGES)
+    )
+    body = "".join(parts).rstrip()
+    body = body.removesuffix(",")  # last w{N} CTE ends the WITH list
+    return f"""
+WITH {body}
+SELECT rank, a AS "left", b AS "right", a || b AS merged
+FROM ({union})
+ORDER BY rank
+"""
 
 
 # --------------------------------------------------------------------------
@@ -682,8 +761,9 @@ SPECS = [
     QuerySpec("q137_bpe_encode", q137_bpe_encode, _q137_sql(),
               "BPE subword encoding with a fixed merge table "
               "(recursive-CTE oracle for the inference loop)"),
-    QuerySpec("q125_bpe_merges", q125_bpe_merges, None,
-              "BPE tokenizer merge-table training (iterative, rows-only gate)"),
+    QuerySpec("q125_bpe_merges", q125_bpe_merges, _q125_sql(),
+              "BPE tokenizer merge-table training "
+              "(chained-CTE unroll oracle, one round per merge)"),
     QuerySpec("q71_url_parse", q71_url_parse, _Q71_SQL,
               "URL host/domain/path parse + canonical dedup key"),
     QuerySpec("q72_domain_stats", q72_domain_stats, _Q72_SQL,

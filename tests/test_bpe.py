@@ -20,6 +20,19 @@ def test_bpe_learns_expected_merges_on_classic_corpus():
     assert merges[2] == ("est", "</w>")
 
 
+def test_bpe_overlapping_run_merges_left_to_right():
+    """[x,x,x,x] under pair (x,x) must become [xx,xx] — the
+    left-to-right non-overlap scan the q125 oracle reproduces with a
+    sentinel-wrapped SQL replace(); a per-position merge would give
+    three overlapping merges and wrong round-2 counts."""
+    wf = [("xxxx", 3), ("xx", 5)]
+    merges = bpe.bpe_train_from_word_freqs(wf, n_merges=2)
+    # round 1: (x,x) counts 3*3 + 1*5 = 14, beats (x,</w>) at 8
+    assert merges[0] == ("x", "x")
+    # xxxx -> [xx,xx,</w>], xx -> [xx,</w>]: (xx,</w>) 8 beats (xx,xx) 3
+    assert merges[1] == ("xx", "</w>")
+
+
 def test_bpe_tie_break_is_deterministic():
     wf = [("ab", 3), ("cd", 3)]
     merges = bpe.bpe_train_from_word_freqs(wf, n_merges=1)

@@ -19,16 +19,15 @@ def test_queries_and_oracles_are_wired():
     os_ = entry.oracle_sql()
     assert len(qs) >= 27
     assert set(os_) <= set(qs)
-    # round 2: every query has an oracle — the probabilistic chains
+    # EVERY query has an oracle — the probabilistic chains
     # (MinHash/SimHash/vector-LSH) are md5-derived and replicated
     # exactly in DuckDB; sketch/IVF queries emit verifiable
-    # error-bound contracts instead of raw estimates. Round 5 added
-    # the ONE deliberate exception: q125's iterative BPE training has
-    # no single-statement SQL form (rows-only gate; parity with a
-    # reference implementation pinned in tests/test_bpe.py). Anything
-    # else missing an oracle is a bug.
+    # error-bound contracts instead of raw estimates; and round 7
+    # closed the last gap by unrolling q125's fixed-round BPE
+    # training loop into chained CTEs. A query without an oracle is
+    # a bug.
     no_oracle = set(qs) - set(os_)
-    assert no_oracle <= {"q125_bpe_merges"}, no_oracle
+    assert no_oracle == set(), no_oracle
 
 
 def test_harness_is_dtype_strict():
