@@ -37,6 +37,23 @@ def minhash_base_coeffs(i: int) -> tuple[int, int]:
     return a, b
 
 
+def release_caches(spark) -> None:
+    """Deterministically release the persist()-cached intermediates the
+    dedup operators leave behind (shingle tables, simhash signatures).
+    The operators return LAZY DataFrames, so they cannot unpersist
+    their own caches; blocks are MEMORY_AND_DISK and LRU-evicted under
+    pressure, so calling this is optional hygiene for long-lived
+    sessions between corpus-scale passes. It clears the session's
+    ENTIRE dataframe cache (spark.catalog.clearCache()) — call it
+    between passes, not while results are still being consumed.
+
+    Why not checkpoint-based self-cleanup: measured in r7,
+    localCheckpoint(eager=False) in place of persist() cost 1.8-4x
+    per invocation across the dedup family (row-serialized, statless
+    blocks vs the columnar InMemoryRelation)."""
+    spark.catalog.clearCache()
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per distinct text: canonical (min) id + copy count.
 
@@ -143,12 +160,12 @@ def duplicated_passage_stats(
     """
     toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t"))
     # Windows table feeds BOTH the duplicated-hash set and the per-doc
-    # rollup; materialize so the explode+hash runs once (lazy
-    # localCheckpoint, not persist — see ngram_jaccard_pairs).
+    # rollup; persist so the explode+hash runs once (see
+    # ngram_jaccard_pairs for the persist-vs-checkpoint measurement).
     wins = (
         toks.select("doc_id", F.explode(positional_windows(F.col("__t"), k)).alias("__w"))
         .select("doc_id", md5_long("__w").alias("__h"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     dup = (
         wins.groupBy("__h")
@@ -222,16 +239,16 @@ def ngram_jaccard_pairs(
             "__id", "__sh"
         )
     # The shingle table feeds three subtrees (sizes + both join sides);
-    # without materialization Spark re-runs the explode+distinct
-    # generation 3x (measured: 3x the query's total join cost). Lazy
-    # localCheckpoint, not persist(): a CacheManager entry outlives the
-    # result (each sweep invocation leaked one cached dataset until LRU
-    # pressure), while checkpoint blocks are ContextCleaner-reclaimed
-    # once the result DataFrame is unreferenced. Trade-off: truncated
-    # lineage means a lost executor fails the stage instead of
-    # recomputing — acceptable for a single deterministic stage that a
-    # job retry rebuilds.
-    sh = sh.localCheckpoint(eager=False)
+    # without persist Spark re-runs the explode+distinct generation 3x
+    # (measured: 3x the query's total join cost). persist(), NOT
+    # localCheckpoint: checkpoint was tried for leak hygiene (r7) and
+    # measured 1.8-4x SLOWER across the dedup family (q24 1.9->7.5 s,
+    # q18 1.5->2.7 s at sf0.1) — RDD checkpoint blocks are
+    # row-serialized and carry no stats, losing the columnar cache and
+    # degrading downstream join choice. The cache entry outlives the
+    # result until LRU eviction; long sweeps can clearCache() between
+    # corpus passes (see release_caches).
+    sh = sh.persist()
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
 
     a = sh.select(F.col("__id").alias("a_id"), "__sh")
@@ -284,11 +301,9 @@ def jaccard_prefix_filter_pairs(
     """
     sh = _shingle_table(df, id_col, text_col, n)
     # feeds: doc-freq, rarity ranking, sizes, and both exact-verify
-    # sides — materialize or the shingle generation re-runs 5x. Lazy
-    # localCheckpoint, not persist(): see ngram_jaccard_pairs (cleaner
-    # reclaims blocks when the result is dropped; persist leaked one
-    # cache entry per sweep invocation on this hot q141 path).
-    sh = sh.localCheckpoint(eager=False)
+    # sides — persist or the shingle generation re-runs 5x (persist,
+    # not checkpoint: see ngram_jaccard_pairs' measurement).
+    sh = sh.persist()
     freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     from pyspark.sql.window import Window
@@ -361,9 +376,7 @@ def ngram_containment_pairs(
         sh = sh.join(freq.filter(F.col("__df") <= max_doc_freq), on="__sh", how="inner").select(
             "__id", "__sh"
         )
-    # sizes + both join sides (see ngram_jaccard_pairs for the
-    # localCheckpoint-not-persist rationale)
-    sh = sh.localCheckpoint(eager=False)
+    sh = sh.persist()  # sizes + both join sides (see ngram_jaccard_pairs)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     a = sh.select(F.col("__id").alias("a_id"), "__sh")
     b = sh.select(F.col("__id").alias("b_id"), "__sh")
@@ -579,11 +592,10 @@ def minhash_lsh_pairs(
     # Shared by the signature build and the exact-verification join.
     # DELIBERATE leak-until-eviction: the result DataFrame is lazy, so
     # this function cannot unpersist (that would cancel the cache before
-    # the caller materializes). Blocks are MEMORY_AND_DISK, freed by the
-    # ContextCleaner once the result's lineage is garbage-collected, or
-    # evicted LRU under memory pressure. Long-lived sessions issuing
-    # many of these should call spark.catalog.clearCache() between
-    # corpus-scale dedup passes.
+    # the caller materializes). Blocks are MEMORY_AND_DISK, evicted LRU
+    # under memory pressure; long-lived sessions issuing many of these
+    # should call spark.catalog.clearCache() between corpus-scale dedup
+    # passes (persist, not checkpoint — see ngram_jaccard_pairs).
     sh_cached = _shingle_table(df, id_col, text_col, n).persist()
     sig = sh_cached.groupBy(F.col("__id").alias(id_col)).agg(
         *_minhash_signature_cols(num_hashes)
@@ -910,12 +922,12 @@ def simhash_near_pairs(
     """
     if max_hamming > n_blocks - 1:
         raise ValueError("block trick guarantees recall only for max_hamming <= n_blocks-1")
-    # Both join sides derive from sig; without materialization the
-    # 64-column vote aggregation runs twice (measured ~2x the query
-    # cost). Lazy localCheckpoint, not persist(): see
-    # ngram_jaccard_pairs — the cleaner reclaims checkpoint blocks
-    # when the result is dropped, where a cache entry lives until LRU.
-    sig = simhash_blocks(df, id_col, text_col, n_blocks).localCheckpoint(eager=False)
+    # Both join sides derive from sig; without persist the 64-column
+    # vote aggregation runs twice (measured ~2x the query cost).
+    # DELIBERATE leak-until-eviction — same contract as
+    # minhash_lsh_pairs' sh_cached (persist, not checkpoint: the r7
+    # checkpoint experiment made THIS query 4x slower, 1.9->7.5 s).
+    sig = simhash_blocks(df, id_col, text_col, n_blocks).persist()
     blk_arr = F.array(*[F.col(f"__blk{b}") for b in range(n_blocks)])
     blocks = sig.select(
         F.col(id_col).alias("__id"),

@@ -627,3 +627,27 @@ def test_ks_drift_no_cartesian_grid(spark, sf_dir):
 
     plan = P.explain_str(q157_ks_drift(spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_neardup_candidate_bounded_verification(spark, sf_dir):
+    """q127 (the suite's most expensive query): every join must be an
+    equi hash/merge join — candidates come from band equi-joins and
+    verification touches only candidate ids' shingle arrays, so a
+    CartesianProduct or BroadcastNestedLoopJoin anywhere means a
+    formulation regression that goes quadratic at corpus scale.
+    (The batch band table's shared signature shuffle shows up only as
+    a runtime AQE ReusedExchange, not in the API-visible plan, so
+    exchange sharing is documented in dedup.py rather than asserted
+    here.)"""
+    from nyc_etl_pipeline_spark.suite.textops import q127_incremental_neardup
+
+    df = q127_incremental_neardup(spark, sf_dir)
+    plan = P.explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    joins = sum(
+        plan.count(op)
+        for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    # band vs corpus, band within batch, 2 verification joins, anti
+    assert joins >= 5, plan
