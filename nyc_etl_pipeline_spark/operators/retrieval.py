@@ -203,3 +203,70 @@ def phrase_search(
         )
         matched = matched.join(nxt, on=[id_col, "pos"])
     return matched.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_occ"))
+
+
+def phrase_search_slop(
+    df: DataFrame,
+    phrase: list[str],
+    slop: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sloppy phrase search (Lucene slop semantics, ORDERED form): a
+    start position matches when the phrase's words occur IN ORDER with
+    at most `slop` other tokens interleaved in total — i.e. positions
+    p_1 < p_2 < ... < p_k with (p_k - p_1) - (k - 1) <= slop.
+    slop=0 degenerates to exact adjacency (phrase_search, which stays
+    the cheaper plan for that case: equi-joins on shifted positions).
+
+    EXACT via greedy minimal completion, not candidate enumeration:
+    from each occurrence p_1 of the first word, every later word takes
+    the SMALLEST admissible position (> previous, <= previous+1+slop).
+    Greedy minimizes the final span, so a start matches iff its greedy
+    completion does — and any chain with total slop <= `slop` has
+    every next position inside the greedy window (p_{i+1} <= p_1+i+slop
+    <= cur_greedy+1+slop), so the per-gap prune never drops a valid
+    start. One groupBy-min per word keeps intermediate rows bounded by
+    first-word occurrences (never the gap-window cross product).
+
+    Scale shape: the posting explode filters to the phrase's terms
+    immediately (k tiny index slices, as phrase_search); each step is
+    an equi-join on the doc id plus a range predicate — after the
+    first shuffle everything stays co-partitioned on doc. Integer-only
+    output: (id_col, n_occ, min_slop) where n_occ counts matching
+    START positions and min_slop is the tightest total slop achieved.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase_search_slop needs at least 2 words")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    post = (
+        df.select(
+            F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "term")
+        )
+        .filter(F.col("term").isin(phrase))
+    )
+    chain = post.filter(F.col("term") == phrase[0]).select(
+        F.col(id_col), F.col("pos").alias("__p1"), F.col("pos").alias("__cur")
+    )
+    for w in phrase[1:]:
+        nxt = post.filter(F.col("term") == w).select(F.col(id_col), F.col("pos"))
+        chain = (
+            chain.join(nxt, on=id_col)
+            .filter(
+                (F.col("pos") > F.col("__cur"))
+                & (F.col("pos") <= F.col("__cur") + 1 + slop)
+            )
+            .groupBy(id_col, "__p1")
+            .agg(F.min("pos").alias("__cur"))
+        )
+    total = F.col("__cur") - F.col("__p1") - (len(phrase) - 1)
+    return (
+        chain.select(F.col(id_col), total.alias("__slop"))
+        .filter(F.col("__slop") <= slop)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("__slop").alias("min_slop"),
+        )
+    )

@@ -257,6 +257,66 @@ SELECT doc_id, n_occ FROM occ WHERE n_occ > 0
 """
 
 
+# --------------------------------------------------------------------------
+# q161 — phrase search with slop (ordered, greedy minimal completion)
+# --------------------------------------------------------------------------
+
+SLOP_PHRASE = ["big", "order", "scan"]  # q154's phrase, loosened
+SLOP_K = 2
+
+
+def q161_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered sloppy phrase match: q154's phrase with up to SLOP_K
+    interleaved tokens in total. The operator's greedy
+    minimal-completion chain (operators/retrieval.phrase_search_slop)
+    is replicated step for step in the oracle — per-word position
+    CTEs, windowed min per start — so the exactness argument (greedy
+    minimizes span) is tested on both engines, not assumed."""
+    from nyc_etl_pipeline_spark.operators.retrieval import phrase_search_slop
+
+    return phrase_search_slop(
+        read_testdata(spark, sf_dir, "documents"), SLOP_PHRASE, SLOP_K
+    )
+
+
+def _phrase_slop_sql() -> str:
+    k = len(SLOP_PHRASE)
+    ctes = [
+        f"""toks AS (
+  SELECT doc_id, {_TOK} AS t FROM documents WHERE trim(text) <> ''
+)"""
+    ]
+    for i, w in enumerate(SLOP_PHRASE):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT doc_id, unnest(list_filter(range(1, len(t) + 1), i -> t[i] = '{w}')) AS p
+  FROM toks
+)"""
+        )
+    prev, start = "p0", "p0.p"
+    for i in range(1, k):
+        ctes.append(
+            f"""g{i} AS (
+  SELECT {prev}.doc_id, {start} AS p1, min(p{i}.p) AS cur
+  FROM {prev} JOIN p{i}
+    ON p{i}.doc_id = {prev}.doc_id
+   AND p{i}.p > {"p0.p" if i == 1 else f"{prev}.cur"}
+   AND p{i}.p <= {"p0.p" if i == 1 else f"{prev}.cur"} + 1 + {SLOP_K}
+  GROUP BY 1, 2
+)"""
+        )
+        prev, start = f"g{i}", f"g{i}.p1"
+    return f"""
+WITH {", ".join(ctes)},
+sel AS (
+  SELECT doc_id, (cur - p1) - {k - 1} AS sl
+  FROM g{k - 1} WHERE (cur - p1) - {k - 1} <= {SLOP_K}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ, CAST(min(sl) AS BIGINT) AS min_slop
+FROM sel GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("q109_bm25_topk", q109_bm25_topk, _bm25_sql(),
               "BM25 top-k retrieval (broadcast stats, filtered postings)"),
@@ -272,4 +332,6 @@ SPECS = [
               "TF-IDF top-K keyword extraction per document"),
     QuerySpec("q154_phrase_search", q154_phrase_search, _phrase_sql(),
               "exact phrase search via positional-postings chain join"),
+    QuerySpec("q161_phrase_slop", q161_phrase_slop, _phrase_slop_sql(),
+              "sloppy phrase search (ordered, greedy minimal completion)"),
 ]

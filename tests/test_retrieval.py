@@ -183,3 +183,73 @@ def test_phrase_search_adjacency_and_overlap(spark):
     assert got == {1: 2, 3: 1, 4: 1}
     got2 = {r["doc_id"]: r["n_occ"] for r in phrase_search(df, ["a", "b", "a"]).collect()}
     assert got2[5] == 2
+
+
+def test_phrase_slop_matches_brute_force_enumeration(spark):
+    """phrase_search_slop's greedy minimal-completion chain vs a
+    brute-force enumeration of ALL ordered position tuples, over
+    crafted edge cases AND randomized docs (seeded): same matching
+    docs, same start-position counts, same minimal slop."""
+    import itertools
+    import random
+
+    from nyc_etl_pipeline_spark.operators.retrieval import phrase_search_slop
+
+    phrase, slop = ["a", "b", "a"], 2
+    crafted = [
+        "a b a",          # exact, slop 0
+        "a x b a",        # slop 1 (one insertion)
+        "a x b x a",      # slop 2
+        "a x x b x a",    # slop 3 from first a; later a's may still start
+        "a b c x a b c",  # phrase words scattered across two runs
+        "a a b a",        # duplicate first word: starts at 0 and 1
+        "b a b a b a",    # starts mid-doc
+        "a x x x x b a",  # gap exceeds slop on first gap
+        "a b b b a",      # greedy takes earliest b; span still minimal
+        "",               # empty doc
+        "a b",            # phrase longer than matches
+    ]
+    rng = random.Random(1617)
+    docs = crafted + [
+        " ".join(rng.choice("abxy") for _ in range(rng.randint(0, 14)))
+        for _ in range(200)
+    ]
+
+    def brute(toklist):
+        starts, best = 0, None
+        k = len(phrase)
+        positions = [
+            [i for i, t in enumerate(toklist) if t == w] for w in phrase
+        ]
+        for p1 in positions[0]:
+            cands = [
+                tup
+                for tup in itertools.product(*[[p1]] + positions[1:])
+                if all(tup[j] > tup[j - 1] for j in range(1, k))
+                and (tup[-1] - tup[0]) - (k - 1) <= slop
+            ]
+            if cands:
+                starts += 1
+                m = min((t[-1] - t[0]) - (k - 1) for t in cands)
+                best = m if best is None else min(best, m)
+        return starts, best
+
+    expected = {}
+    for i, text in enumerate(docs):
+        n, m = brute(text.split())
+        if n:
+            expected[i] = (n, m)
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_occ"], r["min_slop"])
+        for r in phrase_search_slop(df, phrase, slop).collect()
+    }
+    assert got == expected
+    # slop=0 must agree with exact phrase_search on the matching DOCS
+    # (n_occ differs by design: distinct starts vs all completions)
+    from nyc_etl_pipeline_spark.operators.retrieval import phrase_search
+
+    exact_docs = {r["doc_id"] for r in phrase_search(df, phrase).collect()}
+    slop0_docs = {r["doc_id"] for r in phrase_search_slop(df, phrase, 0).collect()}
+    assert slop0_docs == exact_docs
