@@ -200,3 +200,74 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
             ).alias("clustering"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    n_rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling: run `n_rounds` rounds of "drop every
+    node whose current degree < k, keep only edges between survivors"
+    and return the surviving subgraph's (node, degree).
+
+    `edges` must be a SYMMETRIC simple edge list — both directions
+    present, no self-loops, no duplicate rows — so a node's degree is
+    its row count as `src`. On any input whose peel sequence converges
+    within `n_rounds`, the result IS the exact k-core (peeling is
+    monotone: once a fixpoint is reached, further rounds are identity
+    — the invariant test asserts round n_rounds+1 changes nothing).
+    Fixing the round count rather than looping to convergence keeps
+    the operator deterministic for the chained-CTE oracle
+    (sql_kcore_chain), which unrolls the SAME recurrence.
+
+    Scale shape: each round is one partial-aggregated groupBy on src
+    plus two left-semi joins against the (much smaller) survivor set
+    — all equi-joins, no node ever compares against more than its
+    neighbors. The edge set only shrinks. localCheckpoint after every
+    round cuts the self-referencing lineage (the survivor set derives
+    from the same edge set it filters) — without it the logical plan
+    doubles per round (the round-6 deep-DAG lesson); checkpoint
+    blocks land on executor-local disk, no driver collect.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    for _ in range(n_rounds):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        e = (
+            e.join(keep, on="src", how="left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), on="dst", how="left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+def sql_kcore_chain(e0_name: str, k_sql: str, n_rounds: int) -> str:
+    """CTE-body fragment replaying kcore_peel's recurrence: chained
+    MATERIALIZED (survivor-nodes, induced-edges) pairs — the q125
+    fixed-iteration unroll pattern. `e0_name` is the symmetric edge
+    CTE, `k_sql` a scalar SQL expression for k. Returns the fragment
+    "n1 AS (...), e1 AS (...), ..., eN AS (...)"; the caller selects
+    from e{n_rounds}."""
+    parts = []
+    prev = e0_name
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT src AS node FROM {prev}"
+            f" GROUP BY src HAVING count(*) >= ({k_sql}))"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e"
+            f" JOIN n{r} a ON e.src = a.node JOIN n{r} b ON e.dst = b.node)"
+        )
+        prev = f"e{r}"
+    return ",\n".join(parts)

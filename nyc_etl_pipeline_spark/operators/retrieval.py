@@ -260,7 +260,9 @@ def phrase_search_slop(
             .groupBy(id_col, "__p1")
             .agg(F.min("pos").alias("__cur"))
         )
-    total = F.col("__cur") - F.col("__p1") - (len(phrase) - 1)
+    # long, not int32: posexplode positions are int, and the driver's
+    # correctness gate hashes TYPED values — the oracle emits BIGINT.
+    total = (F.col("__cur") - F.col("__p1") - (len(phrase) - 1)).cast("long")
     return (
         chain.select(F.col(id_col), total.alias("__slop"))
         .filter(F.col("__slop") <= slop)

@@ -42,79 +42,75 @@ class QuerySpec:
 # re-verified them before the r5 migration); exact earlier rounds don't
 # change the ordering.
 _DRIVER_EVIDENCE: dict[str, int] = {
-    # rounds 1-4 era (CORRECTNESS_r01-r04)
-    "q02_weekly_sales_report": 4, "q03_clean_project": 4,
-    "q04_dim_upsert_anti": 4, "q05_watermark_incremental": 4,
-    "q06_date_dim": 4,
-    "q07_fact_datejoin": 4, "q08_top_customers": 4, "q09_window_rank": 4,
-    "q10_rollup": 4,
-    "q11_semi_join": 4, "q12_pivot_linestatus": 4, "q13_events_tumbling": 4,
-    "q14_events_sliding": 4, "q15_sessionize": 4, "q16_json_extract": 4,
-    "q17_exact_dedup": 4, "q18_ngram_jaccard_pairs": 4, "q19_text_quality": 4,
-    "q20_lang_id": 4, "q21_doc_fingerprint": 4, "q22_multimodal_bytes": 4,
-    "q23_minhash_lsh_pairs": 4, "q24_simhash_near_pairs": 4,
-    "q25_embedding_topk": 4,
-    "q26_embedding_neardup": 4, "q27_lsh_bucketed_pairs": 4,
-    "q28_asof_join": 4,
-    "q29_range_join": 4, "q30_cube": 4, "q31_unpivot": 4, "q32_set_ops": 4,
-    "q33_distinct_aggs": 4, "q34_approx_aggs": 4, "q35_ivf_topk": 4,
-    "q36_grouped_map_zscore": 4, "q37_grouped_agg_geomean": 4,
-    "q38_correlated_subquery": 4, "q39_string_gauntlet": 4,
-    "q40_datetime_gauntlet": 4,
-    "q41_neardup_clusters": 4, "q43_tpch_q1": 4,
     # q42_percentiles: demoted from the gate in r5 (pytest anchor for
     # q58); removed here when the window-invariant test flagged it stale.
-    "q44_data_profile": 4, "q45_array_ops": 4, "q46_udtf_word_counts": 4,
-    "q47_ngram_jaccard_capped": 4, "q48_incremental_dedup": 4,
-    "q49_outer_joins": 4,
-    "q56_sq8_topk": 4, "q57_arrow_zscore": 4, "q69_window_gauntlet": 4,
-    "q70_gapfill_hours": 4, "q75_ewma": 4, "q77_salted_agg": 4,
-    "q78_scd2_intervals": 4,
+    # rounds 1-4 era (CORRECTNESS_r01-r04) — still awaiting post-r5-decimal
+    # re-verification; the rotation leads with these.
+    "q57_arrow_zscore": 4, "q69_window_gauntlet": 4, "q70_gapfill_hours": 4,
+    "q75_ewma": 4, "q77_salted_agg": 4, "q78_scd2_intervals": 4,
     "q79_session_window": 4, "q84_anomaly_bands": 4, "q85_variant_props": 4,
     "q89_xml_roundtrip": 4, "q90_activity_streaks": 4, "q91_latest_wins": 4,
     "q92_ratio_to_report": 4,
-    # round-5 green rows (CORRECTNESS_r05.json, 47/50)
+    # round-5 green rows (CORRECTNESS_r05.json)
     "q51_contamination": 5, "q52_cc_twophase": 5, "q53_text_normalize": 5,
     "q54_pii_redact": 5, "q55_funnel": 5, "q58_percentiles_sorted": 5,
     "q60_cohort_retention": 5, "q61_tpch_q3": 5, "q62_tpch_q5": 5,
-    "q63_tpch_q10": 5,
-    "q64_tpch_q18": 5, "q65_sequence_pack": 5, "q66_stratified_sample": 5,
-    "q67_repetition_stats": 5, "q68_shard_shuffle": 5, "q71_url_parse": 5,
-    "q72_domain_stats": 5, "q73_token_zipf": 5, "q74_quality_deciles": 5,
-    "q80_sketch_rollup": 5, "q81_per_key_sample": 5, "q82_chunk_windows": 5,
-    "q83_tpch_q21": 5, "q86_grouping_sets": 5, "q87_fuzzy_pairs": 5,
-    "q88_tpch_q22": 5,
-    "q93_tpch_q2": 5, "q94_tpch_q4": 5, "q95_tpch_q11": 5,
-    "q96_tpch_q13": 5,
+    "q63_tpch_q10": 5, "q64_tpch_q18": 5, "q65_sequence_pack": 5,
+    "q66_stratified_sample": 5, "q67_repetition_stats": 5,
+    "q68_shard_shuffle": 5, "q71_url_parse": 5, "q72_domain_stats": 5,
+    "q73_token_zipf": 5, "q74_quality_deciles": 5, "q80_sketch_rollup": 5,
+    "q81_per_key_sample": 5, "q82_chunk_windows": 5, "q83_tpch_q21": 5,
+    "q86_grouping_sets": 5, "q87_fuzzy_pairs": 5, "q88_tpch_q22": 5,
+    "q93_tpch_q2": 5, "q94_tpch_q4": 5, "q95_tpch_q11": 5, "q96_tpch_q13": 5,
     "q97_tpch_q15": 5, "q98_tpch_q16": 5, "q99_tpch_q17": 5,
-    "q100_tpch_q20": 5,
-    "q101_pq_clustered": 5, "q102_tpch_q6": 5, "q103_tpch_q7": 5,
-    "q104_tpch_q8": 5,
-    "q105_tpch_q9": 5, "q107_tpch_q14": 5, "q108_tpch_q19": 5,
-    "q109_bm25_topk": 5,
+    "q100_tpch_q20": 5, "q101_pq_clustered": 5, "q102_tpch_q6": 5,
+    "q103_tpch_q7": 5, "q104_tpch_q8": 5, "q105_tpch_q9": 5,
+    "q107_tpch_q14": 5, "q108_tpch_q19": 5, "q109_bm25_topk": 5,
     "q110_boolean_search": 5, "q111_weighted_sample": 5,
-    "q112_cluster_canonical": 5,
-    "q113_unigram_nll": 5, "q114_triangle_clustering": 5,
-    # round-6 green rows (CORRECTNESS_r06.json, 50/51; q125 err stays out)
+    "q112_cluster_canonical": 5, "q113_unigram_nll": 5,
+    "q114_triangle_clustering": 5,
+    # round-6 green rows (CORRECTNESS_r06.json)
     "q01_monthly_sales_report": 6, "q50_split_assign": 6,
-    "q76_pagerank_nations": 6, "q106_tpch_q12": 6,
-    "q115_label_cohesion": 6, "q116_pmi_collocations": 6,
-    "q117_dq_expectations": 6, "q118_recursive_bfs": 6,
-    "q119_passage_dedup": 6, "q120_incremental_mart": 6,
-    "q121_psi_drift": 6, "q122_zorder_key": 6, "q123_semantic_dedup": 6,
-    "q124_cms_heavy_hitters": 6, "q126_mixture_sample": 6,
-    "q127_incremental_neardup": 6, "q128_containment_pairs": 6,
-    "q129_interval_overlap": 6, "q130_trend_fit": 6, "q131_radius_pairs": 6,
-    "q132_session_transitions": 6, "q133_twap": 6, "q134_running_distinct": 6,
-    "q135_hist_quantiles": 6, "q136_salted_join": 6, "q137_bpe_encode": 6,
-    "q138_token_budget": 6, "q139_cdc_apply": 6, "q140_source_quantiles": 6,
-    "q141_jaccard_prefix": 6, "q142_mad_outliers": 6, "q143_skyline": 6,
-    "q144_rolling_median": 6, "q145_jl_project": 6, "q146_weighted_median": 6,
-    "q147_session_lift": 6, "q148_ip_cidr": 6, "q149_table_diff": 6,
-    "q150_capped_sessions": 6, "q151_tfidf_keywords": 6, "q152_winsorize": 6,
-    "q153_benford": 6, "q154_phrase_search": 6, "q155_feature_hashing": 6,
+    "q76_pagerank_nations": 6, "q106_tpch_q12": 6, "q115_label_cohesion": 6,
+    "q116_pmi_collocations": 6, "q117_dq_expectations": 6,
+    "q118_recursive_bfs": 6, "q119_passage_dedup": 6,
+    "q120_incremental_mart": 6, "q121_psi_drift": 6, "q122_zorder_key": 6,
+    "q123_semantic_dedup": 6, "q124_cms_heavy_hitters": 6,
+    "q126_mixture_sample": 6, "q127_incremental_neardup": 6,
+    "q128_containment_pairs": 6, "q129_interval_overlap": 6,
+    "q130_trend_fit": 6, "q131_radius_pairs": 6, "q132_session_transitions": 6,
+    "q133_twap": 6, "q134_running_distinct": 6, "q135_hist_quantiles": 6,
+    "q136_salted_join": 6, "q137_bpe_encode": 6, "q138_token_budget": 6,
+    "q139_cdc_apply": 6, "q140_source_quantiles": 6, "q141_jaccard_prefix": 6,
+    "q142_mad_outliers": 6, "q143_skyline": 6, "q144_rolling_median": 6,
+    "q145_jl_project": 6, "q146_weighted_median": 6, "q147_session_lift": 6,
+    "q148_ip_cidr": 6, "q149_table_diff": 6, "q150_capped_sessions": 6,
+    "q151_tfidf_keywords": 6, "q152_winsorize": 6, "q153_benford": 6,
+    "q154_phrase_search": 6, "q155_feature_hashing": 6,
     "q156_join_maintenance": 6, "q157_ks_drift": 6, "q158_theil_sen": 6,
     "q159_gini": 6, "q160_source_overlap": 6,
+    # round-7 green rows (CORRECTNESS_r07.json, 50/50 — includes the
+    # first driver evidence for q125_bpe_merges and q161_phrase_slop)
+    "q02_weekly_sales_report": 7, "q03_clean_project": 7,
+    "q04_dim_upsert_anti": 7, "q05_watermark_incremental": 7,
+    "q06_date_dim": 7, "q07_fact_datejoin": 7, "q08_top_customers": 7,
+    "q09_window_rank": 7, "q10_rollup": 7, "q11_semi_join": 7,
+    "q12_pivot_linestatus": 7, "q13_events_tumbling": 7,
+    "q14_events_sliding": 7, "q15_sessionize": 7, "q16_json_extract": 7,
+    "q17_exact_dedup": 7, "q18_ngram_jaccard_pairs": 7, "q19_text_quality": 7,
+    "q20_lang_id": 7, "q21_doc_fingerprint": 7, "q22_multimodal_bytes": 7,
+    "q23_minhash_lsh_pairs": 7, "q24_simhash_near_pairs": 7,
+    "q25_embedding_topk": 7, "q26_embedding_neardup": 7,
+    "q27_lsh_bucketed_pairs": 7, "q28_asof_join": 7, "q29_range_join": 7,
+    "q30_cube": 7, "q31_unpivot": 7, "q32_set_ops": 7, "q33_distinct_aggs": 7,
+    "q34_approx_aggs": 7, "q35_ivf_topk": 7, "q36_grouped_map_zscore": 7,
+    "q37_grouped_agg_geomean": 7, "q38_correlated_subquery": 7,
+    "q39_string_gauntlet": 7, "q40_datetime_gauntlet": 7,
+    "q41_neardup_clusters": 7, "q43_tpch_q1": 7, "q44_data_profile": 7,
+    "q45_array_ops": 7, "q46_udtf_word_counts": 7,
+    "q47_ngram_jaccard_capped": 7, "q48_incremental_dedup": 7,
+    "q49_outer_joins": 7, "q56_sq8_topk": 7, "q125_bpe_merges": 7,
+    "q161_phrase_slop": 7,
 }
 
 # Backwards-compatible view used by the window-invariant test and the

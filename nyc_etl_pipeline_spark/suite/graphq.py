@@ -191,6 +191,86 @@ def q118_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q118_SQL)
 
 
+# q162 — k-core decomposition (fixed-round peel) over a sparsified
+# hash-contracted customer→supplier trade graph. The contraction
+# (custkey % 257, suppkey % 263 offset into a disjoint id range) keeps
+# the node set bounded at every SF; keeping only pairs whose lineitem
+# count is > 2x the average weight thins the near-complete multigraph
+# into a sparse random graph near the k-core phase transition, where
+# peeling genuinely cascades (2-6 rounds measured across SFs) instead
+# of converging trivially. KCORE_ROUNDS=10 gives convergence headroom;
+# the invariant pytest asserts round 11 is a no-op at the gate SFs.
+# The DuckDB oracle unrolls the SAME recurrence as chained MATERIALIZED
+# CTEs (the q125 fixed-iteration pattern) from the SAME constants.
+KCORE_K = 2
+KCORE_ROUNDS = 10
+_KCORE_MOD_C = 257
+_KCORE_MOD_S = 263
+
+
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric simple edge list of the sparsified contracted trade
+    graph. One lineitem⋈orders shuffle, one groupBy; the weight
+    threshold (2*avg+1, integer arithmetic — exact on both engines)
+    is two scalars off the persisted pair table."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    o = read_testdata(spark, sf_dir, "orders")
+    wbase = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") % _KCORE_MOD_C).cast("long").alias("src"),
+            (F.lit(1000) + F.col("l_suppkey") % _KCORE_MOD_S)
+            .cast("long")
+            .alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .persist()
+    )
+    stats = wbase.agg(
+        F.sum("w").alias("tot"), F.count(F.lit(1)).alias("n")
+    ).first()
+    w0 = 2 * (stats["tot"] // stats["n"]) + 1
+    base = wbase.filter(F.col("w") >= w0).select("src", "dst")
+    return base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def q162_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_etl_pipeline_spark.operators.graph import kcore_peel
+
+    edges = _kcore_edges(spark, sf_dir)
+    return kcore_peel(edges, KCORE_K, KCORE_ROUNDS)
+
+
+def _q162_sql() -> str:
+    from nyc_etl_pipeline_spark.operators.graph import sql_kcore_chain
+
+    chain = sql_kcore_chain("e0", str(KCORE_K), KCORE_ROUNDS)
+    return f"""
+WITH wbase AS MATERIALIZED (
+  SELECT CAST(o.o_custkey % {_KCORE_MOD_C} AS BIGINT) AS src,
+         CAST(1000 + l.l_suppkey % {_KCORE_MOD_S} AS BIGINT) AS dst,
+         count(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+w0 AS MATERIALIZED (
+  SELECT 2 * (CAST(sum(w) AS BIGINT) // count(*)) + 1 AS t FROM wbase
+),
+base AS MATERIALIZED (
+  SELECT src, dst FROM wbase WHERE w >= (SELECT t FROM w0)
+),
+e0 AS MATERIALIZED (
+  SELECT src, dst FROM base UNION SELECT dst, src FROM base
+),
+{chain}
+SELECT src AS node, count(*) AS degree
+FROM e{KCORE_ROUNDS}
+GROUP BY src
+"""
+
+
 SPECS = [
     QuerySpec("q76_pagerank_nations", q76_pagerank_nations, _q76_sql(),
               "fixed-point weighted PageRank, integer-exact oracle"),
@@ -198,4 +278,6 @@ SPECS = [
               "degree-ordered triangle counting + clustering coefficient"),
     QuerySpec("q118_recursive_bfs", q118_recursive_bfs, _Q118_SQL,
               "hop-bounded BFS via WITH RECURSIVE — same SQL on both engines"),
+    QuerySpec("q162_kcore", q162_kcore, _q162_sql(),
+              "fixed-round k-core peel, chained-CTE unrolled oracle"),
 ]

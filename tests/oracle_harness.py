@@ -71,9 +71,12 @@ def dtype_family(pdf, col: str) -> str:
     if pd.api.types.is_bool_dtype(dt):
         return "bool"
     if pd.api.types.is_integer_dtype(dt):
-        return "int"
+        # width matters: the driver hashes Arrow-typed values, so an
+        # int32 Spark column vs a BIGINT oracle column is a driver-red
+        # even when every value is equal (ADVICE r7: q161 min_slop).
+        return f"int{np.dtype(dt).itemsize * 8}"
     if pd.api.types.is_float_dtype(dt):
-        return "float"
+        return f"float{np.dtype(dt).itemsize * 8}"
     if pd.api.types.is_datetime64_any_dtype(dt):
         return "datetime"
     if dt == object:

@@ -53,3 +53,82 @@ def test_degree_ordered_matches_naive_on_random_graph(spark):
     )
     got_total = got.agg(F.sum("triangles")).first()[0]
     assert got_total == 3 * naive_total, (got_total, naive_total)
+
+
+# --- kcore_peel invariants (beyond the q162 oracle gate) ---
+
+
+def _sym(edges):
+    s = {(a, b) for a, b in edges if a != b}
+    return list(s | {(b, a) for a, b in s})
+
+
+def _kcore(spark, edges, k, rounds=10):
+    from nyc_etl_pipeline_spark.operators.graph import kcore_peel
+
+    df = spark.createDataFrame(_sym(edges), "src long, dst long")
+    return {r.node: r.degree for r in kcore_peel(df, k, rounds).collect()}
+
+
+def _brute_kcore(edges, k):
+    """Reference peel: loop to convergence on plain Python sets."""
+    adj = {}
+    for a, b in _sym(edges):
+        adj.setdefault(a, set()).add(b)
+    while True:
+        drop = [n for n, nb in adj.items() if len(nb) < k]
+        if not drop:
+            return {n: len(nb) for n, nb in adj.items()}
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+
+
+def test_kcore_tree_vanishes_cycle_survives(spark):
+    # a 4-cycle with a pendant path: 2-core = the cycle alone, found
+    # only by CASCADING removal (5 is a leaf, then 4 becomes one)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4), (4, 5)]
+    out = _kcore(spark, edges, 2)
+    assert out == {0: 2, 1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_k3_on_clique_plus_fringe(spark):
+    # K4 clique + a triangle hanging off node 0: 3-core = the K4 only
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    fringe = [(0, 10), (0, 11), (10, 11)]
+    out = _kcore(spark, k4 + fringe, 3)
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_matches_brute_force_on_random_graph(spark):
+    import random
+
+    rng = random.Random(42)
+    edges = {(rng.randrange(40), rng.randrange(40)) for _ in range(90)}
+    for k in (2, 3, 4):
+        assert _kcore(spark, list(edges), k) == _brute_kcore(edges, k)
+
+
+def test_kcore_gate_graph_converges_within_rounds(spark, sf_dir):
+    """The q162 fixed-round peel must have REACHED its fixpoint at the
+    gate SF: one extra round changes nothing (so the output is the
+    true k-core, not a truncated peel)."""
+    from nyc_etl_pipeline_spark.operators.graph import kcore_peel
+    from nyc_etl_pipeline_spark.suite.graphq import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        _kcore_edges,
+    )
+
+    edges = _kcore_edges(spark, sf_dir)
+    at = {
+        (r.node, r.degree)
+        for r in kcore_peel(edges, KCORE_K, KCORE_ROUNDS).collect()
+    }
+    extra = {
+        (r.node, r.degree)
+        for r in kcore_peel(edges, KCORE_K, KCORE_ROUNDS + 1).collect()
+    }
+    assert at == extra
+    assert at  # non-vacuous: the core is nonempty at gate SFs
