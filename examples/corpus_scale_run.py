@@ -116,6 +116,24 @@ def main() -> None:
         "bm25_topk",
         lambda: f"top-{bm25_topk(docs, ['w0', 'w1', 'w2', 'w3'], k=25).count()}",
     )
+    # slop chain: intermediates bounded by FIRST-word occurrences, so
+    # pick a common first word — the worst (biggest) case for the
+    # greedy-minimal-completion join chain
+    from nyc_etl_pipeline_spark.operators.retrieval import phrase_search_slop
+
+    timed(
+        "phrase_search_slop",
+        # uniform 2000-word vocab, 60-token docs: a 2-word phrase at
+        # slop 40 expects ~(60/2000)*(41/2000)*1M ≈ 600 hit docs —
+        # non-vacuous; a longer/tighter phrase is statistically empty
+        lambda: f"{phrase_search_slop(docs, ['w0', 'w1'], slop=40).count():,} docs",
+    )
+    timed(
+        "phrase_search_slop_3w",
+        # selective 3-word case: same full posting scan, near-zero
+        # survivors — exercises the chain's prune, not the hit path
+        lambda: f"{phrase_search_slop(docs, ['w0', 'w1', 'w2'], slop=50).count():,} docs",
+    )
     timed(
         "unigram_nll",
         lambda: "avg nll %.4f" % unigram_nll_scores(docs).agg(F.avg("nll")).first()[0],

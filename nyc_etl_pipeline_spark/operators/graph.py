@@ -233,6 +233,7 @@ def kcore_peel(
     blocks land on executor-local disk, no driver collect.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    prev_edges = None
     for _ in range(n_rounds):
         keep = (
             e.groupBy("src")
@@ -246,6 +247,17 @@ def kcore_peel(
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
+        # Early exit on fixpoint: every node in the edge list has
+        # degree >= 1, so a peel round that drops ANY node strictly
+        # shrinks the edge rows — unchanged count == converged, and
+        # the remaining fixed rounds (which the oracle still unrolls)
+        # are identity. Count over the fresh checkpoint is one cheap
+        # scan; it turns the post-convergence rounds' 3 jobs each
+        # into zero.
+        n_edges = e.count()
+        if n_edges == prev_edges:
+            break
+        prev_edges = n_edges
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
@@ -270,4 +282,80 @@ def sql_kcore_chain(e0_name: str, k_sql: str, n_rounds: int) -> str:
             f" JOIN n{r} a ON e.src = a.node JOIN n{r} b ON e.dst = b.node)"
         )
         prev = f"e{r}"
+    return ",\n".join(parts)
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection), fixed
+    `n_rounds`: every node starts labeled with its own id; each round
+    ALL nodes simultaneously adopt the most frequent label among their
+    neighbors, ties broken by smallest label. Fixed rounds is the
+    standard formulation for the synchronous variant (GraphFrames'
+    LPA maxIter does the same) because sync LPA can oscillate on
+    bipartite-ish structure — the operator's contract is "labels
+    after R rounds", which is exactly what the chained-CTE oracle
+    (sql_label_propagation_chain) replays.
+
+    `edges` must be a symmetric simple edge list. Deterministic
+    argmax: min over (-count, label) structs — partial-aggregatable
+    on both shuffle sides, no window needed. Returns (node, label).
+
+    Scale shape: per round, one equi-join of the static edge list
+    against the (nodes-sized) label table, one two-key partial-agg
+    groupBy, one per-node min — all co-partitionable on the node key;
+    localCheckpoint per round keeps the lineage flat across rounds.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(n_rounds):
+        neigh = (
+            e.join(labels, e.src == labels.node)
+            .groupBy(F.col("dst").alias("nd"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            neigh.groupBy("nd")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("label").alias("l")
+                    )
+                ).alias("m")
+            )
+            .select(F.col("nd").alias("node"), F.col("m.l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def sql_label_propagation_chain(e0_name: str, n_rounds: int) -> str:
+    """CTE-body fragment replaying label_propagation's recurrence:
+    per round a neighbor-label count CTE and a deterministic-argmax
+    CTE (row_number over cnt DESC, label ASC — identical choice to
+    the Spark side's min(-cnt, label) struct). Caller selects
+    node, label from l{n_rounds}."""
+    parts = [
+        f"l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label"
+        f" FROM {e0_name})"
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT e.dst AS node, l.label,"
+            f" count(*) AS cnt FROM {e0_name} e JOIN l{r - 1} l"
+            f" ON e.src = l.node GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER (PARTITION BY node"
+            f" ORDER BY cnt DESC, label ASC) AS rn FROM c{r}) WHERE rn = 1)"
+        )
     return ",\n".join(parts)

@@ -271,6 +271,49 @@ GROUP BY src
 """
 
 
+# q163 — synchronous label propagation (community detection) over the
+# same sparsified contracted trade graph as q162, LPA_ROUNDS rounds.
+# Integer-only state (labels are node ids, votes are counts) and a
+# deterministic argmax make every round bit-replayable; the oracle
+# unrolls the identical recurrence (sql_label_propagation_chain).
+LPA_ROUNDS = 5
+
+
+def q163_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_etl_pipeline_spark.operators.graph import label_propagation
+
+    edges = _kcore_edges(spark, sf_dir)
+    return label_propagation(edges, LPA_ROUNDS)
+
+
+def _q163_sql() -> str:
+    from nyc_etl_pipeline_spark.operators.graph import (
+        sql_label_propagation_chain,
+    )
+
+    chain = sql_label_propagation_chain("e0", LPA_ROUNDS)
+    return f"""
+WITH wbase AS MATERIALIZED (
+  SELECT CAST(o.o_custkey % {_KCORE_MOD_C} AS BIGINT) AS src,
+         CAST(1000 + l.l_suppkey % {_KCORE_MOD_S} AS BIGINT) AS dst,
+         count(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+w0 AS MATERIALIZED (
+  SELECT 2 * (CAST(sum(w) AS BIGINT) // count(*)) + 1 AS t FROM wbase
+),
+base AS MATERIALIZED (
+  SELECT src, dst FROM wbase WHERE w >= (SELECT t FROM w0)
+),
+e0 AS MATERIALIZED (
+  SELECT src, dst FROM base UNION SELECT dst, src FROM base
+),
+{chain}
+SELECT node, label FROM l{LPA_ROUNDS}
+"""
+
+
 SPECS = [
     QuerySpec("q76_pagerank_nations", q76_pagerank_nations, _q76_sql(),
               "fixed-point weighted PageRank, integer-exact oracle"),
@@ -280,4 +323,6 @@ SPECS = [
               "hop-bounded BFS via WITH RECURSIVE — same SQL on both engines"),
     QuerySpec("q162_kcore", q162_kcore, _q162_sql(),
               "fixed-round k-core peel, chained-CTE unrolled oracle"),
+    QuerySpec("q163_label_prop", q163_label_prop, _q163_sql(),
+              "synchronous label propagation, deterministic argmax"),
 ]

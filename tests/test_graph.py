@@ -132,3 +132,59 @@ def test_kcore_gate_graph_converges_within_rounds(spark, sf_dir):
     }
     assert at == extra
     assert at  # non-vacuous: the core is nonempty at gate SFs
+
+
+# --- label_propagation invariants (beyond the q163 oracle gate) ---
+
+
+def _lpa(spark, edges, rounds):
+    from nyc_etl_pipeline_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(_sym(edges), "src long, dst long")
+    return {r.node: r.label for r in label_propagation(df, rounds).collect()}
+
+
+def _brute_lpa(edges, rounds):
+    """Reference synchronous LPA: all nodes update simultaneously from
+    the previous round's labels; argmax by (count desc, label asc)."""
+    adj = {}
+    for a, b in _sym(edges):
+        adj.setdefault(a, set()).add(b)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nb in adj.items():
+            cnt = {}
+            for m in nb:
+                cnt[labels[m]] = cnt.get(labels[m], 0) + 1
+            new[n] = min(cnt, key=lambda lb: (-cnt[lb], lb))
+        labels = new
+    return labels
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    # two K4s joined by one bridge: after a few rounds each clique
+    # shares one label and the two labels differ
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a + 10, b + 10) for a, b in c1]
+    out = _lpa(spark, c1 + c2 + [(3, 10)], 5)
+    left = {out[n] for n in range(4)}
+    right = {out[n] for n in range(10, 14)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_lpa_matches_brute_force_sync_semantics(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = {(rng.randrange(30), rng.randrange(30)) for _ in range(70)}
+    for rounds in (1, 3, 5):
+        assert _lpa(spark, list(edges), rounds) == _brute_lpa(edges, rounds)
+
+
+def test_lpa_tie_breaks_to_smallest_label(spark):
+    # node 2 sees labels {0, 1} once each after round 1 setup: path
+    # 0-2-1. Round 1: node 2's neighbors hold labels 0 and 1 -> tie
+    # -> must pick 0.
+    out = _lpa(spark, [(0, 2), (1, 2)], 1)
+    assert out[2] == 0
