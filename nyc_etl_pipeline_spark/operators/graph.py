@@ -208,6 +208,7 @@ def kcore_peel(
     n_rounds: int,
     src: str = "src",
     dst: str = "dst",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Fixed-round k-core peeling: run `n_rounds` rounds of "drop every
     node whose current degree < k, keep only edges between survivors"
@@ -245,8 +246,14 @@ def kcore_peel(
             e.join(keep, on="src", how="left_semi")
             .join(keep.withColumnRenamed("src", "dst"), on="dst", how="left_semi")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
         )
+        # checkpoint=False keeps the full lazy plan — ONLY for
+        # plan-shape tests (the doubled-tree growth makes it unusable
+        # beyond a couple of rounds); it also disables the early exit,
+        # which needs a per-round materialization anyway.
+        if not checkpoint:
+            continue
+        e = e.localCheckpoint(eager=True)
         # Early exit on fixpoint: every node in the edge list has
         # degree >= 1, so a peel round that drops ANY node strictly
         # shrinks the edge rows — unchanged count == converged, and
@@ -290,6 +297,7 @@ def label_propagation(
     n_rounds: int,
     src: str = "src",
     dst: str = "dst",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Synchronous label propagation (community detection), fixed
     `n_rounds`: every node starts labeled with its own id; each round
@@ -332,8 +340,10 @@ def label_propagation(
                 ).alias("m")
             )
             .select(F.col("nd").alias("node"), F.col("m.l").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        # checkpoint=False (plan-shape tests only) keeps the lazy plan
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
     return labels
 
 

@@ -137,3 +137,95 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), F.asc("bigram"))
         .limit(top_k)
     )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every raw document by how much more likely its
+    hashed n-gram bag is under the TARGET distribution than under the
+    RAW distribution —
+
+        logw(d) = Σ_b tf_{d,b} * [ ln((ct_b + a) / (Tt + a*B))
+                                 - ln((cq_b + a) / (Tq + a*B)) ]
+
+    with features = unigrams + adjacent bigrams hashed into B buckets
+    (md5_long % B — the engine's oracle-expressible hash), ct/cq the
+    target/raw bucket counts, Tt/Tq their totals, add-a smoothing.
+    High logw = looks like the target; feed the weights to
+    `sampling.weighted_sample` for the resampling step.
+
+    Scale shape: each corpus reduces to (doc, bucket) counts in one
+    map-side-combinable shuffle; both model tables are <= B rows —
+    broadcast — so scoring 100 TB of raw text is one scan + one
+    bounded-size broadcast join, no per-doc vocabulary join. The
+    transcendental per-doc sum folds in bucket order (the q113/q121
+    float-determinism hardening). Returns (id_col, logw 6dp,
+    n_feats) for every raw doc with at least one token.
+    """
+    from nyc_etl_pipeline_spark.functions import md5_long
+    from nyc_etl_pipeline_spark.operators.text import ngrams_from_tokens, tokens
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
+        )
+        return toks.select(
+            "doc",
+            F.explode(
+                F.concat(F.col("toks"), ngrams_from_tokens(F.col("toks"), 2))
+            ).alias("feat"),
+        ).select("doc", F.pmod(md5_long(F.col("feat")), F.lit(n_buckets)).alias("b"))
+
+    ct = (
+        bucketed(target)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    )
+    rawb = bucketed(raw)
+    cq = rawb.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cq"))
+    tt = ct.agg(F.sum("ct").alias("tt"))
+    tq = cq.agg(F.sum("cq").alias("tq"))
+    # every bucket any raw doc contains is present in cq (it counted
+    # itself), so the raw-side model left-joins the target counts
+    ratio = (
+        cq.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tq))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0.0)) + F.lit(alpha))
+                    / (F.col("tt") + F.lit(alpha * n_buckets))
+                )
+                - F.log(
+                    (F.col("cq") + F.lit(alpha))
+                    / (F.col("tq") + F.lit(alpha * n_buckets))
+                )
+            ).alias("r"),
+        )
+    )
+    tfd = rawb.groupBy("doc", "b").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    folded = F.aggregate(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("b"), (F.col("tf") * F.col("r")).alias("contrib")))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["contrib"],
+    )
+    return (
+        tfd.join(F.broadcast(ratio), "b")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            round_half_up(folded, 6).alias("logw"),
+            F.sum("tf").cast("long").alias("n_feats"),
+        )
+    )

@@ -873,3 +873,91 @@ SPECS = [
     QuerySpec("q138_token_budget", q138_token_budget, _q138_sql(),
               "token-budget mixture downsample (token-denominated training mix)"),
 ]
+
+
+# q164 — DSIR-style data selection: importance weights for every
+# non-target document under a hashed unigram+bigram bag model of the
+# `src0` slice vs the rest of the corpus (operators/lm.dsir_importance;
+# the resampling step itself is the already-gated weighted_sample /
+# q111 machinery). Transcendental per-doc sums fold in bucket order on
+# both engines.
+DSIR_BUCKETS = 1024
+DSIR_ALPHA = 1.0
+DSIR_TARGET = "src0"
+
+
+def q164_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_etl_pipeline_spark.operators.lm import dsir_importance
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("source") != DSIR_TARGET)
+    target = docs.filter(F.col("source") == DSIR_TARGET)
+    return dsir_importance(
+        raw, target, n_buckets=DSIR_BUCKETS, alpha=DSIR_ALPHA
+    )
+
+
+def _q164_sql() -> str:
+    from nyc_etl_pipeline_spark.functions import sql_md5_long
+
+    b_expr = sql_md5_long("feat") + f" % {DSIR_BUCKETS}"
+    a = DSIR_ALPHA
+    ab = DSIR_ALPHA * DSIR_BUCKETS
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list(CAST(tf * r AS DOUBLE) ORDER BY b)), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH rawtoks AS MATERIALIZED (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+  WHERE source <> '{DSIR_TARGET}' AND trim(text) <> ''
+),
+tgttoks AS MATERIALIZED (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+  WHERE source = '{DSIR_TARGET}' AND trim(text) <> ''
+),
+rawfeat AS MATERIALIZED (
+  SELECT doc_id, {b_expr} AS b FROM (
+    SELECT doc_id, unnest(toks) AS feat FROM rawtoks
+    UNION ALL
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS feat
+    FROM rawtoks
+  )
+),
+tgtfeat AS MATERIALIZED (
+  SELECT doc_id, {b_expr} AS b FROM (
+    SELECT doc_id, unnest(toks) AS feat FROM tgttoks
+    UNION ALL
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS feat
+    FROM tgttoks
+  )
+),
+ct AS (SELECT b, CAST(count(*) AS DOUBLE) AS ct FROM tgtfeat GROUP BY 1),
+cq AS (SELECT b, CAST(count(*) AS DOUBLE) AS cq FROM rawfeat GROUP BY 1),
+tt AS (SELECT sum(ct) AS tt FROM ct),
+tq AS (SELECT sum(cq) AS tq FROM cq),
+ratio AS (
+  SELECT cq.b,
+         ln((coalesce(ct.ct, CAST(0.0 AS DOUBLE)) + {a}) / (tt + {ab}))
+         - ln((cq.cq + {a}) / (tq + {ab})) AS r
+  FROM cq LEFT JOIN ct USING (b) CROSS JOIN tt CROSS JOIN tq
+),
+tfd AS (
+  SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS tf FROM rawfeat GROUP BY 1, 2
+)
+SELECT doc_id,
+       {sql_round_half_up(f"CAST({fold} AS DOUBLE)", 6)} AS logw,
+       CAST(sum(tf) AS BIGINT) AS n_feats
+FROM tfd JOIN ratio USING (b)
+GROUP BY doc_id
+"""
+
+
+SPECS.append(
+    QuerySpec("q164_dsir_importance", q164_dsir_importance, _q164_sql(),
+              "DSIR hashed-ngram importance weights (target vs raw)")
+)

@@ -651,3 +651,32 @@ def test_incremental_neardup_candidate_bounded_verification(spark, sf_dir):
     )
     # band vs corpus, band within batch, 2 verification joins, anti
     assert joins >= 5, plan
+
+
+def test_graph_iteration_rounds_are_equi_joins(spark, sf_dir):
+    """One un-truncated round of q162's peel and q163's propagation
+    (checkpoint=False exposes the lazy plan the per-round
+    localCheckpoint normally hides): every join must be an equi
+    hash/merge join — semi-joins against the survivor set and the
+    label-table join are all keyed on a node id, so a
+    CartesianProduct or BroadcastNestedLoopJoin means the round went
+    quadratic in nodes."""
+    from nyc_etl_pipeline_spark.operators.graph import (
+        kcore_peel,
+        label_propagation,
+    )
+    from nyc_etl_pipeline_spark.suite.graphq import KCORE_K, _kcore_edges
+
+    edges = _kcore_edges(spark, sf_dir)
+    for df in (
+        kcore_peel(edges, KCORE_K, 1, checkpoint=False),
+        label_propagation(edges, 1, checkpoint=False),
+    ):
+        plan = P.explain_str(df, "simple")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        joins = sum(
+            plan.count(op)
+            for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        )
+        assert joins >= 1, plan

@@ -253,3 +253,59 @@ def test_phrase_slop_matches_brute_force_enumeration(spark):
     exact_docs = {r["doc_id"] for r in phrase_search(df, phrase).collect()}
     slop0_docs = {r["doc_id"] for r in phrase_search_slop(df, phrase, 0).collect()}
     assert slop0_docs == exact_docs
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    """DSIR behavioral contract: a raw doc written in the target
+    slice's vocabulary must out-score a raw doc written in the raw
+    majority's vocabulary, and the weight must respond monotonically
+    to MORE target-like content."""
+    from nyc_etl_pipeline_spark.operators.lm import dsir_importance
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma alpha beta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),            # target-like
+            (2, "zig zag zoom quux"),           # raw-like
+            (3, "alpha beta gamma alpha beta gamma"),  # MORE target-like
+        ]
+        + [(10 + i, "zig zag zoom quux corge") for i in range(20)],
+        "doc_id long, text string",
+    )
+    w = {r.doc_id: r.logw for r in dsir_importance(raw, target).collect()}
+    assert w[1] > w[2]
+    assert w[3] > w[1]
+    assert len(w) == 23  # every raw doc scored
+
+
+def test_dsir_importance_weights_are_log_ratios(spark):
+    """Exact-value check against a hand-computed single-bucket-free
+    model: with one raw doc of one repeated token, logw = tf * ratio
+    of that token's bucket."""
+    import math
+
+    from nyc_etl_pipeline_spark.functions import py_md5_long
+    from nyc_etl_pipeline_spark.operators.lm import dsir_importance
+
+    B, a = 1024, 1.0
+    target = spark.createDataFrame([(50, "tok tok tok")], "doc_id long, text string")
+    raw = spark.createDataFrame([(1, "tok tok")], "doc_id long, text string")
+    # features: unigrams tok x2 + bigram "tok tok" x1 -> two buckets
+    b_uni = py_md5_long("tok") % B
+    b_bi = py_md5_long("tok tok") % B
+    # target: tok x3, "tok tok" x2 (5 feats); raw: tok x2, bigram x1
+    ct = {b_uni: 3.0, b_bi: 2.0}
+    cq = {b_uni: 2.0, b_bi: 1.0}
+    tt, tq = 5.0, 3.0
+    want = 0.0
+    for b in sorted(set(cq)):
+        r = math.log((ct.get(b, 0.0) + a) / (tt + a * B)) - math.log(
+            (cq[b] + a) / (tq + a * B)
+        )
+        want += cq[b] * r  # this doc IS the whole raw corpus: tf == cq
+    got = dsir_importance(raw, target).collect()[0]
+    assert got.n_feats == 3
+    assert abs(got.logw - round(want, 6)) < 1e-9
