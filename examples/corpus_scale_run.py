@@ -134,6 +134,14 @@ def main() -> None:
         # survivors — exercises the chain's prune, not the hit path
         lambda: f"{phrase_search_slop(docs, ['w0', 'w1', 'w2'], slop=50).count():,} docs",
     )
+    # DSIR importance weights: 0.1% target slice vs the rest; the two
+    # bucket models are broadcast-bounded, so this is ~one corpus scan
+    from nyc_etl_pipeline_spark.operators.lm import dsir_importance
+
+    timed(
+        "dsir_importance",
+        lambda: f"{dsir_importance(docs.filter(F.col('doc_id') % 1000 != 0), docs.filter(F.col('doc_id') % 1000 == 0)).count():,} docs scored",
+    )
     timed(
         "unigram_nll",
         lambda: "avg nll %.4f" % unigram_nll_scores(docs).agg(F.avg("nll")).first()[0],

@@ -224,49 +224,62 @@ def kcore_peel(
     the operator deterministic for the chained-CTE oracle
     (sql_kcore_chain), which unrolls the SAME recurrence.
 
-    Scale shape: each round is one partial-aggregated groupBy on src
-    plus two left-semi joins against the (much smaller) survivor set
-    — all equi-joins, no node ever compares against more than its
-    neighbors. The edge set only shrinks. localCheckpoint after every
-    round cuts the self-referencing lineage (the survivor set derives
-    from the same edge set it filters) — without it the logical plan
-    doubles per round (the round-6 deep-DAG lesson); checkpoint
-    blocks land on executor-local disk, no driver collect.
+    Scale shape — DELTA-BASED peeling: the edge list is scanned but
+    NEVER rewritten. State is a node-sized (node, deg) table; each
+    round removes the deg<k nodes, joins ONLY their incident edges
+    out of the (persisted) static edge list, and decrements the
+    survivors' degrees. Every edge is charged at most once across ALL
+    rounds (when its first endpoint dies), so total work is O(m + r *
+    node-table) — versus O(m * r) for the naive variant that filters
+    and re-materializes the full edge set per round (measured 109.6 s
+    -> 6.4 s at 20M directed edges / 1M nodes, examples/
+    graph_scale_run.py). A surviving node's maintained degree equals
+    its degree in the induced survivor subgraph (each removed
+    neighbor decremented it exactly once), which is exactly what the
+    unrolled oracle's terminal per-node count computes — identical
+    output, converged or truncated. The node table localCheckpoints
+    per round (it references itself through the decrement join — the
+    round-6 deep-DAG lesson); fixpoint (no removals) exits early,
+    which the fixed-round oracle mirrors as identity rounds.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    prev_edges = None
+    if checkpoint:
+        e = e.persist()
+    alive = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    if checkpoint:
+        alive = alive.localCheckpoint(eager=True)
     for _ in range(n_rounds):
-        keep = (
-            e.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("src")
-        )
-        e = (
-            e.join(keep, on="src", how="left_semi")
-            .join(keep.withColumnRenamed("src", "dst"), on="dst", how="left_semi")
-            .select("src", "dst")
-        )
+        removed = alive.filter(F.col("deg") < k).select("node")
         # checkpoint=False keeps the full lazy plan — ONLY for
-        # plan-shape tests (the doubled-tree growth makes it unusable
-        # beyond a couple of rounds); it also disables the early exit,
-        # which needs a per-round materialization anyway.
-        if not checkpoint:
-            continue
-        e = e.localCheckpoint(eager=True)
-        # Early exit on fixpoint: every node in the edge list has
-        # degree >= 1, so a peel round that drops ANY node strictly
-        # shrinks the edge rows — unchanged count == converged, and
-        # the remaining fixed rounds (which the oracle still unrolls)
-        # are identity. Count over the fresh checkpoint is one cheap
-        # scan; it turns the post-convergence rounds' 3 jobs each
-        # into zero.
-        n_edges = e.count()
-        if n_edges == prev_edges:
+        # plan-shape tests (the self-referencing tree growth makes it
+        # unusable beyond a couple of rounds); it also skips the
+        # fixpoint probe, which needs an action.
+        if checkpoint and removed.isEmpty():
             break
-        prev_edges = n_edges
-    return e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
+        dec = (
+            e.join(removed, e.src == removed.node)
+            .groupBy(F.col("dst").alias("dnode"))
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        alive = (
+            alive.filter(F.col("deg") >= k)
+            .join(dec, alive.node == dec.dnode, "left")
+            .select(
+                "node",
+                (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg"),
+            )
+        )
+        if checkpoint:
+            alive = alive.localCheckpoint(eager=True)
+    if checkpoint:
+        e.unpersist()
+    # deg > 0: a truncated (non-converged) peel can leave a survivor
+    # with every neighbor removed; the edge-list formulation (and the
+    # oracle's terminal per-src count) has no row for it
+    return alive.filter(F.col("deg") > 0).select(
+        "node", F.col("deg").alias("degree")
     )
 
 

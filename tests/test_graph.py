@@ -188,3 +188,36 @@ def test_lpa_tie_breaks_to_smallest_label(spark):
     # -> must pick 0.
     out = _lpa(spark, [(0, 2), (1, 2)], 1)
     assert out[2] == 0
+
+
+def test_kcore_truncated_peel_matches_edge_list_semantics(spark):
+    """A NON-converged peel (n_rounds smaller than the cascade) must
+    match the per-round edge-list definition the oracle unrolls —
+    including dropping survivors whose every neighbor was removed
+    (degree 0 has no edge row). Long path + a clique: k=2 peels the
+    path one leaf pair per round."""
+    from nyc_etl_pipeline_spark.operators.graph import kcore_peel
+
+    def brute_rounds(edges, k, rounds):
+        adj = {}
+        for a, b in _sym(edges):
+            adj.setdefault(a, set()).add(b)
+        for _ in range(rounds):
+            drop = [n for n, nb in adj.items() if len(nb) < k]
+            if not drop:
+                break
+            for n in drop:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+            for n in [n for n, nb in adj.items() if not nb]:
+                del adj[n]  # no edges -> no row in the edge list
+        return {n: len(nb) for n, nb in adj.items()}
+
+    k4 = [(100 + a, 100 + b) for a in range(4) for b in range(4) if a < b]
+    path = [(i, i + 1) for i in range(8)]
+    edges = k4 + path
+    for rounds in (1, 2, 3, 10):
+        df = spark.createDataFrame(_sym(edges), "src long, dst long")
+        got = {r.node: r.degree for r in kcore_peel(df, 2, rounds).collect()}
+        assert got == brute_rounds(edges, 2, rounds), rounds
