@@ -332,6 +332,10 @@ def label_propagation(
     localCheckpoint per round keeps the lineage flat across rounds.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if checkpoint:
+        # the edge list is scanned once per round — materialize it
+        # instead of re-running its upstream plan n_rounds times
+        e = e.persist()
     labels = (
         e.select(F.col("src").alias("node"))
         .distinct()
@@ -357,6 +361,8 @@ def label_propagation(
         # checkpoint=False (plan-shape tests only) keeps the lazy plan
         if checkpoint:
             labels = labels.localCheckpoint(eager=True)
+    if checkpoint:
+        e.unpersist()
     return labels
 
 

@@ -309,3 +309,21 @@ def test_dsir_importance_weights_are_log_ratios(spark):
     got = dsir_importance(raw, target).collect()[0]
     assert got.n_feats == 3
     assert abs(got.logw - round(want, 6)) < 1e-9
+
+
+def test_dsir_importance_fast_path_scores_all_docs(spark):
+    """portable=False (xxhash64 buckets) is the Spark-only production
+    path: same shape/coverage contract, different hash."""
+    from nyc_etl_pipeline_spark.operators.lm import dsir_importance
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta alpha"), (101, "beta gamma beta")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma") for i in range(12)],
+        "doc_id long, text string",
+    )
+    out = dsir_importance(raw, target, portable=False).collect()
+    assert len(out) == 12
+    assert all(r.n_feats == 7 for r in out)  # 4 unigrams + 3 bigrams
