@@ -772,3 +772,167 @@ def jl_project(
         fold = F.aggregate(F.sequence(F.lit(1), F.lit(d_in)), F.lit(0.0), _term(arr))
         cols.append((fold / F.lit(scale)).alias(f"jl_{j}"))
     return df.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# Distributed fixed-round k-means (Lloyd) with a replayable recurrence
+# --------------------------------------------------------------------------
+
+
+def kmeans_fixed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 4,
+    n_rounds: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column, run for a
+    FIXED `n_rounds` rounds from a deterministic init (the vectors of
+    the `k` smallest ids, cluster j = rank in id order). Returns one
+    row per input vector: (id, cluster, dist2) — the assignment of the
+    FINAL round and its squared L2 distance.
+
+    Fixing the round count (q125/q162 pattern) makes an iterative ML
+    algorithm fully oracle-replayable: `sql_kmeans_chain` unrolls the
+    identical recurrence as chained MATERIALIZED CTEs from the same
+    constants, and every round is bit-exact across engines:
+
+    - components are quantized ONCE to 6 dp with the shared floor-form
+      round (identical double expression both engines). That makes the
+      later DECIMAL(28,6) casts boundary-safe: the quantized double is
+      within ~1e-10 of an exact 1e-6 multiple, so Spark's
+      exact-expansion HALF_UP and DuckDB's scaled-double rounding both
+      land on the same integer — for RAW doubles the two casts can
+      disagree within double-multiply error of a .5 boundary
+      (~4e-10/value — a real, if rare, hash-flip at gate scale).
+    - per-round centroids are dec_sum (exact DECIMAL, merge-order
+      independent) over the quantized components divided by count(*):
+      identical doubles on both engines regardless of partial-agg
+      order.
+    - distances are index-ORDERED left folds of (x_i - c_i)^2 (the
+      q145 pairing: aggregate() with 0.0 init == list_reduce, exact
+      because 0.0 + x == x), and argmin ties break to the lowest
+      cluster id via (d, cluster) struct ordering.
+    - a cluster that loses all members keeps its previous centroid
+      (both sides coalesce), so every round is total.
+
+    Scale shape: this is the standard scalable Lloyd on Spark — per
+    round ONE map-only assignment pass (centroids are k*dim literals
+    baked into the plan, no join, no shuffle of the corpus) plus one
+    k-group partial aggregate; only k*dim doubles ever reach the
+    driver. The input is persisted across rounds (n_rounds actions
+    over the same scan); callers running inside a long-lived session
+    can release it via the returned plan's unpersist or
+    spark.catalog.clearCache hygiene. Deterministic farthest-point /
+    k-means|| seeding is a quality knob at 100 TB; smallest-id init
+    keeps the oracle contract closed-form (and `_lloyd` above remains
+    the sampled driver-side fit used for IVF index builds, a
+    different job).
+    """
+    from nyc_etl_pipeline_spark.functions import dec_sum, round_half_up
+
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: round_half_up(x, 6)
+        ).alias("__v"),
+    ).persist()
+    init = v.orderBy("__id").limit(k).collect()
+    cents: dict[int, list[float]] = {
+        j: list(r["__v"]) for j, r in enumerate(init)
+    }
+
+    def _step(arr):
+        # closure-bound centroid array: aggregate's lambda must take
+        # exactly 2 params (arity inference breaks on defaulted extras)
+        def f(acc, i):
+            diff = F.element_at(F.col("__v"), i) - F.element_at(arr, i)
+            return acc + diff * diff
+
+        return f
+
+    def _assign():
+        alts = []
+        for j in range(k):
+            arr = F.array(*[F.lit(x) for x in cents[j]])
+            d = F.aggregate(
+                F.sequence(F.lit(1), F.lit(dim)), F.lit(0.0), _step(arr)
+            )
+            alts.append(
+                F.struct(d.alias("d"), F.lit(j).cast("long").alias("c"))
+            )
+        best = F.array_sort(F.array(*alts))[0]
+        return v.select(
+            "__id", "__v", best["c"].alias("cluster"), best["d"].alias("d")
+        )
+
+    assign = _assign()
+    for r in range(1, n_rounds):
+        sums = (
+            assign.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    (
+                        dec_sum(F.element_at(F.col("__v"), i))
+                        / F.count(F.lit(1))
+                    ).alias(f"c{i}")
+                    for i in range(1, dim + 1)
+                ],
+            )
+            .collect()
+        )
+        new = {
+            int(row["cluster"]): [row[f"c{i}"] for i in range(1, dim + 1)]
+            for row in sums
+        }
+        cents = {j: new.get(j, cents[j]) for j in range(k)}
+        assign = _assign()
+    return assign.select(
+        F.col("__id").alias(id_col), "cluster", F.col("d").alias("dist2")
+    )
+
+
+def sql_kmeans_chain(v_name: str, dim: int, k: int, n_rounds: int) -> str:
+    """CTE-body fragment replaying kmeans_fixed's recurrence (DuckDB).
+
+    `v_name` must expose (id, v) with v already CAST to DOUBLE[] and
+    6-dp-quantized with the SAME floor-form round the operator applies
+    (see the suite's q165 for the canonical ingestion CTE). Returns
+    "c0 AS (...), a1 AS (...), s1 ..., c1 ..., a{R} AS (...)"; the
+    caller selects (id, cluster, d) from a{n_rounds}.
+    """
+    dist = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        "i -> (t.v[i] - c.c[i]) * (t.v[i] - c.c[i])), (a, b) -> a + b)"
+    )
+    parts = [
+        "c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY id) - 1"
+        f" AS BIGINT) AS cluster, v AS c"
+        f" FROM (SELECT id, v FROM {v_name} ORDER BY id LIMIT {k}))"
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT id, v, cluster, d FROM ("
+            "SELECT id, v, cluster, d,"
+            " row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn"
+            f" FROM (SELECT t.id, t.v, c.cluster, {dist} AS d"
+            f" FROM {v_name} t CROSS JOIN c{r - 1} c)) WHERE rn = 1)"
+        )
+        if r < n_rounds:
+            parts.append(
+                f"s{r} AS MATERIALIZED (SELECT cluster, i,"
+                " CAST(sum(CAST(v[i] AS DECIMAL(28,6))) AS DOUBLE)"
+                " / count(*) AS ci"
+                f" FROM a{r} CROSS JOIN range(1, {dim + 1}) t(i)"
+                " GROUP BY cluster, i)"
+            )
+            parts.append(
+                f"c{r} AS MATERIALIZED (SELECT p.cluster,"
+                " coalesce(n.c, p.c) AS c"
+                f" FROM c{r - 1} p LEFT JOIN (SELECT cluster,"
+                f" list(ci ORDER BY i) AS c FROM s{r} GROUP BY cluster) n"
+                " ON p.cluster = n.cluster)"
+            )
+    return ",\n".join(parts)

@@ -440,6 +440,47 @@ def _q145_sql() -> str:
     return f"SELECT vec_id,\n{cols}\nFROM embeddings"
 
 
+# --------------------------------------------------------------------------
+# q165 — distributed fixed-round k-means over the embeddings
+# --------------------------------------------------------------------------
+
+KM_K = 4
+KM_ROUNDS = 3
+
+
+def q165_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round distributed Lloyd k-means (KM_K clusters, KM_ROUNDS
+    rounds, smallest-id init): per-vector final assignment + squared
+    distance. Every round is bit-exact across engines (6-dp component
+    quantization -> decimal centroid sums -> ordered distance folds);
+    the oracle unrolls the identical recurrence as chained MATERIALIZED
+    CTEs (sql_kmeans_chain) from the same constants."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    out = SIM.kmeans_fixed(
+        emb, "embedding", dim=EMB_DIM, k=KM_K, n_rounds=KM_ROUNDS
+    )
+    return out.select(
+        "vec_id", "cluster", R(F.col("dist2"), 6).alias("dist2")
+    )
+
+
+def _q165_sql() -> str:
+    from nyc_etl_pipeline_spark.functions import sql_round_half_up
+
+    chain = SIM.sql_kmeans_chain("vq", EMB_DIM, KM_K, KM_ROUNDS)
+    quant = sql_round_half_up("x", 6)
+    return f"""
+WITH vq AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {quant}) AS v
+  FROM embeddings
+),
+{chain}
+SELECT id AS vec_id, cluster, {sql_round_half_up('d', 6)} AS dist2
+FROM a{KM_ROUNDS}
+"""
+
+
 SPECS = [
     QuerySpec("q25_embedding_topk", q25_embedding_topk, _Q25_SQL,
               "exact cosine top-k (broadcast queries, no corpus shuffle)"),
@@ -459,4 +500,6 @@ SPECS = [
               "SemDeDup-style linear embedding dedup vs bucket representative"),
     QuerySpec("q115_label_cohesion", q115_label_cohesion, _Q115_SQL,
               "per-label centroid cohesion (embedding cluster quality)"),
+    QuerySpec("q165_kmeans", q165_kmeans, _q165_sql(),
+              "fixed-round distributed Lloyd k-means, chained-CTE oracle"),
 ]

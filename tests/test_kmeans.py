@@ -1,0 +1,110 @@
+"""kmeans_fixed invariants beyond the q165 oracle gate: exact replay
+of the recurrence in plain Python (quantize -> smallest-id init ->
+argmin assign with low-cluster ties -> exact-sum centroids with
+empty-cluster carry), plus the two contract edges the oracle's data
+never exercises (an emptied cluster, an exact distance tie)."""
+
+import math
+import random
+from fractions import Fraction
+
+from pyspark.sql import types as T
+
+
+def _q6(x: float) -> float:
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def _replay(vecs: dict[int, list[float]], k: int, rounds: int):
+    """Bit-exact Python replay of kmeans_fixed: quantized components
+    are exact 1e-6 multiples, so centroid sums replay as integer
+    arithmetic and Fraction->float reproduces the engine's
+    correctly-rounded DECIMAL->DOUBLE cast."""
+    q = {i: [_q6(x) for x in v] for i, v in vecs.items()}
+    ids = sorted(q)
+    cents = {j: list(q[ids[j]]) for j in range(k)}
+
+    def assign():
+        out = {}
+        for i in ids:
+            best = None
+            for j in range(k):
+                d = 0.0
+                for a, b in zip(q[i], cents[j]):
+                    diff = a - b
+                    d = d + diff * diff
+                if best is None or (d, j) < best[:2]:
+                    best = (d, j)
+            out[i] = (best[1], best[0])
+        return out
+
+    a = assign()
+    for _ in range(rounds - 1):
+        groups: dict[int, list[int]] = {}
+        for i, (c, _d) in a.items():
+            groups.setdefault(c, []).append(i)
+        for j, members in groups.items():
+            dim = len(q[members[0]])
+            cents[j] = [
+                float(
+                    Fraction(
+                        sum(round(q[i][p] * 1000000) for i in members), 10**6
+                    )
+                )
+                / len(members)
+                for p in range(dim)
+            ]
+        a = assign()
+    return a
+
+
+def _run(spark, vecs, k, rounds, dim):
+    from nyc_etl_pipeline_spark.operators.similarity import kmeans_fixed
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, v) for i, v in sorted(vecs.items())], schema
+    )
+    rows = kmeans_fixed(
+        df, "embedding", dim=dim, k=k, n_rounds=rounds
+    ).collect()
+    return {r.vec_id: (r.cluster, r.dist2) for r in rows}
+
+
+def test_kmeans_matches_exact_python_replay(spark):
+    rng = random.Random(165)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(40)
+    }
+    got = _run(spark, vecs, k=3, rounds=3, dim=6)
+    want = _replay(vecs, k=3, rounds=3)
+    assert {i: c for i, (c, _) in got.items()} == {
+        i: c for i, (c, _) in want.items()
+    }
+    for i in vecs:
+        assert got[i][1] == want[i][1], i
+
+
+def test_kmeans_empty_cluster_carries_and_ties_break_low(spark):
+    # ids 0,1 coincide -> init makes clusters 0 and 1 identical; every
+    # point ties between them and must pick cluster 0, leaving cluster
+    # 1 empty from round 1 on (the carry keeps its centroid defined so
+    # later rounds stay total instead of raising).
+    vecs = {
+        0: [0.0, 0.0],
+        1: [0.0, 0.0],
+        2: [10.0, 10.0],
+        3: [10.2, 10.2],
+    }
+    got = _run(spark, vecs, k=3, rounds=3, dim=2)
+    assert got[0] == (0, 0.0)
+    assert got[1] == (0, 0.0)
+    assert got[2][0] == 2 and got[3][0] == 2
+    # round 2+ centroid of cluster 2 is the midpoint; both members
+    # share its squared distance
+    assert got[2][1] == got[3][1]
