@@ -302,3 +302,94 @@ def hist_quantiles_by(
             (F.lit(lo) + (F.col("__bin") + F.lit(1)) * F.lit(w)).alias("q_upper"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries summaries -> exact heavy hitters in two bounded passes
+# --------------------------------------------------------------------------
+
+
+def mg_partial_summaries(
+    tokens: DataFrame, col: str = "token", k_summary: int = 64
+) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries: at most
+    `k_summary` (token, weight) rows per partition, built in ONE pass
+    with O(k_summary) memory regardless of partition size or distinct
+    count.
+
+    Each Arrow batch's value_counts merges into the running summary;
+    when the summary exceeds k_summary entries, every weight drops by
+    the (k_summary+1)-th largest and non-positive entries are evicted
+    (the mergeable-summaries form of the MG decrement, Agarwal et al.
+    2013). Guarantee: any token with partition frequency
+    > n_p / (k_summary + 1) still holds a counter at partition end.
+    By averaging, a token with GLOBAL frequency > n / (k_summary + 1)
+    must exceed that ratio in at least one partition — so the UNION of
+    partial summaries is a certified superset of every global heavy
+    hitter at that threshold. This is the sketch the exact two-pass
+    `exact_heavy_hitters` builds its candidate set from.
+    """
+    import pandas as pd
+
+    def gen(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for tok, c in pdf[col].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > k_summary:
+                cut = sorted(counts.values(), reverse=True)[k_summary]
+                counts = {
+                    t: w - cut for t, w in counts.items() if w > cut
+                }
+        yield pd.DataFrame(
+            {col: list(counts), "weight": list(counts.values())}
+        ).astype({"weight": "int64"})
+
+    return tokens.select(col).mapInPandas(
+        gen, schema=f"{col} string, weight long"
+    )
+
+
+def exact_heavy_hitters(
+    tokens: DataFrame, k_threshold: int, col: str = "token",
+    k_summary: int | None = None,
+) -> DataFrame:
+    """EXACT counts of every token whose frequency exceeds
+    n / k_threshold, without ever materializing the full distinct-token
+    frequency table.
+
+    Pass 1 builds per-partition Misra-Gries summaries (bounded memory,
+    no shuffle); their union — at most k_summary * partitions rows —
+    is a certified candidate superset for k_summary >= k_threshold
+    (see mg_partial_summaries). Pass 2 broadcast-semi-joins the token
+    stream against the candidates and aggregates ONLY matching rows,
+    then keeps cnt * k_threshold > n (integer-exact — no float
+    division at the decision boundary). At 100 TB with 10^9+ distinct
+    tokens this replaces the full groupBy's shuffle with one whose
+    input is pre-pruned to a bounded candidate set; the summaries
+    themselves merge associatively, so the same pass structure runs
+    as a streaming/incremental update.
+
+    Output: (col, cnt) — exactly the rows the plain SQL
+    `HAVING count(*) * k > n` query produces (the q166 oracle).
+    """
+    if k_summary is None:
+        k_summary = 2 * k_threshold
+    if k_summary < k_threshold:
+        raise ValueError(
+            "k_summary < k_threshold voids the MG superset guarantee"
+        )
+    toks = tokens.select(col).persist()
+    n = toks.count()
+    cands = (
+        mg_partial_summaries(toks, col, k_summary)
+        .select(col)
+        .distinct()
+    )
+    out = (
+        toks.join(F.broadcast(cands), on=col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * F.lit(int(k_threshold)) > F.lit(int(n)))
+    )
+    return out

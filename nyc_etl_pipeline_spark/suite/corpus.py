@@ -402,6 +402,47 @@ FROM top t
 
 
 # --------------------------------------------------------------------------
+# q166 — exact heavy hitters via two-pass Misra-Gries candidates
+# --------------------------------------------------------------------------
+
+HH_K = 800  # heavy hitter: cnt * HH_K > total bigrams (~top 25% here)
+
+
+def q166_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT counts of every word bigram with frequency > n/HH_K,
+    computed the bounded way: per-partition Misra-Gries summaries (one
+    pass, O(k) memory, no shuffle) certify a candidate superset, then a
+    broadcast-semi-joined second pass aggregates only candidate rows
+    and applies the integer-exact cnt*K > n cut. The oracle is the
+    plain HAVING query — identical output by the MG superset theorem
+    (stress-tested on adversarial Zipf partitions in tests/
+    test_heavy_hitters.py). At 100 TB this shape replaces the
+    10^9-distinct groupBy with a bounded-candidate aggregation."""
+    from nyc_etl_pipeline_spark.operators import sketches as SKC
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.select(TX.tokens(F.col("text")).alias("toks"))
+    big = toks.select(
+        F.explode(TX.ngrams_from_tokens(F.col("toks"), 2)).alias("bigram")
+    )
+    return SKC.exact_heavy_hitters(big, HH_K, col="bigram")
+
+
+_Q166_SQL = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+big AS (
+  SELECT unnest(list_transform(range(greatest(len(t) - 1, 0)),
+                i -> t[i+1] || ' ' || t[i+2])) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS cnt
+FROM big
+GROUP BY bigram
+HAVING count(*) * {HH_K} > (SELECT count(*) FROM big)
+"""
+
+
+# --------------------------------------------------------------------------
 # q125 — BPE merge-table training (iterative; CHAINED-CTE UNROLL oracle)
 # --------------------------------------------------------------------------
 
@@ -778,6 +819,8 @@ SPECS = [
               "fixed-stride context-window chunking (sequence+posexplode, no UDF)"),
     QuerySpec("q124_cms_heavy_hitters", q124_cms_heavy_hitters, _q124_sql(),
               "count-min-sketch point estimates gated against exact counts"),
+    QuerySpec("q166_heavy_hitters", q166_heavy_hitters, _Q166_SQL,
+              "exact heavy hitters via Misra-Gries candidate superset"),
     QuerySpec("q146_weighted_median", q146_weighted_median, _Q146_SQL,
               "per-source token-weighted median doc length (integer-only)"),
     QuerySpec("q149_table_diff", q149_table_diff, _Q149_SQL,
