@@ -680,3 +680,29 @@ def test_graph_iteration_rounds_are_equi_joins(spark, sf_dir):
             for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
         )
         assert joins >= 1, plan
+
+
+def test_kmeans_assignment_pass_is_shuffle_free(spark, sf_dir):
+    """q165's per-round assignment bakes the centroids in as literals:
+    the returned final-assignment plan must be scan -> project with NO
+    Exchange and NO join — the property that makes a Lloyd round one
+    map-only pass over 100 TB plus a k-group aggregate."""
+    from nyc_etl_pipeline_spark.operators.similarity import kmeans_fixed
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    out = kmeans_fixed(emb, "embedding", dim=64, k=4, n_rounds=2)
+    plan = P.explain_str(out, "simple")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_heavy_hitter_verify_pass_broadcasts_candidates(spark, sf_dir):
+    """q166's second pass must semi-join the token stream against the
+    BOUNDED candidate set via broadcast — a SortMergeJoin here would
+    shuffle the full 100 TB token stream, defeating the design."""
+    from nyc_etl_pipeline_spark.suite.corpus import q166_heavy_hitters
+
+    plan = P.explain_str(q166_heavy_hitters(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
