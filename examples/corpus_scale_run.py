@@ -245,6 +245,38 @@ def main() -> None:
         "skyline_2d",
         lambda: f"{skyline_2d(metrics, 'x', 'y').count():,} frontier points",
     )
+    # exact heavy hitters: the corpus word-soup is uniform (worthless
+    # for a frequency-skew probe), so synthesize a Zipf-ish stream of
+    # the same token VOLUME: j = floor(V^u) gives P(j) ~ 1/j. The MG
+    # two-pass path never materializes the multi-million-distinct
+    # frequency table the naive groupBy+HAVING baseline shuffles.
+    n_toks = n_docs * DOC_TOKENS
+    zipf = spark.range(n_toks).select(
+        F.concat(
+            F.lit("w"),
+            F.floor(
+                F.pow(
+                    F.lit(10_000_000.0),
+                    F.pmod(F.xxhash64("id", F.lit(9)), 1_000_000) / 1_000_000.0,
+                )
+            ).cast("long"),
+        ).alias("token")
+    )
+    from nyc_etl_pipeline_spark.operators.sketches import exact_heavy_hitters
+
+    timed(
+        "exact_heavy_hitters K=1000 (MG two-pass)",
+        lambda: f"{exact_heavy_hitters(zipf, 1000).count():,} heavy",
+    )
+    timed(
+        "heavy hitters naive groupBy baseline",
+        lambda: "%s heavy of %s distinct"
+        % (
+            zipf.groupBy("token").count()
+            .filter(F.col("count") * 1000 > n_toks).count(),
+            zipf.select("token").distinct().count(),
+        ),
+    )
     docs.unpersist()
 
 

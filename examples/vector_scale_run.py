@@ -1,0 +1,76 @@
+"""Vector-scale probe: distributed fixed-round k-means at real vector
+volume (the gate fixture is 500 embeddings at every SF).
+
+Synthesizes N dim-dimensional vectors JVM-side (xxhash64 components,
+uniform in [-1, 1); deterministic, no storage) and times
+kmeans_fixed. Scale EVIDENCE, not correctness — the q165 oracle does
+correctness. Each round is one map-only assignment pass (literal
+centroids, no shuffle — asserted by tests/test_plans.py) plus one
+k-group aggregate of dim decimal sums; the interesting question at
+volume is the cost of the exact-decimal centroid accumulation that
+buys cross-engine determinism.
+
+Usage: python examples/vector_scale_run.py [n_vecs] [k] [rounds]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark import get_spark
+
+DIM = 64
+
+
+def synth_vectors(spark, n: int):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            lambda i: (
+                F.pmod(F.xxhash64("id", i, F.lit(21)), 2_000_000)
+                - F.lit(1_000_000)
+            )
+            / 1_000_000.0,
+        ).alias("embedding"),
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    spark = get_spark(
+        app_name="vector-scale-probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    from nyc_etl_pipeline_spark.operators.similarity import kmeans_fixed
+
+    vecs = synth_vectors(spark, n).persist()
+    t0 = time.perf_counter()
+    print(f"synth+persist: {vecs.count():,} x {DIM} vectors "
+          f"in {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    out = kmeans_fixed(vecs, "embedding", dim=DIM, k=k, n_rounds=rounds)
+    sizes = sorted(
+        (r.cluster, r["count"])
+        for r in out.groupBy("cluster").count().collect()
+    )
+    print(
+        f"kmeans_fixed k={k} rounds={rounds}: cluster sizes {sizes} "
+        f"in {time.perf_counter() - t0:.1f}s"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -328,24 +328,79 @@ def mg_partial_summaries(
     partial summaries is a certified superset of every global heavy
     hitter at that threshold. This is the sketch the exact two-pass
     `exact_heavy_hitters` builds its candidate set from.
+
+    Each partition also emits ONE sentinel row (token NULL, weight =
+    its non-null token count): summing them gives exact n without a
+    separate counting scan of a source too big to cache. Input NULLs
+    are not tokens (value_counts drops them) and so can't collide
+    with the sentinel.
     """
-    import pandas as pd
+    def _reduce(buf, limit: int):
+        # mergeable-summaries reduction: subtract the (limit+1)-th
+        # largest weight from EVERY entry, evict the non-positive. The
+        # top limit+1 entries each lose exactly `cut`, so each
+        # reduction removes >= (limit+1)*cut total weight and the
+        # per-item error across a partition stays <= n_p/(limit+1) no
+        # matter how large the buffer was when the cut was taken.
+        if len(buf) <= limit:
+            return buf
+        cut = buf.nlargest(limit + 1).iloc[-1]
+        buf = buf - cut
+        return buf[buf > 0]
 
     def gen(batches):
-        counts: dict = {}
-        for pdf in batches:
-            for tok, c in pdf[col].value_counts().items():
-                counts[tok] = counts.get(tok, 0) + int(c)
-            if len(counts) > k_summary:
-                cut = sorted(counts.values(), reverse=True)[k_summary]
-                counts = {
-                    t: w - cut for t, w in counts.items() if w > cut
-                }
-        yield pd.DataFrame(
-            {col: list(counts), "weight": list(counts.values())}
-        ).astype({"weight": "int64"})
+        # Arrow-native: value_counts per batch is C and only per-batch
+        # DISTINCTS ever become pandas objects (the raw stream never
+        # does); summaries merge associatively, so batches merge
+        # hierarchically (32 at a time). Measured at 60M tokens: this
+        # pass runs 9.6 s of which 6.7 s is the bare JVM->Python Arrow
+        # transfer of the stream (a no-op mapInArrow) — the summary
+        # work itself is ~1 s above the boundary floor, so further
+        # tuning here is pointless; a JVM-native MG aggregate is the
+        # only way under the floor.
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return tokens.select(col).mapInPandas(
+        buf = pd.Series(dtype="int64")
+        parts: list = []
+        n_p = 0
+
+        def _merge():
+            nonlocal buf, parts
+            buf = (
+                pd.concat([buf, *parts]).groupby(level=0).sum()
+                if parts
+                else buf
+            )
+            parts = []
+            buf = _reduce(buf, k_summary)
+
+        for rb in batches:
+            arr = rb.column(0)
+            n_p += len(arr) - arr.null_count
+            vc = pc.value_counts(arr)
+            s = pd.Series(
+                vc.field("counts").to_numpy(),
+                index=vc.field("values").to_pandas(),
+            )
+            if arr.null_count:
+                s = s[~s.index.isna()]
+            parts.append(s)
+            if len(parts) >= 32:
+                _merge()
+        _merge()
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(list(buf.index) + [None], type=pa.string()),
+                pa.array(
+                    [int(x) for x in buf.values] + [n_p], type=pa.int64()
+                ),
+            ],
+            names=[col, "weight"],
+        )
+
+    return tokens.select(col).mapInArrow(
         gen, schema=f"{col} string, weight long"
     )
 
@@ -361,17 +416,28 @@ def exact_heavy_hitters(
     Pass 1 builds per-partition Misra-Gries summaries (bounded memory,
     no shuffle); their union — at most k_summary * partitions rows —
     is a certified candidate superset for k_summary >= k_threshold
-    (see mg_partial_summaries). Pass 2 broadcast-semi-joins the token
-    stream against the candidates and aggregates ONLY matching rows,
-    then keeps cnt * k_threshold > n (integer-exact — no float
-    division at the decision boundary). At 100 TB with 10^9+ distinct
-    tokens this replaces the full groupBy's shuffle with one whose
-    input is pre-pruned to a bounded candidate set; the summaries
-    themselves merge associatively, so the same pass structure runs
-    as a streaming/incremental update.
+    (see mg_partial_summaries), and its sentinel rows sum to exact n.
+    Pass 2 broadcast-semi-joins the token stream against the
+    candidates and aggregates ONLY matching rows, then keeps
+    cnt * k_threshold > n (integer-exact — no float division at the
+    decision boundary). Exactly TWO scans of the source and nothing
+    cached: persisting the stream was measured SLOWER at 60M tokens
+    than re-scanning it (cache deserialization beat by codegen), and
+    a 100 TB stream doesn't fit cache anyway.
+
+    When to use which (measured, 60M tokens / 377k distinct, Zipf):
+    the naive full groupBy+HAVING runs 3.0 s, this path ~17 s (pass 1
+    9.6 s — 6.7 s of it the bare Arrow boundary — plus the verify
+    pass). Below the state wall the naive plan simply wins. The MG
+    path is for the 10^9+-distinct regime, where the naive plan's
+    per-partition hash state spills and the shuffle carries the FULL
+    distinct table; here partial state is a hard k_summary bound, the
+    shuffle is k_summary*partitions rows, and the verify shuffle only
+    carries certified candidates.
 
     Output: (col, cnt) — exactly the rows the plain SQL
     `HAVING count(*) * k > n` query produces (the q166 oracle).
+    NULL tokens are not counted (neither candidates nor n).
     """
     if k_summary is None:
         k_summary = 2 * k_threshold
@@ -379,13 +445,10 @@ def exact_heavy_hitters(
         raise ValueError(
             "k_summary < k_threshold voids the MG superset guarantee"
         )
-    toks = tokens.select(col).persist()
-    n = toks.count()
-    cands = (
-        mg_partial_summaries(toks, col, k_summary)
-        .select(col)
-        .distinct()
-    )
+    toks = tokens.select(col)
+    summ = mg_partial_summaries(toks, col, k_summary).persist()
+    n = summ.filter(F.col(col).isNull()).agg(F.sum("weight")).first()[0]
+    cands = summ.filter(F.col(col).isNotNull()).select(col).distinct()
     out = (
         toks.join(F.broadcast(cands), on=col)
         .groupBy(col)
