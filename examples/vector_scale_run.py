@@ -28,15 +28,19 @@ from pyspark.sql import functions as F
 from nyc_etl_pipeline_spark import get_spark
 
 DIM = 64
+DUP_EVERY = 50  # id % DUP_EVERY == 1 -> exact copy of id-1's vector
 
 
 def synth_vectors(spark, n: int):
+    base = F.when(
+        F.col("id") % DUP_EVERY == 1, F.col("id") - 1
+    ).otherwise(F.col("id"))
     return spark.range(n).select(
         F.col("id").alias("vec_id"),
         F.transform(
             F.sequence(F.lit(1), F.lit(DIM)),
             lambda i: (
-                F.pmod(F.xxhash64("id", i, F.lit(21)), 2_000_000)
+                F.pmod(F.xxhash64(base, i, F.lit(21)), 2_000_000)
                 - F.lit(1_000_000)
             )
             / 1_000_000.0,
@@ -68,6 +72,30 @@ def main() -> None:
     print(
         f"kmeans_fixed k={k} rounds={rounds}: cluster sizes {sizes} "
         f"in {time.perf_counter() - t0:.1f}s"
+    )
+
+    # the rest of the ANN family at vector volume ---------------------------
+    from nyc_etl_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        lsh_bucketed_pairs,
+    )
+
+    queries = vecs.filter(F.col("vec_id") < 5)
+    t0 = time.perf_counter()
+    nq = ivf_topk(
+        vecs, queries, k=10, n_lists=64, n_probe=4,
+        cache_key=("vector_scale_probe", n, 64),
+    ).count()
+    print(
+        f"ivf_topk (64 lists, probe 4, cold fit): {nq:,} result rows "
+        f"in {time.perf_counter() - t0:.1f}s"
+    )
+
+    t0 = time.perf_counter()
+    npairs = lsh_bucketed_pairs(vecs, threshold=0.99, n_planes=16).count()
+    print(
+        f"lsh_bucketed_pairs thr=0.99 (planted {n // DUP_EVERY:,} dups): "
+        f"{npairs:,} pairs in {time.perf_counter() - t0:.1f}s"
     )
     spark.stop()
 

@@ -156,19 +156,36 @@ def _lloyd(x, k: int, seed: int, iters: int = 20):
 
     rng = np.random.default_rng(seed)
     k = min(k, len(x))
+    # All distances via ||x||^2 - 2 x.c + ||c||^2 (clipped at 0 for
+    # the ulp-negative duplicates): the naive broadcast form
+    # (x[:,None,:] - cent[None,:,:])**2 allocates an n*k*d float64
+    # temporary — ~3.3 GB per sweep at the 100k-sample/64-list fit,
+    # which made a single ivf_topk fit the dominant cost of the
+    # 1M-vector probe. The Gram form peaks at n*k.
+    xn = (x * x).sum(axis=1)
+
+    def d2_one(c):
+        return np.maximum(xn - 2.0 * (x @ c) + (c * c).sum(), 0.0)
+
     # k-means++ seeding (D^2-weighted): random init on uniform-ish data
     # leaves badly unbalanced cells, which costs IVF recall directly
-    # (measured 0.52 vs 0.68 at n_probe=3/8 on the uniform fixture)
+    # (measured 0.52 vs 0.68 at n_probe=3/8 on the uniform fixture).
+    # dmin maintained incrementally — O(n*d) per added center.
     cent = x[[rng.integers(len(x))]].copy()
+    dmin = d2_one(cent[0])
     for _ in range(k - 1):
-        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).min(axis=1)
-        total = d2.sum()
+        total = dmin.sum()
         if total <= 0:
-            cent = np.vstack([cent, x[[rng.integers(len(x))]]])
-            continue
-        cent = np.vstack([cent, x[[rng.choice(len(x), p=d2 / total)]]])
+            nxt = x[[rng.integers(len(x))]]
+        else:
+            nxt = x[[rng.choice(len(x), p=dmin / total)]]
+        cent = np.vstack([cent, nxt])
+        dmin = np.minimum(dmin, d2_one(cent[-1]))
     for _ in range(iters):
-        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d2 = np.maximum(
+            xn[:, None] - 2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)[None, :],
+            0.0,
+        )
         assign = d2.argmin(axis=1)
         for c in range(k):
             mask = assign == c
@@ -213,22 +230,58 @@ def ivf_centroids(
     return centers
 
 
+#: above this many literal terms (n_lists * dim), cell assignment
+#: switches from the JVM expression tree to the Arrow/BLAS path.
+#: Higher-order-function folds are INTERPRETED (not codegen'd): at 64
+#: lists x 64 dims the per-row tree measured 532 s for a 100k-vector
+#: assignment, vs seconds for one batched matmul. 512 keeps the gate
+#: configuration (8 x 64) on the exact JVM path.
+_NEAREST_CELL_EXPR_MAX_TERMS = 512
+
+
 def _nearest_cell(vec: Column, centers: list[list[float]]) -> Column:
-    """argmin over squared euclidean distance to literal centers —
-    per-row JVM expression, no shuffle, no ML model round-trip. Ties
-    break to the lowest cell index (same rule as the probe ranking)."""
-    dists = []
-    for c in centers:
-        cv = F.array(*[F.lit(x) for x in c])
-        dists.append(
-            F.aggregate(
-                F.zip_with(vec, cv, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    """argmin over squared euclidean distance to literal centers.
+    Ties break to the lowest cell index (same rule as the probe
+    ranking — numpy argmin also returns the first minimum).
+
+    Small center sets run as a per-row JVM expression (no shuffle, no
+    Python); past _NEAREST_CELL_EXPR_MAX_TERMS total terms the same
+    argmin runs as a vectorized pandas_udf — one (batch x dim) @
+    (dim x lists) BLAS matmul per Arrow batch. The ||x||^2 term is
+    constant per row and dropped there: argmin_c(||c||^2 - 2 x.c) ==
+    argmin_c ||x - c||^2 (exactly in real arithmetic; the two paths
+    may disagree only on float near-ties, which the IVF contract —
+    quality-at-rank, not cell identity — is explicitly robust to)."""
+    if len(centers) * len(centers[0]) <= _NEAREST_CELL_EXPR_MAX_TERMS:
+        dists = []
+        for c in centers:
+            cv = F.array(*[F.lit(x) for x in c])
+            dists.append(
+                F.aggregate(
+                    F.zip_with(vec, cv, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
             )
-        )
-    darr = F.array(*dists)
-    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        darr = F.array(*dists)
+        return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centers, dtype=np.float64)
+    half_cn = 0.5 * (C * C).sum(axis=1)
+
+    # no type hints: the module's `from __future__ import annotations`
+    # turns them into strings the UDF hint-inference can't resolve for
+    # locally-imported pandas; the positional form infers SCALAR.
+    def _cell(v):
+        x = np.stack(v.to_numpy())
+        scores = half_cn[None, :] - x @ C.T
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    return pandas_udf(_cell, "int")(vec)
 
 
 def ivf_topk(
