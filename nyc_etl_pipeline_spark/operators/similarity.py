@@ -892,6 +892,15 @@ def kmeans_fixed(
         ).alias("__v"),
     ).persist()
     init = v.orderBy("__id").limit(k).collect()
+    # fewer vectors than clusters: run with the clusters that exist
+    # (the oracle's LIMIT k does the same); empty input returns empty
+    k = min(k, len(init))
+    if k == 0:
+        return v.select(
+            F.col("__id").alias(id_col),
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("double").alias("dist2"),
+        )
     cents: dict[int, list[float]] = {
         j: list(r["__v"]) for j, r in enumerate(init)
     }

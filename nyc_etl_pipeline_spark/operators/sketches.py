@@ -447,7 +447,11 @@ def exact_heavy_hitters(
         )
     toks = tokens.select(col)
     summ = mg_partial_summaries(toks, col, k_summary).persist()
-    n = summ.filter(F.col(col).isNull()).agg(F.sum("weight")).first()[0]
+    # 0-partition input yields no sentinel rows at all -> sum is NULL
+    n = (
+        summ.filter(F.col(col).isNull()).agg(F.sum("weight")).first()[0]
+        or 0
+    )
     cands = summ.filter(F.col(col).isNotNull()).select(col).distinct()
     out = (
         toks.join(F.broadcast(cands), on=col)
@@ -456,3 +460,40 @@ def exact_heavy_hitters(
         .filter(F.col("cnt") * F.lit(int(k_threshold)) > F.lit(int(n)))
     )
     return out
+
+
+def mg_merge(summaries: DataFrame, col: str = "token", k_summary: int = 64) -> DataFrame:
+    """Merge per-partition (or per-shard) Misra-Gries summaries into
+    ONE global summary of at most `k_summary` rows, plus the merged
+    sentinel (token NULL, weight = total n).
+
+    MG summaries merge associatively: sum weights per token, then
+    apply the same reduction — subtract the (k_summary+1)-th largest
+    merged weight, evict the non-positive. The merged error bound is
+    the sum of the inputs' bounds (Agarwal et al. 2013), so a token
+    with global frequency > 2n/(k_summary+1) is guaranteed present
+    with weight >= freq - 2n/(k_summary+1). This is the cross-shard /
+    cross-day rollup companion of `cms_merge` and `hist_merge`: daily
+    summaries stay tiny, and the season's summary is one merge away
+    — no re-scan of the raw streams.
+
+    The merged table is k_summary * shards rows at most — window-rank
+    arithmetic on it is trivial at any corpus size.
+    """
+    cand = summaries.filter(F.col(col).isNotNull())
+    merged = cand.groupBy(col).agg(F.sum("weight").alias("weight"))
+    cut = (
+        merged.orderBy(F.desc("weight"))
+        .limit(k_summary + 1)
+        .agg(F.when(F.count(F.lit(1)) > k_summary, F.min("weight")).otherwise(F.lit(0)).alias("cut"))
+    )
+    kept = (
+        merged.crossJoin(F.broadcast(cut))
+        .select(col, (F.col("weight") - F.col("cut")).alias("weight"))
+        .filter(F.col("weight") > 0)
+    )
+    total = summaries.filter(F.col(col).isNull()).agg(
+        F.lit(None).cast("string").alias(col),
+        F.coalesce(F.sum("weight"), F.lit(0)).alias("weight"),
+    )
+    return kept.unionByName(total)

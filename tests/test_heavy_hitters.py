@@ -51,11 +51,26 @@ def test_summary_bounded_and_candidates_superset(spark, zipf_tokens):
     summ = mg_partial_summaries(df, "token", k_s)
     sizes = (
         summ.groupBy(F.spark_partition_id().alias("p"))
-        .count()
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count("token").alias("cand_rows"),
+            F.sum(F.when(F.col("token").isNull(), F.col("weight"))).alias(
+                "part_n"
+            ),
+        )
         .collect()
     )
-    assert sizes and all(r["count"] <= k_s for r in sizes)
-    cands = {r.token for r in summ.select("token").distinct().collect()}
+    # per partition: <= k_summary candidate rows + exactly 1 sentinel
+    assert sizes and all(r["cand_rows"] <= k_s for r in sizes)
+    assert all(r["rows"] == r["cand_rows"] + 1 for r in sizes)
+    assert sum(r["part_n"] for r in sizes) == len(zipf_tokens)
+    cands = {
+        r.token
+        for r in summ.filter(F.col("token").isNotNull())
+        .select("token")
+        .distinct()
+        .collect()
+    }
     heavy = set(_brute(zipf_tokens, k_s + 1))
     assert heavy <= cands
 
@@ -81,3 +96,36 @@ def test_single_dominant_token_exact(spark):
 def test_k_summary_below_threshold_rejected(spark):
     with pytest.raises(ValueError):
         exact_heavy_hitters(_tokens_df(spark, ["a"]), 10, k_summary=5)
+
+
+def test_mg_merge_global_summary(spark, zipf_tokens):
+    from nyc_etl_pipeline_spark.operators.sketches import mg_merge
+
+    k_s = 16
+    df = _tokens_df(spark, zipf_tokens)
+    merged = mg_merge(mg_partial_summaries(df, "token", k_s), "token", k_s)
+    rows = merged.collect()
+    cands = {r.token: r.weight for r in rows if r.token is not None}
+    sentinels = [r.weight for r in rows if r.token is None]
+    assert sentinels == [len(zipf_tokens)]
+    assert len(cands) <= k_s
+    n = len(zipf_tokens)
+    true = Counter(zipf_tokens)
+    # merged-summary guarantee: freq > 2n/(k_s+1) => present, and no
+    # weight ever exceeds the true count
+    for t, c in true.items():
+        if c * (k_s + 1) > 2 * n:
+            assert t in cands, t
+    for t, w in cands.items():
+        assert w <= true[t]
+
+
+def test_heavy_hitters_empty_input(spark):
+    from pyspark.sql import types as T
+
+    from nyc_etl_pipeline_spark.operators.sketches import exact_heavy_hitters
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("token", T.StringType())])
+    )
+    assert exact_heavy_hitters(empty, 10).count() == 0

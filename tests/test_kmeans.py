@@ -108,3 +108,8 @@ def test_kmeans_empty_cluster_carries_and_ties_break_low(spark):
     # round 2+ centroid of cluster 2 is the midpoint; both members
     # share its squared distance
     assert got[2][1] == got[3][1]
+
+
+def test_kmeans_more_clusters_than_vectors(spark):
+    got = _run(spark, {0: [0.0, 0.0], 1: [4.0, 4.0]}, k=5, rounds=2, dim=2)
+    assert got == {0: (0, 0.0), 1: (1, 0.0)}
