@@ -97,6 +97,32 @@ def main() -> None:
         f"lsh_bucketed_pairs thr=0.99 (planted {n // DUP_EVERY:,} dups): "
         f"{npairs:,} pairs in {time.perf_counter() - t0:.1f}s"
     )
+
+    # write-time IVF layout: one-time partitioned materialization,
+    # then every search reads only the probed cell directories
+    import tempfile
+
+    from nyc_etl_pipeline_spark.operators.similarity import (
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/ivf_index"
+        t0 = time.perf_counter()
+        centers = ivf_write_index(
+            vecs, path, n_lists=64,
+            cache_key=("vector_scale_probe", n, 64),
+        )
+        print(f"ivf_write_index (64 cells): {time.perf_counter() - t0:.1f}s one-time")
+        t0 = time.perf_counter()
+        nq = ivf_topk_indexed(
+            spark, path, centers, queries, k=10, n_probe=4
+        ).count()
+        print(
+            f"ivf_topk_indexed (partition-pruned, 4/64 cells): {nq:,} rows "
+            f"in {time.perf_counter() - t0:.1f}s"
+        )
     spark.stop()
 
 
