@@ -277,6 +277,8 @@ def _nearest_cell(vec: Column, centers: list[list[float]]) -> Column:
     # turns them into strings the UDF hint-inference can't resolve for
     # locally-imported pandas; the positional form infers SCALAR.
     def _cell(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
         x = np.stack(v.to_numpy())
         scores = half_cn[None, :] - x @ C.T
         return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
@@ -744,8 +746,8 @@ def lsh_bucketed_pairs(
     # (dot + both norms — higher-order folds are interpreted, so this
     # is the pair-scoring hot path; sqrt(dot(v,v)) here is the exact
     # expression cosine() evaluates, so results are bit-identical and
-    # the q27 oracle is unaffected). Measured 40.3 s -> 21.9 s at 1M
-    # vectors / 7.6M candidates, together with dropping the
+    # the q27 oracle is unaffected). Measured idle best-of-2 at 1M
+    # vectors: 40.3 s -> 21.3 s, together with dropping the
     # dropDuplicates: each vector has exactly ONE bucket, so the
     # bucket join emits every pair at most once and the dedup was a
     # full shuffle of the candidate pairs for nothing.

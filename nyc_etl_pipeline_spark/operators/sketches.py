@@ -314,8 +314,8 @@ def mg_partial_summaries(
 ) -> DataFrame:
     """Per-partition Misra-Gries frequency summaries: at most
     `k_summary` (token, weight) rows per partition, built in ONE pass
-    with O(k_summary) memory regardless of partition size or distinct
-    count.
+    with memory bounded by k_summary counters plus a 32-Arrow-batch
+    merge buffer — constant in partition size and distinct count.
 
     Each Arrow batch's value_counts merges into the running summary;
     when the summary exceeds k_summary entries, every weight drops by
