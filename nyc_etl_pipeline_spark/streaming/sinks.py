@@ -261,3 +261,55 @@ def merged_mart(warehouse, table: str, keys: list[str], measures: list[str]) -> 
 
     parts = warehouse.read(table).drop("batch_id")
     return INC.finalize(INC.merge_partials([parts], keys, measures), measures)
+
+
+def mg_maintainer(
+    warehouse, table: str, token_col: str = "token", k_summary: int = 64
+):
+    """foreachBatch function maintaining a Misra-Gries heavy-hitter
+    summary incrementally: each micro-batch's partial summaries
+    (operators/sketches.mg_partial_summaries — candidate rows plus
+    the NULL-token sentinel carrying the batch's exact row count)
+    land in a batch_id partition via dynamic partition overwrite, so
+    a replayed batch rewrites its own partition instead of
+    double-counting — the same exactly-once-by-idempotence contract
+    as `sketch_maintainer`.
+
+    MG summaries merge associatively with errors that ADD over
+    disjoint inputs (<= n_b/(k+1) per batch, total <= n/(k+1)), so
+    `merged_mg_summary` — one mg_merge over all partitions — carries
+    the 2n/(k+1) merged bound no matter how many batches arrived or
+    in what order. The summary is the bounded CANDIDATE set; an exact
+    verification pass over the stored raw events (the
+    exact_heavy_hitters second pass) turns it into exact counts on
+    demand.
+    """
+    from nyc_etl_pipeline_spark.operators import sketches as SKC
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # see sketch_maintainer: empty batch 0 must not write
+        partial = SKC.mg_partial_summaries(
+            batch_df, col=token_col, k_summary=k_summary
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        if warehouse.exists(table):
+            warehouse.overwrite_partitions(partial, table, ["batch_id"])
+        else:
+            warehouse.overwrite(partial, table, partition_by=["batch_id"])
+
+    return write_batch
+
+
+def merged_mg_summary(
+    warehouse, table: str, token_col: str = "token", k_summary: int = 64
+) -> DataFrame:
+    """The stream-wide MG summary: one associative merge over every
+    batch partial (k_summary*partitions*batches input rows, never
+    corpus-sized). Output: <= k_summary candidate rows + one sentinel
+    (token NULL, weight = exact total stream length)."""
+    from nyc_etl_pipeline_spark.operators import sketches as SKC
+
+    return SKC.mg_merge(
+        warehouse.read(table).drop("batch_id"), col=token_col,
+        k_summary=k_summary,
+    )

@@ -249,3 +249,53 @@ def test_compact_preserves_partitions_and_replay_contract(spark, sf_dir, tmp_pat
     # overwrite must REPLACE it, not add a second copy
     writer(events.limit(300), 1)
     assert sorted(map(tuple, merged_sketch(wh, "cms").collect())) == before
+
+
+def test_streaming_mg_summary_maintenance_exactly_once(spark, sf_dir, tmp_path):
+    """Per-batch MG partials land in batch_id partitions; replay
+    overwrites (no double count); the merged summary's sentinel total
+    is exact and its candidate set still certifies every heavy hitter
+    of the full stream at the merged 2n/(k+1) bound."""
+    from collections import Counter
+
+    from nyc_etl_pipeline_spark.streaming.sinks import (
+        merged_mg_summary,
+        mg_maintainer,
+    )
+
+    k_s = 8
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = read_event_stream(spark, sf_dir).select(
+        F.col("event_type").alias("token")
+    )
+    writer = mg_maintainer(wh, "mg", token_col="token", k_summary=k_s)
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    events = read_testdata(spark, sf_dir, "events").select(
+        F.col("event_type").alias("token")
+    )
+    toks = [r.token for r in events.collect()]
+
+    def check():
+        rows = merged_mg_summary(wh, "mg", "token", k_s).collect()
+        cands = {r.token: r.weight for r in rows if r.token is not None}
+        total = sum(r.weight for r in rows if r.token is None)
+        assert total == len(toks)
+        assert len(cands) <= k_s
+        true = Counter(toks)
+        for t, c in true.items():
+            if c * (k_s + 1) > 2 * len(toks):
+                assert t in cands, t
+        for t, w in cands.items():
+            assert w <= true[t]
+
+    check()
+    # replay batch 0 verbatim: partition overwrite keeps totals exact
+    writer(events, 0)
+    check()
