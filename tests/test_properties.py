@@ -331,3 +331,32 @@ def test_diff_tables_partition_identities(spark, old_rows, new_rows):
     assert m["added"] + m["changed"] + m["unchanged"] == len(new_rows)
     assert m["removed"] + m["changed"] + m["unchanged"] == len(old_rows)
     assert m["col_v"] == m["changed"]  # single compare column
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from([f"t{i}" for i in range(12)]),
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(2, 6),  # k_threshold
+    st.integers(1, 5),  # partitions
+)
+def test_exact_heavy_hitters_property(spark, toks, k, parts):
+    """For ANY token stream, threshold, partitioning, and the MINIMUM
+    legal summary size (k_summary = k_threshold, the tightest the
+    superset theorem allows), the MG two-pass output equals brute
+    force exactly — the end-to-end statement of the certificate."""
+    from collections import Counter
+
+    from nyc_etl_pipeline_spark.operators.sketches import exact_heavy_hitters
+
+    df = spark.createDataFrame([(t,) for t in toks], "token string").repartition(parts)
+    got = {
+        (r.token, r.cnt)
+        for r in exact_heavy_hitters(df, k, k_summary=k).collect()
+    }
+    n = len(toks)
+    want = {(t, c) for t, c in Counter(toks).items() if c * k > n}
+    assert got == want
