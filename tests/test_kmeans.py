@@ -113,3 +113,19 @@ def test_kmeans_empty_cluster_carries_and_ties_break_low(spark):
 def test_kmeans_more_clusters_than_vectors(spark):
     got = _run(spark, {0: [0.0, 0.0], 1: [4.0, 4.0]}, k=5, rounds=2, dim=2)
     assert got == {0: (0, 0.0), 1: (1, 0.0)}
+
+
+def test_arrow_assignment_path_bitwise_equals_jvm(spark, monkeypatch):
+    """The vectorized assignment twin must produce BITWISE-identical
+    (cluster, dist2) to the JVM fold path — same float64 operation
+    sequence per row — so the oracle contract holds on either path."""
+    import random as _r
+
+    from nyc_etl_pipeline_spark.operators import similarity as SIM
+
+    rng = _r.Random(99)
+    vecs = {i: [rng.uniform(-2, 2) for _ in range(8)] for i in range(60)}
+    jvm = _run(spark, vecs, k=3, rounds=3, dim=8)
+    monkeypatch.setattr(SIM, "_NEAREST_CELL_EXPR_MAX_TERMS", 0)
+    arrow = _run(spark, vecs, k=3, rounds=3, dim=8)
+    assert arrow == jvm  # exact doubles, not approx
