@@ -56,6 +56,27 @@ def sample(
     return df.filter(_bucket(key_cols, salt, portable) < int(fraction * _BUCKETS))
 
 
+def _split_bounds(weights: dict[str, float]) -> list[tuple[str, int, int]]:
+    """Cumulative [lo, hi) integer bucket bounds for named splits —
+    the SINGLE source of truth shared by `split`, `assign_split`,
+    `sql_split_case`, and the suite oracles (q50/q167/q168): the same
+    float->int truncation order everywhere, or two call sites could
+    disagree about a boundary bucket."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bounds: list[tuple[str, int, int]] = []
+    lo = 0.0
+    items = list(weights.items())
+    for i, (name, w) in enumerate(items):
+        hi = lo + w
+        lo_b = int(lo * _BUCKETS)
+        hi_b = _BUCKETS if i == len(items) - 1 else int(hi * _BUCKETS)
+        bounds.append((name, lo_b, hi_b))
+        lo = hi
+    return bounds
+
+
 def split(
     df: DataFrame,
     key_cols: list[str],
@@ -67,20 +88,109 @@ def split(
     Weights must sum to 1. Each key lands in exactly one split,
     deterministically — adding rows later never moves existing keys
     between splits (stable assignment under dataset growth)."""
-    total = sum(weights.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(f"weights must sum to 1, got {total}")
     bucket = _bucket(key_cols, salt, portable)
-    out: dict[str, DataFrame] = {}
-    lo = 0.0
-    items = list(weights.items())
-    for i, (name, w) in enumerate(items):
-        hi = lo + w
-        lo_b = int(lo * _BUCKETS)
-        hi_b = _BUCKETS if i == len(items) - 1 else int(hi * _BUCKETS)
-        out[name] = df.filter((bucket >= lo_b) & (bucket < hi_b))
-        lo = hi
-    return out
+    return {
+        name: df.filter((bucket >= lo_b) & (bucket < hi_b))
+        for name, lo_b, hi_b in _split_bounds(weights)
+    }
+
+
+def assign_split(
+    df: DataFrame,
+    key_cols: list[str],
+    weights: dict[str, float],
+    salt: str = "v1",
+    portable: bool = False,
+    out_col: str = "split",
+) -> DataFrame:
+    """Split ASSIGNMENT as a column (one pass over the data) instead of
+    `split`'s per-split filtered frames — the shape joins and audits
+    need. Identical bucket + bounds as `split`, so the two agree row
+    for row. Pure projection: no shuffle, linear at any scale."""
+    bucket = _bucket(key_cols, salt, portable)
+    expr = None
+    for name, lo_b, hi_b in _split_bounds(weights):
+        cond = (bucket >= lo_b) & (bucket < hi_b)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr)
+
+
+def sql_split_case(bucket_expr: str, weights: dict[str, float]) -> str:
+    """DuckDB CASE fragment mirroring `assign_split` (same bounds from
+    `_split_bounds`); `bucket_expr` should be a `sql_bucket` twin of
+    the Spark-side key."""
+    arms = " ".join(
+        f"WHEN ({bucket_expr}) >= {lo_b} AND ({bucket_expr}) < {hi_b} THEN '{name}'"
+        for name, lo_b, hi_b in _split_bounds(weights)
+    )
+    return f"CASE {arms} END"
+
+
+def leakage_safe_assign(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    rep_col: str = "cluster_rep",
+    salt: str = "v1",
+    portable: bool = False,
+    out_col: str = "split",
+) -> DataFrame:
+    """Cluster-aware train/val/test assignment: hash the near-dup
+    cluster REPRESENTATIVE instead of the document, so every member of
+    a near-duplicate cluster lands in the same split. A per-document
+    hash split (q50) silently places near-copies of the same document
+    on both sides of a train/test boundary — memorized-duplicate
+    leakage that inflates eval scores; assigning whole clusters is the
+    standard fix (the dedup-then-split step of LLM data pipelines).
+
+    `clusters` is (id_col, rep_col) as produced by
+    dedup.neardup_clusters / neardup_clusters_twophase (singletons
+    included — every doc has a row). Docs missing from `clusters` are
+    treated as singletons (rep = own id), so a pair-graph-only cluster
+    map also works.
+
+    Scale shape: one equi join on the doc id (sort-merge/shuffle-hash;
+    both sides are corpus-sized and co-keyed) followed by a pure
+    projection — no extra shuffle beyond the join, and the join
+    disappears entirely if `clusters` is written bucketed by id."""
+    rep = F.coalesce(F.col(rep_col), F.col(id_col)).alias(rep_col)
+    joined = df.join(
+        clusters.select(id_col, rep_col), on=id_col, how="left"
+    ).withColumn(rep_col, rep)
+    return assign_split(joined, [rep_col], weights, salt, portable, out_col)
+
+
+def split_leakage_audit(
+    pairs: DataFrame,
+    assigned: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Near-dup pairs whose endpoints landed in DIFFERENT splits — the
+    train/test-leakage audit a split strategy is judged by (zero rows
+    under `leakage_safe_assign`, non-zero under a per-doc hash split
+    whenever a cluster straddles a boundary).
+
+    Output: (a_id, b_id, split_a, split_b). Two equi joins of the pair
+    list against the assignment map (pair-graph-sized, not
+    corpus-sized), then a filter — broadcastable when the assignment
+    map is small, sort-merge otherwise."""
+    asg = assigned.select(id_col, split_col)
+    a = asg.select(
+        F.col(id_col).alias(a_col), F.col(split_col).alias("split_a")
+    )
+    b = asg.select(
+        F.col(id_col).alias(b_col), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.select(a_col, b_col)
+        .join(a, on=a_col)
+        .join(b, on=b_col)
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
 
 
 def stratified_sample(

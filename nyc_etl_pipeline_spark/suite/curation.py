@@ -24,8 +24,11 @@ def q41_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_clusters(docs, pairs)
 
 
-_Q41_SQL = f"""
-WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+# The exact-Jaccard pair graph + recursive-CTE connected components,
+# as reusable CTE bodies: q41 selects the cluster map directly; the
+# split suite (q167/q168) builds cluster-aware split assignments on
+# top of the same `pairs`/`reach` relations.
+CC_CTES = f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 ov AS (
@@ -44,7 +47,10 @@ reach(node, root) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
-)
+)"""
+
+_Q41_SQL = f"""
+WITH RECURSIVE {CC_CTES}
 SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_rep
 FROM reach GROUP BY node
 """

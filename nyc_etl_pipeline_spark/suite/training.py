@@ -23,7 +23,7 @@ from nyc_etl_pipeline_spark.operators import packing
 from nyc_etl_pipeline_spark.operators import sampling
 from nyc_etl_pipeline_spark.operators import text as TX
 from nyc_etl_pipeline_spark.suite import QuerySpec
-from nyc_etl_pipeline_spark.suite.curation import _Q41_SQL
+from nyc_etl_pipeline_spark.suite.curation import _Q41_SQL, CC_CTES
 from nyc_etl_pipeline_spark.suite.textops import _SHINGLES, _TOKS, JACCARD_THRESHOLD, NGRAM_N
 
 SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -53,18 +53,9 @@ def q50_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q50_sql() -> str:
     bucket = sampling.sql_bucket(["doc_id"], SPLIT_SALT)
-    # identical cumulative [lo, hi) bounds as sampling.split
-    bounds, lo = [], 0.0
-    items = list(SPLIT_WEIGHTS.items())
-    for i, (name, w) in enumerate(items):
-        hi = lo + w
-        lo_b = int(lo * 1_000_000)
-        hi_b = 1_000_000 if i == len(items) - 1 else int(hi * 1_000_000)
-        bounds.append((name, lo_b, hi_b))
-        lo = hi
-    case = "CASE " + " ".join(
-        f"WHEN bkt >= {lo_b} AND bkt < {hi_b} THEN '{name}'" for name, lo_b, hi_b in bounds
-    ) + " END"
+    # identical cumulative [lo, hi) bounds as sampling.split — both
+    # sides now render from sampling._split_bounds via sql_split_case
+    case = sampling.sql_split_case("bkt", SPLIT_WEIGHTS)
     return f"""
 WITH b AS (SELECT doc_id, {bucket} AS bkt FROM documents)
 SELECT {case} AS split, count(*) AS n_docs,
@@ -960,4 +951,148 @@ GROUP BY doc_id
 SPECS.append(
     QuerySpec("q164_dsir_importance", q164_dsir_importance, _q164_sql(),
               "DSIR hashed-ngram importance weights (target vs raw)")
+)
+
+
+# --------------------------------------------------------------------------
+# q167 — leakage-safe split: assign whole near-dup CLUSTERS to
+# train/val/test, so near-copies of a document can never straddle a
+# split boundary (per-doc hashing — q50 — leaks memorized duplicates
+# across train/test whenever a cluster straddles a cut).
+# --------------------------------------------------------------------------
+
+LS_SALT = "leak-r8"
+
+
+def q167_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware split membership report: connected components
+    over the exact n-gram-Jaccard pair graph (q18/q41), then the
+    portable md5 bucket of the CLUSTER REPRESENTATIVE decides the
+    split for every member. Gated on per-split doc count, distinct
+    cluster count, and id checksum."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD)
+    clusters = D.neardup_clusters(docs, pairs)
+    assigned = sampling.leakage_safe_assign(
+        docs.select("doc_id"), clusters, SPLIT_WEIGHTS,
+        salt=LS_SALT, portable=True,
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_rep").alias("n_clusters"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def _q167_sql() -> str:
+    bucket = sampling.sql_bucket(["cluster_rep"], LS_SALT)
+    case = sampling.sql_split_case("bkt", SPLIT_WEIGHTS)
+    return f"""
+WITH RECURSIVE {CC_CTES},
+cl AS (
+  SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_rep
+  FROM reach GROUP BY node
+),
+b AS (SELECT doc_id, cluster_rep, {bucket} AS bkt FROM cl),
+a AS (SELECT doc_id, cluster_rep, {case} AS split FROM b)
+SELECT split, count(*) AS n_docs,
+       count(DISTINCT cluster_rep) AS n_clusters,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM a GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q168 — split-leakage audit: count near-dup pairs straddling a split
+# boundary under (a) the naive per-doc hash split and (b) the
+# cluster-aware split. The leakage-safe count is structurally zero —
+# and the oracle PROVES both engines agree it is zero, rather than
+# asserting it.
+# --------------------------------------------------------------------------
+
+def q168_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit: total near-dup pairs, pairs leaked across splits
+    by the per-doc split (q50's salt/weights), pairs leaked by the
+    cluster-aware split (q167's) — the before/after evidence a split
+    strategy review asks for."""
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    pairs = D.ngram_jaccard_pairs(
+        read_testdata(spark, sf_dir, "documents"),
+        n=NGRAM_N, threshold=JACCARD_THRESHOLD,
+    ).localCheckpoint()  # feeds both CC and the audit joins: materialize once
+    naive = sampling.assign_split(
+        docs, ["doc_id"], SPLIT_WEIGHTS, salt=SPLIT_SALT, portable=True
+    )
+    clusters = D.neardup_clusters(docs, pairs, id_col="doc_id")
+    safe = sampling.leakage_safe_assign(
+        docs, clusters, SPLIT_WEIGHTS, salt=LS_SALT, portable=True
+    )
+
+    def side(assigned: DataFrame, id_alias: str, out: str) -> DataFrame:
+        return assigned.select(
+            F.col("doc_id").alias(id_alias), F.col("split").alias(out)
+        )
+
+    audit = (
+        pairs.select("a_id", "b_id")
+        .join(side(naive, "a_id", "naive_a"), on="a_id")
+        .join(side(naive, "b_id", "naive_b"), on="b_id")
+        .join(side(safe, "a_id", "safe_a"), on="a_id")
+        .join(side(safe, "b_id", "safe_b"), on="b_id")
+    )
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    return audit.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("naive_a") != F.col("naive_b"), one).otherwise(zero)),
+            zero,
+        ).alias("n_leaked_naive"),
+        F.coalesce(
+            F.sum(F.when(F.col("safe_a") != F.col("safe_b"), one).otherwise(zero)),
+            zero,
+        ).alias("n_leaked_safe"),
+    )
+
+
+def _q168_sql() -> str:
+    nb = sampling.sql_bucket(["doc_id"], SPLIT_SALT)
+    ncase = sampling.sql_split_case(nb, SPLIT_WEIGHTS)
+    sb = sampling.sql_bucket(["cluster_rep"], LS_SALT)
+    scase = sampling.sql_split_case("bkt", SPLIT_WEIGHTS)
+    return f"""
+WITH RECURSIVE {CC_CTES},
+cl AS (
+  SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_rep
+  FROM reach GROUP BY node
+),
+sbk AS (SELECT doc_id, cluster_rep, {sb} AS bkt FROM cl),
+safe AS (SELECT doc_id, {scase} AS split FROM sbk),
+naive AS (SELECT doc_id, {ncase} AS split FROM documents),
+audit AS (
+  SELECT p.a_id, p.b_id,
+         na.split AS naive_a, nb2.split AS naive_b,
+         sa.split AS safe_a, sb2.split AS safe_b
+  FROM pairs p
+  JOIN naive na ON p.a_id = na.doc_id
+  JOIN naive nb2 ON p.b_id = nb2.doc_id
+  JOIN safe sa ON p.a_id = sa.doc_id
+  JOIN safe sb2 ON p.b_id = sb2.doc_id
+)
+SELECT count(*) AS n_pairs,
+       CAST(coalesce(sum(CASE WHEN naive_a <> naive_b THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_leaked_naive,
+       CAST(coalesce(sum(CASE WHEN safe_a <> safe_b THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_leaked_safe
+FROM audit
+"""
+
+
+SPECS.append(
+    QuerySpec("q167_leakage_safe_split", q167_leakage_safe_split, _q167_sql(),
+              "cluster-aware train/val/test split (no near-dup straddle)")
+)
+SPECS.append(
+    QuerySpec("q168_split_leakage_audit", q168_split_leakage_audit, _q168_sql(),
+              "near-dup pairs straddling splits: naive vs cluster-aware")
 )

@@ -188,3 +188,96 @@ def test_token_budget_zero_token_source_keeps_all(spark):
     )
     rows = {(r["doc_id"], r["source"]) for r in kept.collect()}
     assert {(1, "s0"), (2, "s0")} <= rows  # zero-token source fully kept
+
+
+# ---------------------------------------------------------------------------
+# assign_split / leakage_safe_assign / split_leakage_audit
+# ---------------------------------------------------------------------------
+
+def test_assign_split_agrees_with_split(spark, sf_dir):
+    """The column form and the filtered-frames form are the SAME
+    assignment, row for row (shared _split_bounds)."""
+    d = read_testdata(spark, sf_dir, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    assigned = S.assign_split(d, ["doc_id"], w, salt="agree")
+    parts = S.split(d, ["doc_id"], w, salt="agree")
+    for name, part in parts.items():
+        got = {r["doc_id"] for r in assigned.filter(F.col("split") == name)
+               .select("doc_id").collect()}
+        want = {r["doc_id"] for r in part.select("doc_id").collect()}
+        assert got == want, name
+    # exhaustive: no NULL split
+    assert assigned.filter(F.col("split").isNull()).count() == 0
+
+
+def _toy_clusters(spark):
+    """6 docs, two 2-doc near-dup clusters {0,1} and {4,5}."""
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (4, 5)], "a_id long, b_id long")
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 3), (4, 4), (5, 4)],
+        "doc_id long, cluster_rep long",
+    )
+    return docs, pairs, clusters
+
+
+def test_leakage_safe_assign_keeps_clusters_together(spark):
+    docs, pairs, clusters = _toy_clusters(spark)
+    w = {"train": 0.5, "test": 0.5}
+    # whatever the salt, cluster members must share a split
+    for salt in ("a", "b", "c", "d"):
+        assigned = S.leakage_safe_assign(docs, clusters, w, salt=salt)
+        per_cluster = (
+            assigned.groupBy("cluster_rep")
+            .agg(F.countDistinct("split").alias("n_splits"))
+            .collect()
+        )
+        assert all(r["n_splits"] == 1 for r in per_cluster), salt
+        # exhaustive and portable-free default both produce no NULLs
+        assert assigned.filter(F.col("split").isNull()).count() == 0
+        assert S.split_leakage_audit(pairs, assigned).count() == 0
+
+
+def test_leakage_safe_assign_treats_missing_docs_as_singletons(spark):
+    docs, _, clusters = _toy_clusters(spark)
+    partial = clusters.filter(F.col("doc_id") < 2)  # only cluster {0,1} mapped
+    assigned = S.leakage_safe_assign(docs, partial, {"train": 0.5, "test": 0.5})
+    rows = {r["doc_id"]: r["cluster_rep"] for r in assigned.collect()}
+    assert rows == {0: 0, 1: 0, 2: 2, 3: 3, 4: 4, 5: 5}
+
+
+def test_split_leakage_audit_catches_naive_straddle(spark):
+    """Force a straddle: assign endpoint docs of a pair to different
+    splits and check the audit reports exactly that pair."""
+    _, pairs, _ = _toy_clusters(spark)
+    assigned = spark.createDataFrame(
+        [(0, "train"), (1, "test"), (4, "train"), (5, "train")],
+        "doc_id long, split string",
+    )
+    leaked = S.split_leakage_audit(pairs, assigned).collect()
+    assert [(r["a_id"], r["b_id"]) for r in leaked] == [(0, 1)]
+
+
+def test_naive_split_leaks_on_real_corpus_and_safe_does_not(spark, sf_dir):
+    """End-to-end on the documents table: the per-doc hash split
+    strands near-dup pairs across splits; the cluster-aware split
+    never does (q167/q168 semantics)."""
+    from nyc_etl_pipeline_spark.operators import dedup as D
+    from nyc_etl_pipeline_spark.suite.textops import JACCARD_THRESHOLD, NGRAM_N
+    from nyc_etl_pipeline_spark.suite.training import LS_SALT, SPLIT_SALT, SPLIT_WEIGHTS
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    ).localCheckpoint()
+    naive = S.assign_split(
+        docs.select("doc_id"), ["doc_id"], SPLIT_WEIGHTS,
+        salt=SPLIT_SALT, portable=True,
+    )
+    clusters = D.neardup_clusters(docs, pairs)
+    safe = S.leakage_safe_assign(
+        docs.select("doc_id"), clusters, SPLIT_WEIGHTS,
+        salt=LS_SALT, portable=True,
+    )
+    assert S.split_leakage_audit(pairs, naive).count() > 0
+    assert S.split_leakage_audit(pairs, safe).count() == 0
