@@ -277,6 +277,23 @@ def main() -> None:
             zipf.select("token").distinct().count(),
         ),
     )
+    # round-8 addition: leakage-safe split end-to-end — LSH pair graph,
+    # two-phase CC, cluster-keyed assignment, straddle audit. The
+    # minhash stage above prices the pair graph alone; this stage is
+    # the whole dedup-then-split step a pretraining pipeline runs.
+    def _leak_probe():
+        pairs = D.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, threshold=0.5
+        ).localCheckpoint()
+        clusters = D.neardup_clusters_twophase(docs, pairs)
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        naive = SAMP.assign_split(docs.select("doc_id"), ["doc_id"], w, salt="probe")
+        safe = SAMP.leakage_safe_assign(docs.select("doc_id"), clusters, w, salt="probe")
+        n_naive = SAMP.split_leakage_audit(pairs, naive).count()
+        n_safe = SAMP.split_leakage_audit(pairs, safe).count()
+        return f"straddled pairs: naive {n_naive:,}, cluster-aware {n_safe:,}"
+
+    timed("leakage_safe_split (pairs+CC+assign+audit)", _leak_probe)
     docs.unpersist()
 
 
