@@ -993,3 +993,70 @@ def canonical_per_cluster(
         .filter(F.col("__rn") == 1)
         .select("cluster_rep", id_col, score_col, "cluster_size", *cols)
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document LINE-level dedup — the boilerplate-removal stage
+    of web-corpus curation (CCNet / RefinedWeb style): a line occurring
+    in more than `max_doc_freq` DISTINCT documents is boilerplate
+    (headers, nav bars, license banners, cookie notices) and is removed
+    from EVERY document; each document's surviving lines are rejoined
+    in their original order. This is a different axis from document
+    dedup (exact_dedup/minhash) and passage dedup (intra-corpus
+    windows): it edits documents instead of dropping them.
+
+    Output: (id_col, clean_text, n_lines, n_kept). A document whose
+    every line is boilerplate comes back with clean_text = '' and
+    n_kept = 0 — kept, not dropped (dropping empties is a separate
+    quality-gate decision). Blank lines count as lines and are
+    boilerplate as soon as enough documents contain one.
+
+    Scale shape: lines ride as (doc, pos, 8-byte md5_long line hash)
+    rows; document frequency is a two-level aggregate (distinct
+    (line,doc) then count — both map-side combinable); the boilerplate
+    filter is a left-anti equi join on the hash (NOT assumed broadcast:
+    at web scale the boilerplate set is huge); the rebuild is one
+    groupBy(doc) with an array_sort over (pos, line) structs. Three
+    hash shuffles total, no window functions, no skew pivot (the
+    hottest line hash appears once per containing doc, bounded by
+    corpus doc count).
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    ).withColumn("__lh", md5_long("__line"))
+    boiler = (
+        lines.select("__lh", "__id")
+        .dropDuplicates()
+        .groupBy("__lh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__lh")
+    )
+    kept = lines.join(boiler, on="__lh", how="left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("__id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )

@@ -828,3 +828,113 @@ SPECS = [
     QuerySpec("q140_source_quantiles", q140_source_quantiles, _q140_sql(),
               "per-source histogram-sketch quantiles (curation cut thresholds)"),
 ]
+
+
+# --------------------------------------------------------------------------
+# q169 — cross-document line-level boilerplate removal (CCNet /
+# RefinedWeb style). The documents fixture is single-line word soup,
+# so BOTH engines deterministically restructure each text into
+# LINE_TOKENS-token lines and splice shared banner lines into known
+# slices (the q54/q71 injection pattern) — then the frequency-based
+# strip genuinely runs end to end: banners vanish from every doc,
+# organic lines survive.
+# --------------------------------------------------------------------------
+
+LINE_TOKENS = 8
+BOILER_MAX_DF = 2   # a line in >2 distinct docs is boilerplate
+_BANNER_A = "all rights reserved example corp legal banner"
+_BANNER_B = "powered by example cms click here to subscribe"
+
+
+def _injected_lines_spark() -> Column:
+    toks = TX.tokens(F.col("text"))
+    n_lines = F.ceil(F.size(toks) / F.lit(LINE_TOKENS)).cast("int")
+    body = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_lines),
+            lambda i: F.array_join(
+                F.slice(toks, (i - 1) * LINE_TOKENS + 1, LINE_TOKENS), " "
+            ),
+        )
+    )
+    with_head = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.array(F.lit(_BANNER_A)), body)
+    ).otherwise(body)
+    with_tail = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(with_head, F.array(F.lit(_BANNER_B))),
+    ).otherwise(with_head)
+    return F.array_join(with_tail, "\n")
+
+
+def q169_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc report of the line-level boilerplate strip: total lines,
+    lines kept, md5 + length of the cleaned text. Injected banner lines
+    (and any organically repeated 8-token line) appear in > BOILER_MAX_DF
+    docs and must vanish from every document on both engines."""
+    from nyc_etl_pipeline_spark.operators import dedup as D
+
+    docs = read_testdata(spark, sf_dir, "documents").withColumn(
+        "__text", _injected_lines_spark()
+    )
+    out = D.strip_boilerplate_lines(
+        docs, id_col="doc_id", text_col="__text", max_doc_freq=BOILER_MAX_DF
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5("clean_text").alias("clean_hash"),
+        F.length("clean_text").cast("bigint").alias("clean_len"),
+    )
+
+
+def _q169_sql() -> str:
+    body = (
+        f"list_transform(range(1, CAST(ceil(len(t) / {LINE_TOKENS}.0) AS INT) + 1), "
+        f"i -> array_to_string(list_slice(t, (i-1)*{LINE_TOKENS}+1, (i-1)*{LINE_TOKENS}+{LINE_TOKENS}), ' '))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+la AS (SELECT doc_id, {body} AS body FROM toks),
+inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN list_append(h, '{_BANNER_B}') ELSE h END AS ls
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN list_prepend('{_BANNER_A}', body) ELSE body END AS h
+    FROM la
+  )
+),
+lines AS (
+  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS line
+  FROM inj
+),
+freq AS (
+  SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l
+  JOIN freq f ON l.line = f.line
+  WHERE f.df <= {BOILER_MAX_DF}
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1)
+SELECT t.doc_id,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(r.clean_text, '')) AS clean_hash,
+       CAST(length(coalesce(r.clean_text, '')) AS BIGINT) AS clean_len
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+SPECS.append(
+    QuerySpec("q169_boilerplate_strip", q169_boilerplate_strip, _q169_sql(),
+              "cross-doc line-level boilerplate removal (CCNet-style)")
+)

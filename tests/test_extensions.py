@@ -288,3 +288,52 @@ def test_source_overlap_planted_copy(spark):
     n_shingles = {r["__id"]: r["count"] for r in sizes.collect()}
     assert pairs == {("s1", "s2"): n_shingles["s1"]}  # full overlap, s3 absent
     assert n_shingles["s1"] == n_shingles["s2"] == 3  # 5 tokens -> 3 shingles
+
+
+# ---------------------------------------------------------------------------
+# strip_boilerplate_lines (cross-doc line-level dedup)
+# ---------------------------------------------------------------------------
+
+def test_boilerplate_strip_removes_shared_lines_keeps_order(spark):
+    banner = "SUBSCRIBE NOW"
+    rows = [
+        (1, f"alpha one\n{banner}\nalpha two"),
+        (2, f"{banner}\nbeta only"),
+        (3, f"gamma start\ngamma end\n{banner}"),
+        (4, "delta unique\ndelta second"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.strip_boilerplate_lines(
+        df, max_doc_freq=2).collect()}
+    # banner is in 3 > 2 docs: stripped everywhere, order preserved
+    assert out[1]["clean_text"] == "alpha one\nalpha two"
+    assert out[2]["clean_text"] == "beta only"
+    assert out[3]["clean_text"] == "gamma start\ngamma end"
+    assert out[4]["clean_text"] == "delta unique\ndelta second"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
+    # raising the threshold keeps the banner
+    kept_all = D.strip_boilerplate_lines(df, max_doc_freq=3)
+    assert kept_all.filter(F.col("n_kept") != F.col("n_lines")).count() == 0
+
+
+def test_boilerplate_strip_all_boiler_doc_survives_empty(spark):
+    rows = [(i, "the common line") for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.strip_boilerplate_lines(df, max_doc_freq=2).collect()
+    assert len(out) == 4  # edited, never dropped
+    assert all(r["clean_text"] == "" and r["n_kept"] == 0 and r["n_lines"] == 1
+               for r in out)
+
+
+def test_boilerplate_strip_duplicate_line_within_one_doc_counts_once(spark):
+    """df is DISTINCT-doc frequency: a line repeated inside a single
+    doc is not boilerplate on its own."""
+    rows = [
+        (1, "refrain\nrefrain\nrefrain\nverse"),
+        (2, "solo line"),
+        (3, "other text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.strip_boilerplate_lines(
+        df, max_doc_freq=1).collect()}
+    assert out[1]["clean_text"] == "refrain\nrefrain\nrefrain\nverse"
