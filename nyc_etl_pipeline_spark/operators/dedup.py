@@ -551,13 +551,29 @@ def incremental_neardup_dedup(
         .filter(F.col("other_id") < F.col("new_id"))
         .select("new_id", "other_id")
     )
-    cands = vs_corpus.unionByName(within).dropDuplicates()
+    # cands feeds three consumers (two id prunes + the verify join):
+    # persist the pair list (candidate-fan-out-sized, tiny next to the
+    # shingle tables) so the band joins run once.
+    cands = vs_corpus.unionByName(within).dropDuplicates().persist()
 
-    arrays = _doc_shingle_arrays(new_sh.unionByName(cor_sh))
-    new_side = arrays.select(
+    # Explicit semi-join prune BEFORE the collect_set aggregate: only
+    # candidate ids' shingle arrays are ever materialized. Without
+    # this, the per-doc array agg runs over the ENTIRE corpus — the
+    # one corpus-sized cost in a path whose contract is "batch +
+    # candidate fan-out, never corpus size" (measured at 1M corpus /
+    # 10k batch: the prune is what keeps verification batch-bounded).
+    # The new side only ever holds batch ids; the other side can hold
+    # corpus ids (vs_corpus) or batch ids (within).
+    cand_new_ids = cands.select(F.col("new_id").alias("__id")).dropDuplicates()
+    cand_other_ids = cands.select(F.col("other_id").alias("__id")).dropDuplicates()
+    new_side = _doc_shingle_arrays(
+        new_sh.join(cand_new_ids, on="__id", how="leftsemi")
+    ).select(
         F.col("__id").alias("new_id"), F.col("__arr").alias("__arr_a"), F.col("__n").alias("__na")
     )
-    other_side = arrays.select(
+    other_side = _doc_shingle_arrays(
+        new_sh.unionByName(cor_sh).join(cand_other_ids, on="__id", how="leftsemi")
+    ).select(
         F.col("__id").alias("other_id"), F.col("__arr").alias("__arr_b"), F.col("__n").alias("__nb")
     )
     ovc = F.size(F.array_intersect("__arr_a", "__arr_b"))
@@ -612,14 +628,24 @@ def minhash_lsh_pairs(
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .dropDuplicates()
+        .persist()  # three consumers: id prune x2 + the verify join
     )
 
     # exact verification: recompute Jaccard only for candidate pairs.
     # Shingle sets ride as per-doc arrays so each pair costs
     # O(|A|+|B|) via array_intersect — a row-level shingle join here
     # would cross |A|x|B| rows per pair and erase the LSH win.
-    doc_arrays = sh_cached.groupBy("__id").agg(
-        F.collect_set("__sh").alias("__arr"), F.count(F.lit(1)).alias("__n")
+    # Semi-join prune first: in a mostly-unique corpus most docs share
+    # no band bucket with anyone, so aggregating ONLY candidate ids'
+    # arrays skips the corpus-sized collect_set (the dominant
+    # verification cost at volume).
+    cand_ids = (
+        cands.select(F.col("a_id").alias("__id"))
+        .unionByName(cands.select(F.col("b_id").alias("__id")))
+        .dropDuplicates()
+    )
+    doc_arrays = _doc_shingle_arrays(
+        sh_cached.join(cand_ids, on="__id", how="leftsemi")
     )
     a_side = doc_arrays.select(
         F.col("__id").alias("a_id"), F.col("__arr").alias("__arr_a"), F.col("__n").alias("__na")
