@@ -982,8 +982,10 @@ def simhash_near_pairs(
         a.join(b, on=["blk_idx", "blk_key"], how="inner")
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
-        .dropDuplicates()
+        # row-local hamming filter BEFORE the dedup shuffle: far-apart
+        # candidate pairs (the vast majority) never enter the exchange
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates()
     )
 
 
