@@ -1,6 +1,12 @@
 """End-to-end training-data curation pipeline over the `documents`
 table — the composition the individual operators exist for:
 
+  0b. line boilerplate strip (optional: cross-doc line frequency —
+                             CCNet-style header/banner removal BEFORE
+                             hashing, so shared chrome can't mask or
+                             manufacture duplicate digests; q169
+                             semantics. Off by default: single-line
+                             corpora degenerate — see curate())
   1. exact dedup            (digest group-by; q17 semantics)
   2. near-dup keep-best     (n-gram Jaccard pairs -> connected
                              components -> canonical_per_cluster:
@@ -27,8 +33,13 @@ table — the composition the individual operators exist for:
                              semantics, downsample-only)
   9. weighted downsample    (optional corpus-size target: A-Res
                              quality-weighted sample, q111 semantics)
- 10. deterministic split    (train/val/test, portable hash — stable
-                             under growth and retries)
+ 10. leakage-safe split     (train/val/test, portable hash of the
+                             near-dup CLUSTER at a looser threshold
+                             than the dedup stage — documents too
+                             similar to sit on both sides of a
+                             train/test boundary, yet not similar
+                             enough to have been deduped, land in the
+                             same split; q167 semantics)
  11. partitioned write      (split-partitioned parquet lakehouse dir)
  12. context chunking       (fixed-stride windows, the pre-tokenizer
                              shape — `chunk_split` on any split)
@@ -69,6 +80,11 @@ NLL_CUTOFF = 8.0  # drop docs whose mean unigram NLL exceeds this (outliers)
 MAD_GATE_K = 6.0  # robust length gate: |n_tokens - med| <= k * MAD per source
 PASSAGE_K = 8
 PASSAGE_DUP_CUTOFF = 0.6  # drop docs mostly made of elsewhere-seen passages
+# split-boundary guard: near-dup clusters at a LOOSER threshold than the
+# dedup stage decide split membership — a pair at jaccard 0.3 survives
+# keep-best dedup (threshold 0.5) as two documents, but memorization of
+# one still leaks signal about the other across a train/test boundary
+SPLIT_GUARD_JACCARD = 0.3
 
 
 def curate(
@@ -80,9 +96,26 @@ def curate(
     target_corpus_size: int | None = None,
     mixture_weights: dict[str, float] | None = None,
     mixture_total: int | None = None,
+    boilerplate_max_df: int | None = None,
 ) -> dict[str, DataFrame]:
     """documents(doc_id, text, ...) -> {split: curated DataFrame}."""
     from nyc_etl_pipeline_spark.operators.lm import unigram_nll_scores
+
+    # 0b. optional line-level boilerplate strip (CCNet stage). Runs
+    # BEFORE any hashing: shared chrome (headers, banners) otherwise
+    # both hides true duplicates (same body, different banner ->
+    # different digest) and manufactures false near-dups (different
+    # body, same boilerplate). Off by default because it needs line
+    # structure: on a single-line corpus every doc is one line, and a
+    # text repeated in > max_doc_freq docs would be emptied rather
+    # than deduped.
+    if boilerplate_max_df is not None:
+        stripped = D.strip_boilerplate_lines(docs, max_doc_freq=boilerplate_max_df)
+        docs = (
+            docs.drop("text", "n_chars")
+            .join(stripped.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
+            .withColumn("n_chars", F.length("text").cast("bigint"))
+        )
 
     # 1. exact dedup: keep the canonical (min-id) copy of each digest
     canon = D.exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
@@ -187,10 +220,26 @@ def curate(
             curated, ["doc_id"], "n_tokens", target_corpus_size
         )
 
-    # 10. deterministic split (portable: auditable outside Spark)
-    return sampling.split(
-        curated, ["doc_id"], {"train": 0.9, "val": 0.05, "test": 0.05}, portable=True
+    # 10. leakage-safe deterministic split (portable: auditable outside
+    # Spark). The boundary guard re-clusters the SURVIVORS at a looser
+    # Jaccard than the dedup stage: pairs below the dedup threshold
+    # rightly kept as distinct documents are still too similar to
+    # straddle a train/test cut, so the split hashes the guard-cluster
+    # representative, not the doc (q167 semantics). Survivor pairs at
+    # >= the dedup threshold no longer exist, so the guard graph is
+    # the residual-similarity band only.
+    guard_pairs = D.ngram_jaccard_pairs(curated, n=NGRAM_N, threshold=SPLIT_GUARD_JACCARD)
+    guard_clusters = D.neardup_clusters(curated, guard_pairs)
+    assigned = sampling.leakage_safe_assign(
+        curated,
+        guard_clusters,
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        portable=True,
     )
+    return {
+        name: assigned.filter(F.col("split") == name).drop("split", "cluster_rep")
+        for name in ("train", "val", "test")
+    }
 
 
 def chunk_split(split_df: DataFrame, size: int = 2048, stride: int = 1792) -> DataFrame:

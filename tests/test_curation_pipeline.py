@@ -185,3 +185,68 @@ def test_curation_mad_length_gate_drops_planted_giant(spark, sf_dir):
     assert 999_999 not in ids, "giant doc survived the MAD length gate"
     # the gate is targeted: src1's ordinary docs still present
     assert union.filter(F.col("source") == "src1").count() > 0
+
+
+def test_curation_split_guard_no_residual_straddle(spark, sf_dir):
+    """Stage 10 is leakage-safe at the GUARD threshold: pairs in the
+    residual-similarity band (guard <= j < dedup threshold) survive
+    dedup as distinct docs but must share a split."""
+    from nyc_etl_pipeline_spark.operators import sampling as S
+
+    mod = _load()
+    docs = read_testdata(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    cand = docs.filter(F.col("doc_id") % 17 != 0)
+    splits = mod.curate(cand, bench)
+    tagged = None
+    for name, part in splits.items():
+        t = part.select(F.lit(name).alias("split"), "doc_id")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    survivors = tagged.select("doc_id")
+    surv_docs = cand.join(survivors, "doc_id", "left_semi")
+    guard_pairs = D.ngram_jaccard_pairs(
+        surv_docs, n=mod.NGRAM_N, threshold=mod.SPLIT_GUARD_JACCARD
+    )
+    assert S.split_leakage_audit(guard_pairs, tagged).count() == 0
+    # splits still partition the survivors
+    assert tagged.count() == tagged.select("doc_id").distinct().count()
+
+
+def test_curation_boilerplate_stage_keeps_banner_out_of_training_text(spark):
+    """Stage 0b: a banner line shared by many docs is stripped BEFORE
+    hashing. Without the stage, the banner-laden copy of a duplicated
+    body is LONGER, so near-dup keep-best keeps it — chrome leaks into
+    the training text. With the stage, the banner is gone from every
+    survivor and exactly one copy of the shared body remains."""
+    mod = _load()
+    banner = "ALL RIGHTS RESERVED EXAMPLE CORP"
+    body_a = "alpha writes about spark partitions and shuffles today"
+    body_b = "totally different beta content with unique words galore"
+    rows = [
+        (1, f"{banner}\n{body_a}", "en", "src0"),
+        (2, f"{body_a}", "en", "src0"),          # same body, no banner
+        (3, f"{banner}\n{body_b}", "en", "src1"),
+        (4, f"{banner}\nunique gamma line here", "en", "src1"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+    bench = docs.filter(F.lit(False))  # empty benchmark
+
+    def survivors(**kw):
+        splits = mod.curate(docs, bench, quality_cutoff=0.0, **kw)
+        rows_out = []
+        for part in splits.values():
+            rows_out += part.select("doc_id", "text").collect()
+        return {r["doc_id"]: r["text"] for r in rows_out}
+
+    with_stage = survivors(boilerplate_max_df=2)
+    without_stage = survivors()
+    # with the stage: no survivor text carries the banner, and the
+    # shared body survives exactly once
+    assert all(banner not in t for t in with_stage.values())
+    assert len({1, 2} & set(with_stage)) == 1
+    # without it: docs 1/2 are near-dups and keep-best keeps the
+    # LONGER, banner-laden copy — boilerplate lands in training text
+    assert 1 in without_stage and 2 not in without_stage
+    assert banner in without_stage[1]
