@@ -651,6 +651,11 @@ def test_incremental_neardup_candidate_bounded_verification(spark, sf_dir):
     )
     # band vs corpus, band within batch, 2 verification joins, anti
     assert joins >= 5, plan
+    # the candidate-id semi-join prune (measured 70.0 -> 45.6 s at a
+    # 10k batch vs 1M corpus) must gate BOTH array aggregates: without
+    # LeftSemi before collect_set the verification stage aggregates
+    # the whole corpus's shingle arrays
+    assert plan.count("LeftSemi") >= 2, plan
 
 
 def test_graph_iteration_rounds_are_equi_joins(spark, sf_dir):
