@@ -360,3 +360,45 @@ def test_exact_heavy_hitters_property(spark, toks, k, parts):
     n = len(toks)
     want = {(t, c) for t, c in Counter(toks).items() if c * k > n}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# strip_boilerplate_lines: Spark output == brute-force Python for ANY
+# corpus shape (repeated lines within a doc, blank lines, all-boiler
+# docs, any threshold)
+# ---------------------------------------------------------------------------
+
+_line = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "", "common banner", "x y z"]
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(  # corpus: each doc is a non-empty list of lines
+        st.lists(_line, min_size=1, max_size=5), min_size=1, max_size=8
+    ),
+    st.integers(0, 4),  # max_doc_freq
+)
+def test_boilerplate_strip_matches_bruteforce(spark, corpus, max_df):
+    from collections import Counter
+
+    from nyc_etl_pipeline_spark.operators import dedup as D
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_kept"])
+        for r in D.strip_boilerplate_lines(df, max_doc_freq=max_df).collect()
+    }
+
+    doc_freq = Counter()
+    for lines in corpus:
+        for ln in set(lines):
+            doc_freq[ln] += 1
+    boiler = {ln for ln, c in doc_freq.items() if c > max_df}
+    for i, lines in enumerate(corpus):
+        kept = [ln for ln in lines if ln not in boiler]
+        assert got[i] == ("\n".join(kept), len(lines), len(kept)), (
+            i, lines, boiler, got[i],
+        )
