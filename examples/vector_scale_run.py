@@ -123,6 +123,36 @@ def main() -> None:
             f"ivf_topk_indexed (partition-pruned, 4/64 cells): {nq:,} rows "
             f"in {time.perf_counter() - t0:.1f}s"
         )
+
+    # PQ codes tier: encode once (BLAS path — 16 centroids x 64 dims
+    # = 1024 terms, past the codegen cliff), then LUT-ADC search that
+    # never touches a raw vector. The reconstruct-on-the-fly pq_topk
+    # comparison runs on a bounded slice (its per-row interpreted
+    # reconstruction is exactly the cliff the codes path removes).
+    from nyc_etl_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+        pq_topk_codes,
+    )
+
+    t0 = time.perf_counter()
+    books = pq_codebooks(vecs, m=8, n_centroids=16, seed=7)
+    print(f"pq_codebooks (m=8, k=16, 100k sample): {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    codes = pq_encode(vecs, books).persist()
+    print(f"pq_encode: {codes.count():,} vectors coded in {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    nq = pq_topk_codes(codes, queries, books, k=10).count()
+    print(f"pq_topk_codes (LUT ADC, full corpus): {nq:,} rows "
+          f"in {time.perf_counter() - t0:.1f}s")
+    slice_n = min(n, 200_000)
+    sl = vecs.filter(F.col("vec_id") < slice_n)
+    t0 = time.perf_counter()
+    nq = pq_topk(sl, queries, k=10, m=8, n_centroids=16, books=books).count()
+    print(f"pq_topk (reconstructing scan, {slice_n:,}-row slice): {nq:,} rows "
+          f"in {time.perf_counter() - t0:.1f}s")
+    codes.unpersist()
     spark.stop()
 
 

@@ -667,6 +667,398 @@ def pq_topk(
     )
 
 
+#: above this many total multiply terms (n_centroids * dim), PQ
+#: encoding switches from per-subspace literal JVM folds to the
+#: Arrow/BLAS path — the _nearest_cell lesson applies unchanged:
+#: higher-order folds are interpreted, and a realistic 64-dim / m=8 /
+#: 16-centroid book is 1024 terms per row. The q101 gate book
+#: (16 dims x 8 centroids = 128 terms) stays on the exact JVM path.
+_PQ_ENCODE_EXPR_MAX_TERMS = 512
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to its PQ codes: code[s] = argmin_c
+    ||x_s - books[s][c]||^2 (ties to the lowest centroid index, the
+    same first-minimum rule as numpy argmin). Returns
+    (id_col, codes array<int>) — m small ints per vector, the actual
+    64x-compressed representation PQ promises (pq_topk reconstructs
+    on the fly and never materializes it).
+
+    Small books run as per-subspace literal JVM expressions (exact
+    index-ordered folds, no Python); past _PQ_ENCODE_EXPR_MAX_TERMS
+    total terms the argmin runs as one (batch x sub) @ (sub x k) BLAS
+    matmul per subspace per Arrow batch using the identity
+    argmin_c ||x-c||^2 == argmin_c (||c||^2/2 - x.c). The two paths
+    agree except on float near-ties between centroids (the IVF
+    contract: quality-at-rank, not cell identity)."""
+    m = len(books)
+    n_centroids = len(books[0])
+    sub = len(books[0][0])
+    v = _as_double(F.col(vec_col))
+
+    if m * n_centroids * sub <= _PQ_ENCODE_EXPR_MAX_TERMS:
+        codes = []
+        for s, book in enumerate(books):
+            piece = F.slice(v, s * sub + 1, sub)
+            dists = []
+            for c in book:
+                cv = F.array(*[F.lit(x) for x in c])
+                dists.append(
+                    F.aggregate(
+                        F.zip_with(piece, cv, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+            darr = F.array(*dists)
+            codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
+        return corpus.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B = [np.asarray(book, dtype=np.float64) for book in books]  # (k, sub) each
+    half_bn = [0.5 * (Bs * Bs).sum(axis=1) for Bs in B]
+
+    # positional form (no hints): see _nearest_cell for why
+    def _codes(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        x = np.stack(vs.to_numpy())
+        out = np.empty((x.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            xs = x[:, s * sub : (s + 1) * sub]
+            out[:, s] = np.argmin(half_bn[s][None, :] - xs @ B[s].T, axis=1)
+        return pd.Series(list(out))
+
+    return corpus.select(
+        F.col(id_col), pandas_udf(_codes, "array<int>")(F.col(vec_col)).alias("codes")
+    )
+
+
+def _collect_queries(
+    queries: DataFrame, id_col: str, vec_col: str, max_queries: int
+) -> list:
+    """Bounded driver-side query collect (the ADC LUTs are per-query
+    state); refuses above max_queries instead of silently growing."""
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"query side exceeds max_queries={max_queries}; "
+            "ADC LUTs are per-query driver-side state — batch the queries"
+        )
+    return qrows
+
+
+def _pq_luts(qrows: list, books: list[list[list[float]]]):
+    """(qids, DT, NSQ, qnorm): DT[q, s, c] = dot(q_s, books[s][c]),
+    NSQ[s, c] = ||books[s][c]||^2 — everything an ADC scan needs."""
+    import numpy as np
+
+    m = len(books)
+    sub = len(books[0][0])
+    qids = np.asarray([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["__qv"], dtype=np.float64) for r in qrows])
+    Bk = [np.asarray(book, dtype=np.float64) for book in books]
+    DT = np.stack(
+        [Q[:, s * sub : (s + 1) * sub] @ Bk[s].T for s in range(m)], axis=1
+    )
+    NSQ = np.stack([(Bs * Bs).sum(axis=1) for Bs in Bk])
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+    return qids, DT, NSQ, qnorm
+
+
+def _exact_rerank(
+    top: DataFrame, corpus: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Standard refine stage: exact cosines on the shortlist only
+    (one bounded join back to the raw vectors), true top-k out."""
+    raw = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__raw"))
+    rescored = (
+        top.select("query_id", "neighbor_id")
+        .join(
+            F.broadcast(
+                raw.select(F.col(id_col).alias("query_id"), F.col("__raw").alias("__q"))
+            ),
+            on="query_id",
+        )
+        .join(
+            raw.select(F.col(id_col).alias("neighbor_id"), F.col("__raw").alias("__n")),
+            on="neighbor_id",
+        )
+        .select("query_id", "neighbor_id", cosine(F.col("__q"), F.col("__n")).alias("__tc"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("__tc").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__tc", 4).alias("acosine"),
+            F.col("__rn").cast("int").alias("rank"),
+        )
+    )
+
+
+def pq_topk_codes(
+    codes: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+    corpus: DataFrame | None = None,
+    max_queries: int = 4096,
+) -> DataFrame:
+    """ADC search over PRE-ENCODED PQ codes via per-query lookup
+    tables — the scan never touches a raw vector and never
+    reconstructs one. For query q: DT[s][c] = q_s . books[s][c] and
+    NSQ[s][c] = ||books[s][c]||^2 are (m x k) tables computed once
+    driver-side; a corpus row's approximate cosine is then m table
+    gathers:
+
+        cos = sum_s DT[s][code_s] / (||q|| * sqrt(sum_s NSQ[s][code_s]))
+
+    (exact for the concatenated reconstruction, because subspaces are
+    orthogonal coordinate blocks). Per Arrow batch the scan does m
+    fancy-index gathers per query over the whole batch — no distance
+    folds — and keeps a local top-k per query (ties: cosine desc,
+    neighbor_id asc), so the shuffle is |batches| * |Q| * k rows, not
+    N * |Q|. This is the scan shape that makes PQ worth storing: m
+    bytes read per corpus row, LUTs in closure, output bounded.
+
+    `rerank=r > 0` rescores the k*r shortlist with exact cosines
+    against `corpus` (required then), as in pq_topk. Results match
+    pq_topk(books=...) exactly on exact-arithmetic data; floats may
+    shift near-ties (same contract note as pq_encode)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    qrows = _collect_queries(queries, id_col, vec_col, max_queries)
+    qids, DT, NSQ, qnorm = _pq_luts(qrows, books)
+    nq = len(qids)
+    shortlist = k * rerank if rerank > 0 else k
+
+    def _scan(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, m)
+            rnorm = np.sqrt(NSQ[np.arange(m)[None, :], C].sum(axis=1))  # (B,)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(nq):
+                dots = DT[qi][np.arange(m)[None, :], C].sum(axis=1)  # (B,)
+                cos = dots / (qnorm[qi] * rnorm)
+                keep = ids != qids[qi]
+                cid, ccos = ids[keep], cos[keep]
+                # ties: cosine desc then id asc — lexsort is stable
+                order = np.lexsort((cid, -ccos))[:shortlist]
+                out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
+                out_n.append(cid[order])
+                out_c.append(ccos[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "__cos": np.concatenate(out_c),
+                }
+            )
+
+    scored = codes.mapInPandas(
+        _scan, schema="query_id long, neighbor_id long, __cos double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
+    top = scored.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= shortlist
+    )
+    if rerank <= 0:
+        return top.select(
+            "query_id",
+            "neighbor_id",
+            F.round("__cos", 4).alias("acosine"),
+            F.col("__rn").cast("int").alias("rank"),
+        )
+    if corpus is None:
+        raise ValueError("pq_topk_codes: rerank > 0 needs the raw corpus")
+    return _exact_rerank(top, corpus, id_col, vec_col, k)
+
+
+def pq_write_index(
+    corpus: DataFrame,
+    path: str,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the PQ index: (id, codes array<tinyint>) parquet —
+    m bytes of payload per vector (n_centroids <= 128), the stored
+    form of the 64x memory tier. The codebooks are the index metadata
+    and travel separately (a few KB of floats — store them with the
+    path, as ivf_write_index does with its centers). Search with
+    `pq_topk_codes(spark.read.parquet(path), ...)`; compose with
+    ivf_write_index layout for IVF-PQ (partition-pruned scan over
+    coded cells)."""
+    if len(books[0]) > 128:
+        raise ValueError("pq_write_index: tinyint codes need n_centroids <= 128")
+    (
+        pq_encode(corpus, books, id_col, vec_col)
+        .select(F.col(id_col), F.col("codes").cast("array<tinyint>").alias("codes"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivfpq_write_index(
+    corpus: DataFrame,
+    path: str,
+    books: list[list[list[float]]],
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    cache_key: str | None = None,
+) -> list[list[float]]:
+    """IVF-PQ index: the billion-scale ANN layout. Each vector is
+    (a) assigned to its nearest coarse cell (the IVF half — cells
+    become parquet partition directories, so probing is partition
+    pruning) and (b) stored ONLY as its m-byte PQ code (the PQ half —
+    the raw vector never hits the index). A probed search reads
+    n_probe/n_lists of an already-64x-compressed table; with
+    n_lists=1024 and m=8 a billion 64-dim float32 vectors index into
+    ~8 GB of codes spread over prunable directories. Returns the
+    coarse centers; store them AND the codebooks with the path — they
+    are the index metadata."""
+    centers = ivf_centroids(corpus, n_lists, vec_col, seed, cache_key)
+    if len(books[0]) > 128:
+        raise ValueError("ivfpq_write_index: tinyint codes need n_centroids <= 128")
+    coded = pq_encode(corpus, books, id_col, vec_col).select(
+        F.col(id_col), F.col("codes").cast("array<tinyint>").alias("codes")
+    )
+    assigned = corpus.select(
+        F.col(id_col),
+        _nearest_cell(_as_double(F.col(vec_col)), centers).alias("__cell"),
+    )
+    (
+        coded.join(assigned, on=id_col)
+        .repartition("__cell")
+        .write.partitionBy("__cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return centers
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    centers: list[list[float]],
+    books: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+    corpus: DataFrame | None = None,
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Search a stored IVF-PQ index: the union of all probed cell ids
+    is pushed as a static partition filter (unprobed directories are
+    never opened), then one LUT-ADC scan scores each surviving code
+    row against exactly the queries that probed its cell — a
+    (|Q| x n_lists) boolean membership matrix in the scan closure
+    keeps that per-row, per-query masking a vectorized gather. Same
+    tie rules as pq_topk_codes (cosine desc, neighbor id asc);
+    `rerank` adds the exact refine stage against `corpus`."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    qrows = _collect_queries(queries, id_col, vec_col, max_queries)
+    qids, DT, NSQ, qnorm = _pq_luts(qrows, books)
+    nq = len(qids)
+    # each query's n_probe nearest cells, driver-side (centers are
+    # literals; |Q| is bounded) — same distance + tie rule as
+    # _ivf_probes: squared euclidean, ties to the lowest cell id.
+    C = np.asarray(centers, dtype=np.float64)
+    member = np.zeros((nq, len(centers)), dtype=bool)
+    probed_cells: set[int] = set()
+    for qi, r in enumerate(qrows):
+        qv = np.asarray(r["__qv"], dtype=np.float64)
+        d2 = ((C - qv[None, :]) ** 2).sum(axis=1)
+        near = np.argsort(d2, kind="stable")[:n_probe]  # stable = lowest id on ties
+        member[qi, near] = True
+        probed_cells.update(int(c) for c in near)
+    codes = spark.read.parquet(path).filter(
+        F.col("__cell").isin(sorted(probed_cells))
+    )
+    shortlist = k * rerank if rerank > 0 else k
+
+    def _scan(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cells = pdf["__cell"].to_numpy(dtype=np.int64)
+            Cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            rnorm = np.sqrt(NSQ[np.arange(m)[None, :], Cm].sum(axis=1))
+            out_q, out_n, out_c = [], [], []
+            for qi in range(nq):
+                keep = member[qi][cells] & (ids != qids[qi])
+                if not keep.any():
+                    continue
+                cid = ids[keep]
+                dots = DT[qi][np.arange(m)[None, :], Cm[keep]].sum(axis=1)
+                cos = dots / (qnorm[qi] * rnorm[keep])
+                order = np.lexsort((cid, -cos))[:shortlist]
+                out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
+                out_n.append(cid[order])
+                out_c.append(cos[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "__cos": np.concatenate(out_c),
+                }
+            )
+
+    scored = codes.mapInPandas(
+        _scan, schema="query_id long, neighbor_id long, __cos double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
+    top = scored.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= shortlist
+    )
+    if rerank <= 0:
+        return top.select(
+            "query_id",
+            "neighbor_id",
+            F.round("__cos", 4).alias("acosine"),
+            F.col("__rn").cast("int").alias("rank"),
+        )
+    if corpus is None:
+        raise ValueError("ivfpq_topk_indexed: rerank > 0 needs the raw corpus")
+    return _exact_rerank(top, corpus, id_col, vec_col, k)
+
+
 def plane_sign_vectors(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 hyperplane components: component (p, j) is +1
     iff the first hex digit of md5(f"{p}_{j}") is odd. Computed
