@@ -78,9 +78,13 @@ def main() -> None:
         "kcore_peel k=5 (<=20 rounds, early exit)",
         lambda: f"{kcore_peel(edges, 5, 20).count():,} core nodes",
     )
+    # ~1M edge rows per partition: the cached pre-shuffle has no AQE
+    # boundary left for the per-round join, so partitions must be
+    # sized to the data here, not the session default (graph.py note)
+    lpa_parts = max(32, n_edges // 500_000)
     timed(
-        "label_propagation 3 rounds",
-        lambda: f"{label_propagation(edges, 3).select('label').distinct().count():,} communities",
+        f"label_propagation 3 rounds ({lpa_parts} edge partitions)",
+        lambda: f"{label_propagation(edges, 3, n_partitions=lpa_parts).select('label').distinct().count():,} communities",
     )
     spark.stop()
 

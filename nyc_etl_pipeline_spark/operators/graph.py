@@ -311,6 +311,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     checkpoint: bool = True,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Synchronous label propagation (community detection), fixed
     `n_rounds`: every node starts labeled with its own id; each round
@@ -331,10 +332,22 @@ def label_propagation(
     groupBy, one per-node min — all co-partitionable on the node key;
     localCheckpoint per round keeps the lineage flat across rounds.
     """
+    # the static edge list is PRE-SHUFFLED on the join key: each round
+    # joins e.src == labels.node, and a cached hash-partitioning on
+    # src satisfies the join's required distribution, so only the
+    # nodes-sized label table moves per round — a bare persist()
+    # re-exchanged all |E| rows every round (200M-edge A/B in
+    # BASELINE.md round 8). CAVEAT that makes n_partitions matter:
+    # a join that consumes a cached distribution has no AQE shuffle
+    # boundary left to right-size, so the session default (32) at
+    # 200M edges means 6M-row sort-merge tasks — measured OOM where
+    # the un-cached plan survived via AQE splitting. Size n_partitions
+    # to the edge volume (~1M edge rows per partition) at scale.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.repartition(n_partitions, F.col("src")) if n_partitions else e.repartition(
+        F.col("src")
+    )
     if checkpoint:
-        # the edge list is scanned once per round — materialize it
-        # instead of re-running its upstream plan n_rounds times
         e = e.persist()
     labels = (
         e.select(F.col("src").alias("node"))

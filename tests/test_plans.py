@@ -687,6 +687,23 @@ def test_graph_iteration_rounds_are_equi_joins(spark, sf_dir):
         assert joins >= 1, plan
 
 
+def test_label_propagation_requests_src_distribution(spark, sf_dir):
+    """label_propagation pre-shuffles the static edge list on src (the
+    per-round join key) so the checkpointed cache holds that
+    distribution and rounds move only the label table (the 200M-edge
+    A/B in BASELINE round 8). The reuse itself is a cache-runtime
+    property a tiny-fixture plan can't show (labels get broadcast
+    here); what IS structural: the operator must emit the explicit
+    REPARTITION_BY_COL exchange on src that the cache materializes."""
+    from nyc_etl_pipeline_spark.operators.graph import label_propagation
+    from nyc_etl_pipeline_spark.suite.graphq import _kcore_edges
+
+    edges = _kcore_edges(spark, sf_dir)
+    plan = P.explain_str(label_propagation(edges, 1, checkpoint=False), "simple")
+    assert "REPARTITION_BY_COL" in plan, plan
+    assert "hashpartitioning(src" in plan, plan
+
+
 def test_kmeans_assignment_pass_is_shuffle_free(spark, sf_dir):
     """q165's per-round assignment bakes the centroids in as literals:
     the returned final-assignment plan must be scan -> project with NO
