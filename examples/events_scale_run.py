@@ -70,9 +70,14 @@ def main() -> None:
         print(f"{label}: {out} in {time.perf_counter() - t:.1f}s")
 
     gap, cap = 30 * 60 * 10**6, 45 * 60 * 10**6
+    # ~200k rows per pandas group (the bucket-sizing contract in the
+    # operator docstring): the default 64 buckets is tuned to the 10M
+    # tier; at 100M it makes 1.5M-row groups and the stage went 48x
+    # for 10x data (memory-pressure cliff, not the numpy scan)
+    sess_buckets = max(64, n // 200_000)
     timed(
-        "capped_sessionize",
-        lambda: f"{capped_sessionize(e, 'user_id', 'ts', 'event_id', gap, cap).agg(F.max('session_idx')).first()[0]:,} max sessions/user",
+        f"capped_sessionize ({sess_buckets} buckets)",
+        lambda: f"{capped_sessionize(e, 'user_id', 'ts', 'event_id', gap, cap, n_buckets=sess_buckets).agg(F.max('session_idx')).first()[0]:,} max sessions/user",
     )
     # KS grid = types x pooled distinct values (~n here: every value
     # distinct at 5 decimals) — deliberately the worst case for the

@@ -174,8 +174,10 @@ def capped_sessionize(
     user, so applyInPandas materializes ~n_rows/n_buckets rows as ONE
     in-memory pandas DataFrame per task — NOT a user-sized group. At
     the default 64 buckets that is fine to the 10M-event probe
-    (~156k rows/group); for larger inputs pass n_buckets sized so
-    rows/n_buckets fits executor memory (e.g. n_rows/1e6). Bucketing
+    (~156k rows/group); for larger inputs size n_buckets to ~200k
+    rows/group (n_rows/2e5 — measured at 100M events: the default's
+    1.5M-row groups ran 210-336 s with heavy memory-pressure
+    variance, 500 buckets 30-74 s, identical output). Bucketing
     by user hash rather than user is deliberate: per-group pandas
     overhead dominates tiny groups (the zscore_per_group lesson,
     24s -> ~1s) — each Arrow batch carries many users and the scan
