@@ -416,6 +416,70 @@ def _minhash_signature_cols(num_hashes: int) -> list[Column]:
     return cols
 
 
+#: at or above this many hash functions the signature aggregation
+#: runs as Arrow partial summaries instead of a k-wide JVM min-agg.
+#: The k-expression agg update path collapses at width (the
+#: _nearest_cell lesson, aggregate-flavored): 64 min-agg exprs over a
+#: 174M-row shingle table measured 201 s at 3M docs, vs one numpy
+#: (batch x k) modular-hash matmul + reduceat per Arrow batch.
+#: Signatures are bit-identical — min of per-batch int64 mins.
+_MINHASH_ARROW_MIN_HASHES = 32
+
+
+def _minhash_sig_table(sh: DataFrame, num_hashes: int, id_out: str) -> DataFrame:
+    """(id_out, mh_0..mh_{k-1}) from a (__id, __sh) shingle table.
+
+    Small k: the plain k-wide min-aggregate (exact JVM path). At
+    k >= _MINHASH_ARROW_MIN_HASHES: mapInArrow partial summaries —
+    each Arrow batch computes all k universal hashes as one vectorized
+    (rows x k) int64 expression ((a*h + b) mod p, products < 2^62, no
+    overflow), min-reduces per doc within the batch (stable argsort +
+    minimum.reduceat), and emits ~one row per (batch, doc); the final
+    k-wide min-agg then runs over ~|docs| partial rows instead of
+    |shingle| rows. Mergeable-summaries shape, same as the MG sketch
+    path; results are bit-identical to the direct agg."""
+    if num_hashes < _MINHASH_ARROW_MIN_HASHES:
+        return sh.groupBy(F.col("__id").alias(id_out)).agg(
+            *_minhash_signature_cols(num_hashes)
+        )
+
+    import numpy as np
+    import pyarrow as pa
+
+    A = np.asarray(
+        [minhash_base_coeffs(i)[0] for i in range(num_hashes)], dtype=np.int64
+    )
+    B = np.asarray(
+        [minhash_base_coeffs(i)[1] for i in range(num_hashes)], dtype=np.int64
+    )
+    p = MERSENNE31
+    names = ["__id"] + [f"mh_{i}" for i in range(num_hashes)]
+    schema = ", ".join(f"{c} long" for c in names)
+
+    def partials(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = rb.to_pydict()
+            ids = np.asarray(tbl["__id"], dtype=np.int64)
+            hm = np.asarray(tbl["__sh"], dtype=np.int64) % p
+            V = (hm[:, None] * A[None, :] + B[None, :]) % p  # (rows, k)
+            order = np.argsort(ids, kind="stable")
+            sids = ids[order]
+            starts = np.flatnonzero(np.r_[True, sids[1:] != sids[:-1]])
+            mins = np.minimum.reduceat(V[order], starts, axis=0)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(sids[starts])]
+                + [pa.array(mins[:, i]) for i in range(num_hashes)],
+                names=names,
+            )
+
+    part = sh.mapInArrow(partials, schema=schema)
+    return part.groupBy(F.col("__id").alias(id_out)).agg(
+        *[F.min(f"mh_{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -425,18 +489,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}) MinHash signatures over word n-grams."""
     sh = _shingle_table(df, id_col, text_col, n)
-    return sh.groupBy(F.col("__id").alias(id_col)).agg(*_minhash_signature_cols(num_hashes))
+    return _minhash_sig_table(sh, num_hashes, id_col)
 
 
 def _melt_bands(sig: DataFrame, bands: int, rows: int) -> DataFrame:
     """(__id, band_idx, band_key) from a signature table. Band key =
-    md5 of the comma-joined row values: one compact string key per
-    band, identical in any engine that can concat + md5 (the key only
-    needs equality semantics, so a hex string is fine)."""
+    md5_long of the comma-joined row values: an 8-byte bigint join/
+    shuffle key instead of the 32-byte md5 hex string (same
+    construction in any engine with md5 — oracles mirror it via
+    sql_md5_long). The key only needs equality semantics; a 2^-60
+    cross-band collision merely adds a candidate pair that exact
+    Jaccard verification then rejects, so output is unaffected."""
     band_cols = [
-        F.md5(F.concat_ws(",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])).alias(
-            f"band_{b}"
-        )
+        md5_long(
+            F.concat_ws(",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+        ).alias(f"band_{b}")
         for b in range(bands)
     ]
     banded = sig.select("__id", *band_cols)
@@ -468,7 +535,7 @@ def minhash_band_table(
     rows = num_hashes // bands
     if sh is None:
         sh = _shingle_table(df, id_col, text_col, n)
-    sig = sh.groupBy("__id").agg(*_minhash_signature_cols(num_hashes))
+    sig = _minhash_sig_table(sh, num_hashes, "__id")
     return _melt_bands(sig, bands, rows).withColumnRenamed("__id", id_col)
 
 
@@ -613,13 +680,8 @@ def minhash_lsh_pairs(
     # should call spark.catalog.clearCache() between corpus-scale dedup
     # passes (persist, not checkpoint — see ngram_jaccard_pairs).
     sh_cached = _shingle_table(df, id_col, text_col, n).persist()
-    sig = sh_cached.groupBy(F.col("__id").alias(id_col)).agg(
-        *_minhash_signature_cols(num_hashes)
-    )
-    # band key = md5 of the comma-joined row values: one compact string
-    # key per band, identical in any engine that can concat + md5 (the
-    # key only needs equality semantics, so a hex string is fine).
-    melted = _melt_bands(sig.withColumnRenamed(id_col, "__id"), bands, rows)
+    sig = _minhash_sig_table(sh_cached, num_hashes, "__id")
+    melted = _melt_bands(sig, bands, rows)
 
     a = melted.select(F.col("__id").alias("a_id"), "band_idx", "band_key")
     b = melted.select(F.col("__id").alias("b_id"), "band_idx", "band_key")

@@ -291,7 +291,7 @@ def _q23_sql() -> str:
         a, b = D.minhash_base_coeffs(i)
         mh_exprs.append(f"min(({a} * hm + {b}) % {p}) AS mh_{i}")
     band_rows = "\nUNION ALL ".join(
-        "SELECT doc_id, {b} AS band_idx, md5({cat}) AS band_key FROM sig".format(
+        "SELECT doc_id, {b} AS band_idx, CAST('0x' || substr(md5({cat}), 1, 15) AS BIGINT) AS band_key FROM sig".format(
             b=b, cat=" || ',' || ".join(f"mh_{b * rows + r}" for r in range(rows))
         )
         for b in range(MINHASH_BANDS)
@@ -550,7 +550,7 @@ def _q127_sql() -> str:
         a, b = D.minhash_base_coeffs(i)
         mh_exprs.append(f"min(({a} * hm + {b}) % {p}) AS mh_{i}")
     band_rows = "\nUNION ALL ".join(
-        "SELECT doc_id, {b} AS band_idx, md5({cat}) AS band_key FROM sig".format(
+        "SELECT doc_id, {b} AS band_idx, CAST('0x' || substr(md5({cat}), 1, 15) AS BIGINT) AS band_key FROM sig".format(
             b=b, cat=" || ',' || ".join(f"mh_{b * rows + r}" for r in range(rows))
         )
         for b in range(MINHASH_BANDS)
