@@ -1243,3 +1243,47 @@ def test_gini_known_distributions(spark):
     assert got["eq"] == 0.0
     # all mass on the top rank: G = 2*4*10/(4*10) - 5/4 = 0.75
     assert got["one"] == 0.75
+
+
+def test_minhash_chain_matches_pure_python(spark, sf_dir):
+    """Engine-independent pin of the whole MinHash chain: for sampled
+    documents, recompute shingle hashes, all k signature components,
+    and the melted bigint band keys in PLAIN Python (hashlib md5 +
+    integer arithmetic) and compare bit-for-bit with the Spark
+    operators. This is what keeps q23/q127's oracles honest — any
+    engine with md5() can replay the construction."""
+    from nyc_etl_pipeline_spark.functions import py_md5_long
+
+    docs = read_testdata(spark, sf_dir, "documents").limit(40)
+    k, bands = 32, 8
+    rows = k // bands
+    sh = D._shingle_table(docs, "doc_id", "text", NGRAM_N)
+    sig = D._minhash_sig_table(sh, k, "doc_id")
+    got_sig = {
+        r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(k)) for r in sig.collect()
+    }
+    assert got_sig
+
+    # pure-Python replay from raw text via the same tokenizer
+    toks = {
+        r["doc_id"]: r["__t"]
+        for r in docs.select("doc_id", D.tokens(F.col("text")).alias("__t")).collect()
+    }
+    p = D.MERSENNE31
+    coeffs = [D.minhash_base_coeffs(i) for i in range(k)]
+    for doc_id in list(got_sig)[:5]:
+        t = toks[doc_id]
+        grams = {" ".join(t[i : i + NGRAM_N]) for i in range(len(t) - NGRAM_N + 1)}
+        hs = [py_md5_long(g) % p for g in grams]
+        expect = tuple(min((a * h + b) % p for h in hs) for a, b in coeffs)
+        assert got_sig[doc_id] == expect, doc_id
+
+    # melted band keys = md5_long over the comma-joined components
+    melted = D._melt_bands(sig.withColumnRenamed("doc_id", "__id"), bands, rows)
+    got_bands = {(r["__id"], r["band_idx"]): r["band_key"] for r in melted.collect()}
+    some_id = next(iter(got_sig))
+    for b in range(bands):
+        expect = py_md5_long(
+            ",".join(str(got_sig[some_id][b * rows + r]) for r in range(rows))
+        )
+        assert got_bands[(some_id, b)] == expect
