@@ -272,3 +272,97 @@ def phrase_search_slop(
             F.min("__slop").alias("min_slop"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    group_cols: list[str] | None = None,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion over already-ranked lists (hybrid
+    search: fuse a BM25 ranking with a dense-cosine ranking without
+    comparable scores). rrf(d) = Σ_lists 1 / (k + rank_l(d)), summed
+    over the lists that ranked d at all.
+
+    Cross-engine determinism: each 1/(k+rank) is one IEEE division
+    (exactly specified), and the per-list contributions are combined
+    by a FIXED-ASSOCIATION coalesce chain over an outer-join of the
+    lists — never a data-order-dependent SUM — so any engine computes
+    the bit-identical double before the 6 dp rounding.
+
+    Scale shape: inputs are ranked lists (≤ topk·|queries| rows each —
+    tiny relative to the corpus whose scan produced them), so the
+    outer joins and the final rank window cost nothing next to the
+    upstream BM25 / ANN scans; with group_cols the window partitions
+    per query, keeping per-partition state bounded by Σ list lengths.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window as W
+
+    keys = list(group_cols or []) + [id_col]
+    joined = None
+    for i, r in enumerate(rankings):
+        ri = r.select(
+            *keys,
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                f"__c{i}"
+            ),
+        )
+        joined = ri if joined is None else joined.join(ri, on=keys, how="full")
+    score = F.coalesce(F.col("__c0"), F.lit(0.0))
+    for i in range(1, len(rankings)):
+        score = score + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    fused = joined.select(*keys, round_half_up(score, 6).alias("rrf"))
+    w = (
+        W.partitionBy(*group_cols) if group_cols else W.partitionBy()
+    ).orderBy(F.desc("rrf"), F.asc(id_col))
+    fused = fused.withColumn("rank", F.row_number().over(w).cast("int"))
+    if topk is not None:
+        fused = fused.filter(F.col("rank") <= topk)
+    return fused
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    pool: int = 50,
+    topk: int = 20,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hybrid sparse+dense retrieval: BM25 over `docs` fused with
+    exact-cosine over `embeddings` (vec_id ≡ doc_id) by RRF.
+
+    The sparse rank orders by the ROUNDED bm25 (6 dp) then doc id —
+    ordering on the rounded value is what keeps ranks identical across
+    engines (unrounded doubles can swap under 1-ulp libm differences).
+    The dense rank is cosine_topk's own (exact index-ordered dot
+    products). Both pools are `pool` deep; fusion returns `topk`.
+    """
+    from pyspark.sql import Window as W
+
+    from nyc_etl_pipeline_spark.operators.similarity import cosine_topk
+
+    sparse = bm25_topk(docs, query_terms, k=pool, k1=k1, b=b).withColumn(
+        "rank",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("int"),
+    )
+    dense = cosine_topk(
+        embeddings,
+        embeddings.filter(F.col("vec_id") == query_vec_id),
+        k=pool,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(
+        [sparse.select("doc_id", "rank"), dense], k=rrf_k, topk=topk
+    )

