@@ -1,0 +1,268 @@
+"""Fixed-round distributed logistic regression: the quality-classifier
+stage of a curation pipeline (CCNet / GPT-3 style "does this look like
+reference text" filtering), trained Spark-first instead of imported.
+
+The reference has no ML surface; this follows the engine's
+fixed-iteration oracle pattern (q125 BPE / q162 k-core / q165 k-means):
+a FIXED number of full-batch gradient-descent rounds from a
+deterministic zero init, every round bit-exact across engines, so the
+whole training run replays as chained MATERIALIZED CTEs
+(`sql_logreg_chain`) under the DuckDB correctness gate.
+
+Cross-engine determinism, component by component:
+- features are hashed term frequencies quantized ONCE to 6 dp with the
+  shared floor-form round (boundary-safe for the later DECIMAL casts —
+  see kmeans_fixed's quantization note);
+- the margin z = w·x is an index-ORDERED left fold (aggregate() with
+  0.0 init == list_reduce — exact, 0.0 + x == x);
+- sigmoid costs one exp(): the bounded 1-ulp libm class the suite
+  already carries (q113/q121/q151); per-component gradient
+  contributions are quantized to 6 dp BEFORE the exact DECIMAL(28,6)
+  sum, so a 1-ulp sigmoid wiggle would need ~1e9x amplification to
+  flip a quantization boundary;
+- the weight update w + lr·g is evaluated in the same association
+  order on both engines (and in the driver's Python replay), then
+  re-quantized to 6 dp, keeping every round's weights short exact
+  decimals.
+
+Scale shape: per round ONE corpus-wide aggregate — dim dec_sums with
+map-side partial combine, no shuffle of the corpus, no join (the
+current weights are dim literals baked into the plan, the kmeans
+broadcast-free trick); only `dim` doubles ever reach the driver per
+round. Scoring is map-only. Feature extraction is one explode + one
+hash-grouped count, the same shape as every other text operator here.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.functions import (
+    dec_sum,
+    md5_long,
+    round_half_up,
+    sql_md5_long,
+)
+from nyc_etl_pipeline_spark.operators.text import tokens
+
+
+def py_round6(x: float) -> float:
+    """Driver-side replica of the 6 dp floor-form round — Python floats
+    are IEEE doubles, so this is the identical operation sequence."""
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def hashed_tf_features(
+    docs: DataFrame,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label: Column | None = None,
+    binary: bool = False,
+) -> DataFrame:
+    """(id, [y,] x) with x = the n_buckets hashed term features
+    (md5_long(term) mod n_buckets) plus a trailing bias component 1.0
+    — dim = n_buckets + 1. binary=False: normalized term frequency
+    tf/dl quantized to 6 dp (scale-invariant, the quality-classifier
+    default); binary=True: exact 0/1 bucket presence (larger, exact
+    gradients — what the learnability pytest trains on).
+
+    explode_outer keeps empty documents (all-zero features, bias only),
+    so the gradient sums range over the WHOLE corpus on both engines.
+    """
+    dl = F.size(tokens(F.col(text_col))).cast("double")
+    base = [F.col(id_col).alias("__id"), dl.alias("__dl")]
+    if label is not None:
+        base.append(label.cast("double").alias("y"))
+    bt = docs.select(*base, F.explode_outer(tokens(F.col(text_col))).alias("__t"))
+    bucket = F.pmod(md5_long("__t"), F.lit(n_buckets))
+    keys = ["__id", "__dl"] + (["y"] if label is not None else [])
+    g = bt.groupBy(*keys).agg(
+        *[
+            F.sum(F.when(bucket == j, 1).otherwise(0)).alias(f"__c{j}")
+            for j in range(n_buckets)
+        ]
+    )
+    if binary:
+        comps = [
+            F.when(F.col(f"__c{j}") > 0, 1.0).otherwise(0.0)
+            for j in range(n_buckets)
+        ]
+    else:
+        comps = [
+            F.when(F.col("__dl") == 0.0, 0.0).otherwise(
+                round_half_up(F.col(f"__c{j}") / F.col("__dl"), 6)
+            )
+            for j in range(n_buckets)
+        ]
+    comps = comps + [F.lit(1.0)]
+    out = [F.col("__id").alias(id_col)]
+    if label is not None:
+        out.append(F.col("y"))
+    return g.select(*out, F.array(*comps).alias("x"))
+
+
+def _margin(x_col: Column, weights: list[float]) -> Column:
+    """Index-ordered left fold of w·x with the weights baked in as
+    literals (no join, no broadcast — the plan is map-only)."""
+    warr = F.array(*[F.lit(v) for v in weights])
+
+    def step(acc, i):
+        return acc + F.element_at(x_col, i) * F.element_at(warr, i)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(len(weights))), F.lit(0.0), step
+    )
+
+
+def _sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def logreg_train_fixed(
+    feats: DataFrame,
+    dim: int,
+    n_rounds: int = 3,
+    lr: float = 0.5,
+    label_col: str = "y",
+    x_col: str = "x",
+) -> list[float]:
+    """Full-batch GD from w = 0 for exactly n_rounds rounds; returns
+    the final weights (a dim-list of 6 dp-quantized doubles). Each
+    round is one corpus aggregate of dim order-independent DECIMAL
+    sums over 6 dp-quantized per-doc contributions, normalized to the
+    MEAN gradient in-engine (sum-to-double / count-to-double, the
+    kmeans centroid pattern — the raw sum diverges at any corpus-
+    independent learning rate)."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+    w = [0.0] * dim
+    feats = feats.persist()
+    try:
+        for _ in range(n_rounds):
+            err = (F.col(label_col) - _sigmoid(_margin(F.col(x_col), w))).alias(
+                "__e"
+            )
+            scored = feats.select(F.col(x_col).alias("__x"), err)
+            n = F.count(F.lit(1)).cast("double")
+            grads = scored.agg(
+                *[
+                    (
+                        dec_sum(
+                            round_half_up(
+                                F.element_at(F.col("__x"), i) * F.col("__e"), 6
+                            )
+                        ).cast("double")
+                        / n
+                    ).alias(f"g{i}")
+                    for i in range(1, dim + 1)
+                ]
+            ).collect()[0]
+            w = [py_round6(w[i - 1] + lr * grads[f"g{i}"]) for i in range(1, dim + 1)]
+    finally:
+        feats.unpersist()
+    return w
+
+
+def logreg_score(
+    feats: DataFrame,
+    weights: list[float],
+    id_col: str = "doc_id",
+    x_col: str = "x",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Map-only sigmoid scores under fixed weights, rounded to 6 dp:
+    (id, [extra_cols...,] score)."""
+    return feats.select(
+        F.col(id_col),
+        *[F.col(c) for c in (extra_cols or [])],
+        round_half_up(_sigmoid(_margin(F.col(x_col), weights)), 6).alias("score"),
+    )
+
+
+def sql_hashed_tf_features(
+    n_buckets: int,
+    label_sql: str,
+    tok_expr: str = "string_split_regex(trim(text), '\\s+')",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    binary: bool = False,
+) -> str:
+    """CTE fragment producing feats(id, y, x DOUBLE[]) — the DuckDB
+    replay of hashed_tf_features. Returns "tokb AS (...), feats AS
+    (...)"; y is `label_sql` evaluated on the base table."""
+    bucket = f"{sql_md5_long('t.term')} % {n_buckets}"
+    cnts = ", ".join(
+        f"sum(CASE WHEN {bucket} = {j} THEN 1 ELSE 0 END) AS c{j}"
+        for j in range(n_buckets)
+    )
+    if binary:
+        comps = ", ".join(
+            f"CASE WHEN c{j} > 0 THEN 1.0 ELSE 0.0 END"
+            for j in range(n_buckets)
+        )
+    else:
+        comps = ", ".join(
+            "CASE WHEN dl = 0.0 THEN 0.0 ELSE"
+            f" floor((c{j} / dl) * 1000000.0 + 0.5) / 1000000.0 END"
+            for j in range(n_buckets)
+        )
+    return f"""
+tokb AS MATERIALIZED (
+  SELECT d.{id_col} AS id,
+         CASE WHEN trim(d.text) = '' THEN 0.0
+              ELSE CAST(len({tok_expr}) AS DOUBLE) END AS dl,
+         CAST({label_sql} AS DOUBLE) AS y,
+         {cnts}
+  FROM {table} d LEFT JOIN (
+    SELECT {id_col} AS tid, unnest({tok_expr}) AS term
+    FROM {table} WHERE trim(text) <> ''
+  ) t ON d.{id_col} = t.tid
+  GROUP BY 1, 2, 3
+),
+feats AS MATERIALIZED (
+  SELECT id, y, list_value({comps}, 1.0) AS x FROM tokb
+)"""
+
+
+def sql_logreg_chain(
+    feats_name: str, dim: int, n_rounds: int, lr: float
+) -> str:
+    """CTE fragment replaying logreg_train_fixed's recurrence.
+    `feats_name` must expose (id, y, x DOUBLE[] of length dim, already
+    6 dp-quantized). Returns "w0 AS (...), ..., w{R} AS (...)"; the
+    caller reads the final weights list from w{n_rounds}.w."""
+    zeros = ", ".join("0.0" for _ in range(dim))
+    margin = (
+        f"list_reduce(list_transform(range(1, {dim + 1}),"
+        " i -> t.x[i] * w.w[i]), (a, b) -> a + b)"
+    )
+    parts = [
+        f"w0 AS MATERIALIZED (SELECT list_value({zeros}) AS w)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n"
+        f" FROM {feats_name})",
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT t.id, t.y, t.x,"
+            f" 1.0 / (1.0 + exp(-({margin}))) AS s"
+            f" FROM {feats_name} t CROSS JOIN w{r - 1} w)"
+        )
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT i,"
+            " CAST(sum(CAST(floor(t.x[i] * (t.y - t.s) * 1000000.0 + 0.5)"
+            " / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) / nn.n AS g"
+            f" FROM p{r} t CROSS JOIN range(1, {dim + 1}) r(i)"
+            " CROSS JOIN nn GROUP BY i, nn.n)"
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT list("
+            f"floor((w.w[g.i] + {lr!r} * g.g) * 1000000.0 + 0.5) / 1000000.0"
+            f" ORDER BY g.i) AS w FROM g{r} g CROSS JOIN w{r - 1} w)"
+        )
+    return ",\n".join(parts)

@@ -1096,3 +1096,83 @@ SPECS.append(
     QuerySpec("q168_split_leakage_audit", q168_split_leakage_audit, _q168_sql(),
               "near-dup pairs straddling splits: naive vs cluster-aware")
 )
+
+
+# -- q171: fixed-round logistic-regression quality classifier ---------
+# Train a hashed-bag-of-words logistic regression (LOGREG_ROUNDS
+# full-batch mean-gradient rounds from zero init,
+# operators/classify.py), then score the corpus map-only and return
+# the top-LOGREG_TOPK docs. The whole training run replays as chained
+# MATERIALIZED CTEs in the oracle — the q125/q162/q165
+# fixed-iteration pattern, extended to a transcendental recurrence
+# (sigmoid's exp is the suite's bounded 1-ulp libm class; per-component
+# gradient contributions quantize to 6 dp BEFORE the exact DECIMAL
+# sum). The label is TOKEN-derived (document mentions LOGREG_MARKER):
+# the synthetic corpus draws every doc's text from one shared
+# vocabulary regardless of lang/source (measured: training on those
+# labels converges to the base rate), so a metadata label would gate a
+# recurrence that never moves off zero signal. Learnability itself is
+# pinned in pytest on a planted separable corpus
+# (tests/test_classify.py); this gate pins the recurrence.
+LOGREG_BUCKETS = 16
+LOGREG_DIM = LOGREG_BUCKETS + 1  # + bias
+LOGREG_ROUNDS = 3
+LOGREG_LR = 4.0
+LOGREG_TOPK = 20
+LOGREG_MARKER = "join"
+
+
+def q171_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_etl_pipeline_spark.operators import classify as C
+    from nyc_etl_pipeline_spark.operators.text import tokens
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    feats = C.hashed_tf_features(
+        docs, n_buckets=LOGREG_BUCKETS,
+        label=F.array_contains(tokens(F.col("text")), LOGREG_MARKER).cast("int"),
+    )
+    w = C.logreg_train_fixed(
+        feats, dim=LOGREG_DIM, n_rounds=LOGREG_ROUNDS, lr=LOGREG_LR
+    )
+    scored = C.logreg_score(feats, w, extra_cols=["y"])
+    return (
+        scored.select(
+            "doc_id", F.col("y").cast("int").alias("has_marker"), "score"
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(LOGREG_TOPK)
+    )
+
+
+def _q171_sql() -> str:
+    from nyc_etl_pipeline_spark.operators.classify import (
+        sql_hashed_tf_features,
+        sql_logreg_chain,
+    )
+
+    feats = sql_hashed_tf_features(
+        LOGREG_BUCKETS,
+        "CASE WHEN list_contains(string_split_regex(trim(text), '\\s+'),"
+        f" '{LOGREG_MARKER}') THEN 1 ELSE 0 END",
+    )
+    chain = sql_logreg_chain("feats", LOGREG_DIM, LOGREG_ROUNDS, LOGREG_LR)
+    margin = (
+        f"list_reduce(list_transform(range(1, {LOGREG_DIM + 1}),"
+        " i -> t.x[i] * w.w[i]), (a, b) -> a + b)"
+    )
+    return f"""
+WITH {feats},
+{chain}
+SELECT t.id AS doc_id, CAST(t.y AS INTEGER) AS has_marker,
+       floor((1.0 / (1.0 + exp(-({margin})))) * 1000000.0 + 0.5)
+         / 1000000.0 AS score
+FROM feats t CROSS JOIN w{LOGREG_ROUNDS} w
+ORDER BY score DESC, doc_id ASC
+LIMIT {LOGREG_TOPK}
+"""
+
+
+SPECS.append(
+    QuerySpec("q171_quality_logreg", q171_quality_logreg, _q171_sql(),
+              "fixed-round logistic-regression quality classifier (GD)")
+)

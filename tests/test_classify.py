@@ -1,0 +1,113 @@
+"""Fixed-round logistic regression (operators/classify.py): exact
+pure-Python replay of the distributed recurrence, learnability on a
+planted separable corpus, and feature-builder edges. The q171 gate
+pins the recurrence against DuckDB; these pin that the trainer LEARNS
+(the gate fixture's shared vocabulary carries no metadata signal, so
+learnability must be proven on constructed data)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_etl_pipeline_spark.io import read_testdata
+from nyc_etl_pipeline_spark.operators import classify as C
+
+
+def _planted_docs(spark, n_per_class=60):
+    """Two disjoint vocabularies -> linearly separable by any hashed
+    bag-of-words: class 1 speaks {alpha beta gamma}, class 0 speaks
+    {delta epsilon zeta}. Deterministic texts (no RNG)."""
+    pos = [(i, f"alpha beta {'gamma ' * (i % 3 + 1)}alpha", 1) for i in range(n_per_class)]
+    neg = [
+        (n_per_class + i, f"delta epsilon {'zeta ' * (i % 3 + 1)}delta", 0)
+        for i in range(n_per_class)
+    ]
+    return spark.createDataFrame(pos + neg, "doc_id long, text string, y_true int")
+
+
+def test_logreg_learns_planted_separable_corpus(spark):
+    docs = _planted_docs(spark)
+    feats = C.hashed_tf_features(
+        docs, n_buckets=32, label=F.col("y_true"), binary=True
+    )
+    w = C.logreg_train_fixed(feats, dim=33, n_rounds=8, lr=4.0)
+    scored = C.logreg_score(feats, w, extra_cols=["y"]).collect()
+    acc = sum((r["score"] >= 0.5) == (r["y"] == 1.0) for r in scored) / len(scored)
+    assert acc == 1.0
+    mean_pos = sum(r["score"] for r in scored if r["y"] == 1.0) / 60
+    mean_neg = sum(r["score"] for r in scored if r["y"] == 0.0) / 60
+    assert mean_pos - mean_neg > 0.5  # confident separation, not 50.1/49.9
+
+
+def test_logreg_weights_match_pure_python_replay(spark, sf_dir):
+    """Bit-exact driver-side replay of the whole distributed training
+    run: collect the quantized feature table once, then run the same
+    recurrence in plain Python — 6 dp quantized contributions, exact
+    Fraction sum for the DECIMAL accumulation, identical association
+    order for the update. Any drift in the Spark aggregation (merge
+    order, decimal scale, fold direction) breaks this."""
+    from fractions import Fraction
+
+    docs = read_testdata(spark, sf_dir, "documents").limit(200)
+    feats = C.hashed_tf_features(
+        docs, n_buckets=8, label=(F.col("n_chars") % 2 == 0).cast("int")
+    )
+    dim, n_rounds, lr = 9, 3, 2.0
+    w_spark = C.logreg_train_fixed(feats, dim=dim, n_rounds=n_rounds, lr=lr)
+
+    rows = [(list(r["x"]), r["y"]) for r in feats.collect()]
+    n = float(len(rows))
+    w = [0.0] * dim
+    for _ in range(n_rounds):
+        sums = [Fraction(0)] * dim
+        for x, y in rows:
+            z = 0.0
+            for i in range(dim):
+                z = z + x[i] * w[i]
+            s = 1.0 / (1.0 + math.exp(-z))
+            for i in range(dim):
+                c = math.floor(x[i] * (y - s) * 1000000.0 + 0.5) / 1000000.0
+                # the DECIMAL(28,6) accumulation is exact: model it as
+                # an exact integer sum of the 6 dp unscaled values
+                sums[i] += Fraction(round(c * 1000000))
+        grads = [float(s) / 1000000.0 / n for s in sums]
+        w = [C.py_round6(w[i] + lr * grads[i]) for i in range(dim)]
+    assert w == w_spark
+
+
+def test_hashed_features_edges(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: list(r["x"]) for r in C.hashed_tf_features(docs, n_buckets=4).collect()}
+    assert set(got) == {1, 2, 3}
+    # empty/whitespace docs: all-zero features, bias still 1.0
+    assert got[2] == [0.0] * 4 + [1.0] and got[3] == [0.0] * 4 + [1.0]
+    # tf features sum to ~1 over buckets (3 tokens, each 1/3 or 2/3)
+    assert abs(sum(got[1][:-1]) - 1.0) < 1e-5 and got[1][-1] == 1.0
+    gotb = {
+        r["doc_id"]: list(r["x"])
+        for r in C.hashed_tf_features(docs, n_buckets=4, binary=True).collect()
+    }
+    assert all(v in (0.0, 1.0) for v in gotb[1])
+    assert gotb[2] == [0.0] * 4 + [1.0]
+
+
+def test_logreg_score_is_map_only(spark, sf_dir):
+    """Scoring bakes the weights in as literals: the plan after the
+    feature build must contain no Join and no extra Exchange beyond
+    the feature aggregation itself."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    feats = C.hashed_tf_features(docs, n_buckets=8)
+    plan = C.logreg_score(feats, [0.1] * 9)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1  # the groupBy(doc) feature agg
+
+
+def test_logreg_validates(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    feats = C.hashed_tf_features(docs, n_buckets=2, label=F.lit(1))
+    with pytest.raises(Exception):
+        C.logreg_train_fixed(feats, dim=0, n_rounds=1)
