@@ -294,6 +294,22 @@ def main() -> None:
         return f"straddled pairs: naive {n_naive:,}, cluster-aware {n_safe:,}"
 
     timed("leakage_safe_split (pairs+CC+assign+audit)", _leak_probe)
+
+    def _logreg_probe():
+        from nyc_etl_pipeline_spark.operators import classify as CLS
+
+        feats = CLS.hashed_tf_features(
+            docs,
+            n_buckets=64,
+            label=F.array_contains(
+                F.split(F.trim(F.col("text")), r"\s+"), "w3"
+            ).cast("int"),
+        )
+        w = CLS.logreg_train_fixed(feats, dim=65, n_rounds=3, lr=4.0)
+        n_scored = CLS.logreg_score(feats, w).count()
+        return f"3-round GD train + score {n_scored:,} docs (dim 65)"
+
+    timed("quality_logreg (train+score)", _logreg_probe)
     docs.unpersist()
 
 
