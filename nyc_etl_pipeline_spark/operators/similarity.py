@@ -77,6 +77,60 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_cosine: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    anchor, the top-k most-similar corpus vectors with a DIFFERENT
+    label. `max_cosine` makes them SEMI-hard — skip near-identical
+    vectors (cos > bound), which in practice are unlabeled positives /
+    label noise rather than informative negatives.
+
+    Same exact-scan shape as cosine_topk (broadcast anchors, windowed
+    per-anchor top-k, corpus never shuffled); at 100 TB the anchor set
+    rides the same bucketed/IVF routes as every other ANN consumer —
+    this is the exact verification path and the per-bucket rescorer.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__cl"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    )
+    scored = (
+        c.join(F.broadcast(a))
+        .filter(F.col("__cl") != F.col("__ql"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("__cos"),
+        )
+    )
+    if max_cosine is not None:
+        scored = scored.filter(F.col("__cos") <= max_cosine)
+    w = W.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__cos", 4).alias("cosine"),
+            F.col("__rn").cast("int").alias("rank"),
+        )
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,

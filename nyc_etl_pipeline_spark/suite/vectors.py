@@ -481,6 +481,42 @@ FROM a{KM_ROUNDS}
 """
 
 
+HARDNEG_K = 5
+HARDNEG_ANCHORS = 5  # vec_id < 5
+HARDNEG_MAX_COS = 0.3  # semi-hard window (fixture max pairwise ~0.51)
+
+
+def q172_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard negative mining for contrastive training: per anchor,
+    top-k most-similar vectors with a DIFFERENT label, capped at
+    cosine <= HARDNEG_MAX_COS (nearer vectors are presumed unlabeled
+    positives). Exact scan shape of q25 plus the label filter."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < HARDNEG_ANCHORS)
+    return SIM.hard_negative_topk(
+        emb, anchors, k=HARDNEG_K, max_cosine=HARDNEG_MAX_COS
+    )
+
+
+_Q172_SQL = f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS ql, e AS qv FROM v WHERE vec_id < {HARDNEG_ANCHORS}),
+scored AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="qv", b="v.e")} AS cos
+  FROM q, v
+  WHERE v.label != q.ql
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored WHERE cos <= {HARDNEG_MAX_COS}
+)
+SELECT query_id, neighbor_id, floor((cos) * 10000.0 + 0.5) / 10000.0 AS cosine, CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= {HARDNEG_K}
+"""
+
+
 SPECS = [
     QuerySpec("q25_embedding_topk", q25_embedding_topk, _Q25_SQL,
               "exact cosine top-k (broadcast queries, no corpus shuffle)"),
@@ -502,4 +538,6 @@ SPECS = [
               "per-label centroid cohesion (embedding cluster quality)"),
     QuerySpec("q165_kmeans", q165_kmeans, _q165_sql(),
               "fixed-round distributed Lloyd k-means, chained-CTE oracle"),
+    QuerySpec("q172_hard_negatives", q172_hard_negatives, _Q172_SQL,
+              "semi-hard negative mining (different-label cosine top-k)"),
 ]

@@ -1287,3 +1287,34 @@ def test_minhash_chain_matches_pure_python(spark, sf_dir):
             ",".join(str(got_sig[some_id][b * rows + r]) for r in range(rows))
         )
         assert got_bands[(some_id, b)] == expect
+
+
+def test_hard_negative_topk_invariants(spark, sf_dir):
+    """Every mined negative has a different label than its anchor,
+    respects the semi-hard cosine cap, and matches a brute-force
+    different-label re-rank of exact cosines."""
+    from nyc_etl_pipeline_spark.operators import similarity as SIM
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 3)
+    got = SIM.hard_negative_topk(emb, anchors, k=4, max_cosine=0.3).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert got
+    for r in got:
+        assert labels[r["neighbor_id"]] != labels[r["query_id"]]
+        assert r["cosine"] <= 0.3 + 1e-9
+
+    # brute force from the exact all-neighbor ranking (no label filter,
+    # no cap): drop same-label and capped rows, re-rank, take 4
+    full = SIM.cosine_topk(emb, anchors, k=10_000).collect()
+    expect = {}
+    for r in sorted(full, key=lambda r: (r["query_id"], r["rank"])):
+        if labels[r["neighbor_id"]] == labels[r["query_id"]] or r["cosine"] > 0.3:
+            continue
+        expect.setdefault(r["query_id"], [])
+        if len(expect[r["query_id"]]) < 4:
+            expect[r["query_id"]].append(r["neighbor_id"])
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        got_by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert got_by_q == expect
