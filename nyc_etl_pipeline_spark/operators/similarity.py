@@ -1610,3 +1610,106 @@ def sql_kmeans_chain(v_name: str, dim: int, k: int, n_rounds: int) -> str:
                 " ON p.cluster = n.cluster)"
             )
     return ",\n".join(parts)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    vec_col: str = "embedding",
+    rel_col: str = "relevance",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: per query, greedily pick
+    the candidate maximizing lam*relevance - (1-lam)*max_cosine_to_
+    already_selected — the diversity stage between retrieval and a
+    context window (lam=1 is pure relevance; lam->0 pure diversity).
+
+    Input is a per-query candidate POOL (query, candidate id, its
+    vector, a relevance score — e.g. cosine_topk/bm25/rrf output
+    joined back to `embeddings`). Returns (query, id, mmr, rank) for
+    the k selected, rank in selection order, mmr rounded to 6 dp.
+
+    Scale shape: the greedy loop is inherently sequential PER QUERY
+    but embarrassingly parallel ACROSS queries — applyInPandas groups
+    by query, each group bounded by the upstream pool size (a rerank
+    contract, like pq_topk's shortlist), so per-group state is a
+    (pool x dim) float64 block, never the corpus. Deterministic:
+    ties break to the lowest candidate id; float ops are plain
+    numpy float64 (no FMA fusing — see kmeans' _assign_arrow note).
+
+    Not gate-queried: the greedy argmax chain is a k-deep sequential
+    recurrence per query — SQL-unrollable in principle (the q125
+    pattern) but k*pool CTE triples add gate wall-clock for no new
+    determinism class; parity is pinned instead by an exact
+    brute-force greedy replay in tests/test_training_ops.py (the PQ
+    codes-tier precedent, COVERAGE.md).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    base = candidates.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.col(rel_col).cast("double").alias("__rel"),
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        # stable candidate order by id -> argmax ties resolve lowest id
+        pdf = pdf.sort_values("__id", kind="mergesort").reset_index(drop=True)
+        X = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((X * X).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        Xn = X / norms[:, None]
+        rel = pdf["__rel"].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        chosen: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        avail = np.ones(n, dtype=bool)
+        out_rows = []
+        for rank in range(1, min(k, n) + 1):
+            if chosen:
+                score = lam * rel - (1.0 - lam) * max_sim
+            else:
+                score = lam * rel
+            score = np.where(avail, score, -np.inf)
+            j = int(np.argmax(score))  # first (lowest-id) max wins
+            out_rows.append(
+                (
+                    pdf["__q"].iloc[0],
+                    pdf["__id"].iloc[j],
+                    math.floor(float(score[j]) * 1000000.0 + 0.5) / 1000000.0,
+                    rank,
+                )
+            )
+            avail[j] = False
+            chosen.append(j)
+            sim_j = Xn @ Xn[j]
+            max_sim = np.maximum(max_sim, sim_j)
+        return pd.DataFrame(
+            out_rows, columns=["__q", "__id", "mmr", "rank"]
+        )
+
+    out_schema = (
+        f"__q {base.schema['__q'].dataType.simpleString()}, "
+        f"__id {base.schema['__id'].dataType.simpleString()}, "
+        "mmr double, rank int"
+    )
+    return (
+        base.groupBy("__q")
+        .applyInPandas(pick, schema=out_schema)
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("__id").alias(id_col),
+            "mmr",
+            "rank",
+        )
+    )

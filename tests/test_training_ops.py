@@ -1318,3 +1318,86 @@ def test_hard_negative_topk_invariants(spark, sf_dir):
     for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
         got_by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
     assert got_by_q == expect
+
+
+def test_mmr_rerank_matches_bruteforce_greedy(spark, sf_dir):
+    """Exact plain-Python greedy replay of the MMR recurrence on a
+    real candidate pool (q25's top-20 joined back to vectors):
+    selection order, ids, and 6 dp scores all match."""
+    import math
+
+    import numpy as np
+
+    from nyc_etl_pipeline_spark.operators import similarity as SIM
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 3)
+    pool = (
+        SIM.cosine_topk(emb, anchors, k=20)
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
+        .select("query_id", "neighbor_id", "embedding", F.col("cosine").alias("relevance"))
+    )
+    lam, k = 0.7, 6
+    got = {}
+    for r in SIM.mmr_rerank(pool, k=k, lam=lam).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["mmr"]))
+    for q in got:
+        got[q].sort()
+
+    rows = pool.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    expect = {}
+    for q, cands in by_q.items():
+        cands = sorted(cands, key=lambda r: r["neighbor_id"])
+        X = np.array([list(r["embedding"]) for r in cands], dtype=np.float64)
+        norms = np.sqrt((X * X).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        Xn = X / norms[:, None]
+        rel = np.array([r["relevance"] for r in cands], dtype=np.float64)
+        n = len(cands)
+        avail = [True] * n
+        max_sim = np.full(n, -np.inf)
+        sel = []
+        for rank in range(1, min(k, n) + 1):
+            best_j, best_s = None, None
+            for j in range(n):
+                if not avail[j]:
+                    continue
+                s = lam * rel[j] - (1.0 - lam) * max_sim[j] if rank > 1 else lam * rel[j]
+                if best_s is None or s > best_s:
+                    best_j, best_s = j, s
+            sel.append((rank, cands[best_j]["neighbor_id"],
+                        math.floor(best_s * 1000000.0 + 0.5) / 1000000.0))
+            avail[best_j] = False
+            max_sim = np.maximum(max_sim, Xn @ Xn[best_j])
+        expect[q] = sel
+    assert got == expect
+
+
+def test_mmr_diversifies_clustered_pool(spark):
+    """Planted pool: 6 near-identical 'cluster A' candidates with the
+    highest relevance and 4 spread-out candidates. Pure relevance
+    (lam=1) keeps only cluster A; lam=0.4 must mix clusters."""
+    from nyc_etl_pipeline_spark.operators import similarity as SIM
+
+    rows = []
+    for i in range(6):  # cluster A: same direction, tiny jitter
+        rows.append((0, i, [10.0, float(i) * 0.01, 0.0], 0.99 - i * 0.001))
+    for i in range(4):  # orthogonal-ish spread
+        v = [0.0, 0.0, 0.0]
+        v[i % 3] = 5.0
+        v[(i + 1) % 3] = float(i)
+        rows.append((0, 100 + i, v, 0.5))
+    pool = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, embedding array<double>, relevance double"
+    )
+    pure = [r["neighbor_id"] for r in SIM.mmr_rerank(pool, k=4, lam=1.0).collect()]
+    assert all(i < 6 for i in pure)
+    mixed = [r["neighbor_id"] for r in SIM.mmr_rerank(pool, k=4, lam=0.4).collect()]
+    assert any(i >= 100 for i in mixed)
+    with pytest.raises(ValueError):
+        SIM.mmr_rerank(pool, k=0)
+    with pytest.raises(ValueError):
+        SIM.mmr_rerank(pool, lam=1.5)
