@@ -73,19 +73,44 @@ def hashed_tf_features(
     explode_outer keeps empty documents (all-zero features, bias only),
     so the gradient sums range over the WHOLE corpus on both engines.
     """
-    dl = F.size(tokens(F.col(text_col))).cast("double")
-    base = [F.col(id_col).alias("__id"), dl.alias("__dl")]
-    if label is not None:
-        base.append(label.cast("double").alias("y"))
-    bt = docs.select(*base, F.explode_outer(tokens(F.col(text_col))).alias("__t"))
+    # Count-then-pivot-then-join, each stage shaped by a measured
+    # trap (1M docs / 39M tokens / 64 buckets, idle):
+    # - the token-scale pass is a NARROW (doc, bucket) count keyed by
+    #   the id ALONE. A direct n_buckets-wide sum(when) over the
+    #   exploded table measured 52 s vs 2.0 s (wide per-row agg
+    #   update cost); carrying dl/y through the explode measured
+    #   69 s vs 5.9 s — the generator's sibling expressions are
+    #   re-evaluated per exploded row (the _shingle_table 14x
+    #   lesson), so per-doc metadata must NOT ride the explode.
+    # - the n_buckets-wide pivot then runs over the counted rows
+    #   (~|docs| * min(buckets, dl)), and per-doc (dl, y) join back
+    #   at |docs| scale: 2.3 s end-to-end vs 96.8 s for the
+    #   single-aggregate form. Same integer counts either way.
+    # Empty docs: explode_outer emits one NULL-token row -> NULL
+    # bucket -> every conditional sums to 0; the join stays total.
+    bt = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(tokens(F.col(text_col))).alias("__t"),
+    )
     bucket = F.pmod(md5_long("__t"), F.lit(n_buckets))
-    keys = ["__id", "__dl"] + (["y"] if label is not None else [])
-    g = bt.groupBy(*keys).agg(
+    cnt = bt.groupBy("__id", bucket.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__tc")
+    )
+    piv = cnt.groupBy("__id").agg(
         *[
-            F.sum(F.when(bucket == j, 1).otherwise(0)).alias(f"__c{j}")
+            F.sum(F.when(F.col("__b") == j, F.col("__tc")).otherwise(0)).alias(
+                f"__c{j}"
+            )
             for j in range(n_buckets)
         ]
     )
+    meta_cols = [
+        F.col(id_col).alias("__id"),
+        F.size(tokens(F.col(text_col))).cast("double").alias("__dl"),
+    ]
+    if label is not None:
+        meta_cols.append(label.cast("double").alias("y"))
+    g = docs.select(*meta_cols).join(piv, "__id")
     if binary:
         comps = [
             F.when(F.col(f"__c{j}") > 0, 1.0).otherwise(0.0)
@@ -105,9 +130,26 @@ def hashed_tf_features(
     return g.select(*out, F.array(*comps).alias("x"))
 
 
+#: above this many components the margin uses the higher-order fold
+#: (flat expression trees collapse at width — the _nearest_cell
+#: lesson); below it, a flat left-to-right chain stays inside
+#: whole-stage codegen (the fold is interpreted). Both are the SAME
+#: double-addition sequence (0.0 + a == a), so bit-identical.
+_MARGIN_FLAT_MAX_TERMS = 256
+
+
 def _margin(x_col: Column, weights: list[float]) -> Column:
-    """Index-ordered left fold of w·x with the weights baked in as
-    literals (no join, no broadcast — the plan is map-only)."""
+    """Index-ordered w·x with the weights baked in as literals (no
+    join, no broadcast — the plan is map-only). Flat codegen chain
+    for typical dims, higher-order fold above _MARGIN_FLAT_MAX_TERMS;
+    identical association order either way."""
+    if len(weights) <= _MARGIN_FLAT_MAX_TERMS:
+        out = None
+        for i, v in enumerate(weights, start=1):
+            term = F.element_at(x_col, i) * F.lit(v)
+            out = term if out is None else out + term
+        return out
+
     warr = F.array(*[F.lit(v) for v in weights])
 
     def step(acc, i):

@@ -101,9 +101,14 @@ def test_logreg_score_is_map_only(spark, sf_dir):
     the feature aggregation itself."""
     docs = read_testdata(spark, sf_dir, "documents")
     feats = C.hashed_tf_features(docs, n_buckets=8)
+    feat_plan = feats._jdf.queryExecution().executedPlan().toString()
     plan = C.logreg_score(feats, [0.1] * 9)._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan
-    assert plan.count("Exchange") <= 1  # the groupBy(doc) feature agg
+    # scoring itself adds NO shuffle and no join beyond the feature
+    # build's own (count, pivot, meta equi-join) — the weights are
+    # plan literals
+    assert plan.count("Exchange") == feat_plan.count("Exchange")
+    assert plan.count("Join") == feat_plan.count("Join")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_logreg_validates(spark):
