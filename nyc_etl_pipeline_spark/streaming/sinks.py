@@ -313,3 +313,94 @@ def merged_mg_summary(
         warehouse.read(table).drop("batch_id"), col=token_col,
         k_summary=k_summary,
     )
+
+
+def ivf_maintainer(
+    warehouse,
+    table: str,
+    centers: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch function maintaining a cell-partitioned IVF vector
+    index incrementally: each micro-batch's vectors are assigned to
+    their nearest coarse cell with the FIXED index centers (map-only
+    literal assignment — the serving-time contract: the quantizer is
+    versioned with the index and refreshed only by an offline rebuild,
+    exactly as ivf_write_index stores it) and land in
+    (batch_id, __cell) partitions via dynamic partition overwrite, so
+    a replayed batch rewrites its own partitions instead of
+    duplicating vectors — the same exactly-once-by-idempotence
+    contract as `mg_maintainer`/`sketch_maintainer`.
+
+    Search stays partition-pruned: __cell remains a partition column
+    (second level under batch_id), so `maintained_ivf_topk`'s probed-
+    cells filter skips unprobed directories of EVERY batch.
+
+    Idempotence caveat (stricter than mg_maintainer, whose only
+    partition level is batch_id): dynamic overwrite replaces the LEAF
+    (batch_id, __cell) partitions present in the retry — exactly-once
+    therefore relies on the replayed batch having the same content,
+    which Structured Streaming's replayable sources guarantee and the
+    fixed literal centers preserve (same vectors -> same cells)."""
+    from nyc_etl_pipeline_spark.operators.similarity import (
+        _as_double,
+        _nearest_cell,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # empty batch 0 must not create an empty table
+        assigned = (
+            batch_df.select(F.col(id_col), F.col(vec_col))
+            .withColumn(
+                "__cell", _nearest_cell(_as_double(F.col(vec_col)), centers)
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        if warehouse.exists(table):
+            warehouse.overwrite_partitions(
+                assigned, table, ["batch_id", "__cell"]
+            )
+        else:
+            warehouse.overwrite(
+                assigned, table, partition_by=["batch_id", "__cell"]
+            )
+
+    return write_batch
+
+
+def maintained_ivf_topk(
+    warehouse,
+    table: str,
+    centers: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search the maintained index (see ivf_maintainer) reading ONLY
+    the probed cells across every arrived batch — identical results to
+    `ivf_topk_indexed` over a batch-built index of the same vectors
+    and centers (pinned in tests/test_streaming_sinks.py)."""
+    from nyc_etl_pipeline_spark.operators.similarity import (
+        _as_double,
+        _ivf_probes,
+        _ivf_rank,
+    )
+
+    probes = _ivf_probes(queries, centers, n_probe, id_col, vec_col)
+    cells = [
+        int(r["__cell"]) for r in probes.select("__cell").distinct().collect()
+    ]
+    assigned = (
+        warehouse.read(table)
+        .filter(F.col("__cell").isin(cells))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("__cv"),
+            F.col("__cell").cast("int").alias("__cell"),
+        )
+    )
+    return _ivf_rank(assigned, probes, k)

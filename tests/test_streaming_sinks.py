@@ -299,3 +299,74 @@ def test_streaming_mg_summary_maintenance_exactly_once(spark, sf_dir, tmp_path):
     # replay batch 0 verbatim: partition overwrite keeps totals exact
     writer(events, 0)
     check()
+
+
+def test_ivf_maintainer_parity_and_exactly_once(spark, sf_dir, tmp_path):
+    """Stream embeddings through the IVF maintainer in 3 file-batches;
+    the maintained (batch_id, __cell) index must (a) return EXACTLY
+    the batch-built index's search results under the same centers,
+    (b) keep the probed-cells partition filter on the scan, and
+    (c) stay correct after a verbatim batch replay (dynamic partition
+    overwrite, not append)."""
+    from nyc_etl_pipeline_spark.io import Warehouse
+    from nyc_etl_pipeline_spark.operators import similarity as SIM
+    from nyc_etl_pipeline_spark.streaming.sinks import (
+        ivf_maintainer,
+        maintained_ivf_topk,
+    )
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    # batch-built reference index (fit once; its centers ARE the index
+    # metadata, shared with the maintainer)
+    centers = SIM.ivf_write_index(emb, str(tmp_path / "batch_idx"), n_lists=8)
+    expect = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in SIM.ivf_topk_indexed(
+            spark, str(tmp_path / "batch_idx"), centers, queries, k=5, n_probe=3
+        ).collect()
+    }
+
+    staging = str(tmp_path / "staging")
+    emb.repartition(3).write.parquet(staging)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    writer = ivf_maintainer(wh, "vecidx", centers)
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # multiple batches actually arrived
+    batches = {r["batch_id"] for r in wh.read("vecidx").select("batch_id").distinct().collect()}
+    assert len(batches) >= 2
+
+    def got():
+        return {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in maintained_ivf_topk(
+                wh, "vecidx", centers, queries, k=5, n_probe=3
+            ).collect()
+        }
+
+    assert got() == expect
+    # probed-cells partition pruning on the maintained index
+    plan = maintained_ivf_topk(
+        wh, "vecidx", centers, queries, k=5, n_probe=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cell" in plan.split("PartitionFilters", 1)[1][:400]
+    # retry idempotence: writing the same batch twice under one
+    # batch_id must contribute its rows exactly once (dynamic
+    # partition overwrite, not append)
+    n_before = wh.read("vecidx").count()
+    replay = emb.limit(100)
+    writer(replay, 999)
+    writer(replay, 999)
+    assert wh.read("vecidx").count() == n_before + 100
+    # and the retry rewrote ONLY its own batch partitions
+    assert wh.read("vecidx").filter(F.col("batch_id") == 999).count() == 100
