@@ -97,6 +97,9 @@ def curate(
     mixture_weights: dict[str, float] | None = None,
     mixture_total: int | None = None,
     boilerplate_max_df: int | None = None,
+    classifier_seed: F.Column | None = None,
+    classifier_cutoff: float = 0.5,
+    classifier_buckets: int = 32,
 ) -> dict[str, DataFrame]:
     """documents(doc_id, text, ...) -> {split: curated DataFrame}."""
     from nyc_etl_pipeline_spark.operators.lm import unigram_nll_scores
@@ -157,6 +160,31 @@ def curate(
     # character set, boilerplate soup) score far above the corpus mean
     nll = unigram_nll_scores(gated).select("doc_id", "nll")
     gated = gated.join(nll, "doc_id").filter(F.col("nll") <= NLL_CUTOFF)
+
+    # 5b. optional TRAINED quality gate (the GPT-3/CCNet classifier
+    # stage): `classifier_seed` marks reference-like documents (a
+    # curated seed slice); a fixed-round logistic regression on hashed
+    # presence features then scores EVERY survivor and the gate keeps
+    # docs the model finds reference-like. Complements the heuristic
+    # stage-4 gate (surface stats) and the stage-5 LM gate (token
+    # distribution) with a supervised signal. Off by default: it
+    # needs a labeled seed to mean anything.
+    if classifier_seed is not None:
+        from nyc_etl_pipeline_spark.operators import classify as CLS
+
+        feats = CLS.hashed_tf_features(
+            gated,
+            n_buckets=classifier_buckets,
+            label=classifier_seed,
+            binary=True,
+        )
+        wts = CLS.logreg_train_fixed(
+            feats, dim=classifier_buckets + 1, n_rounds=8, lr=4.0
+        )
+        keep = CLS.logreg_score(feats, wts).filter(
+            F.col("score") >= classifier_cutoff
+        ).select("doc_id")
+        gated = gated.join(keep, on="doc_id", how="left_semi")
 
     # 6-7. redact + normalize
     curated = (

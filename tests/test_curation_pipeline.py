@@ -250,3 +250,62 @@ def test_curation_boilerplate_stage_keeps_banner_out_of_training_text(spark):
     # LONGER, banner-laden copy — boilerplate lands in training text
     assert 1 in without_stage and 2 not in without_stage
     assert banner in without_stage[1]
+
+
+def test_curation_classifier_gate_drops_offvocab_docs(spark):
+    """Stage 5b behavioral pin: a seed slice of reference-vocabulary
+    docs trains the classifier; unseeded docs from the SAME vocabulary
+    must survive (the model generalizes past the literal seed ids)
+    while junk-vocabulary docs are dropped — the heuristic stage-4
+    gate cannot make this cut (both classes have ordinary lengths and
+    stopword ratios)."""
+    mod = _load()
+
+    # every doc: en-marker prefix (passes the lang gate) + a 12-token
+    # UNIQUE block (kills exact/near-dup and the passage gate: shared
+    # shingle fraction ~0.2 << 0.5) + an 8-token class vocabulary
+    # (the stable signal the classifier must find)
+    ref_tail = "data table join scan merge sort group order"
+    junk_tail = "zzq xvw qqj wzx vqk jzz kxv qwz"
+
+    def mk(i, tail):
+        uniq = " ".join(f"u{i}x{j}" for j in range(12))
+        return f"the and is {uniq} {tail}"
+
+    rows = []
+    for i in range(30):  # seed slice: reference vocab, labeled source
+        rows.append((i, mk(i, ref_tail), "en", "seed", 200))
+    for i in range(30, 60):  # unseeded reference-vocab docs
+        rows.append((i, mk(i, ref_tail), "en", "web", 200))
+    for i in range(60, 75):  # junk vocabulary
+        rows.append((i, mk(i, junk_tail), "en", "web", 200))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    benchmark = spark.createDataFrame(
+        [(999, "completely unrelated benchmark sentence here")],
+        "doc_id long, text string",
+    )
+
+    def ids(splits):
+        out = set()
+        for df in splits.values():
+            out |= {r["doc_id"] for r in df.select("doc_id").collect()}
+        return out
+
+    base = ids(mod.curate(docs, benchmark, quality_cutoff=0.0))
+    assert {i for i in range(60, 75)} <= base  # junk survives without the gate
+
+    gated = ids(
+        mod.curate(
+            docs,
+            benchmark,
+            quality_cutoff=0.0,
+            classifier_seed=(F.col("source") == "seed").cast("int"),
+            classifier_buckets=128,
+        )
+    )
+    junk_kept = {i for i in gated if i >= 60}
+    web_ref_kept = {i for i in gated if 30 <= i < 60}
+    assert not junk_kept  # classifier drops every off-vocab doc
+    assert len(web_ref_kept) >= 25  # and generalizes past the seed ids
