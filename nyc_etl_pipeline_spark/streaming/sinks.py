@@ -404,3 +404,42 @@ def maintained_ivf_topk(
         )
     )
     return _ivf_rank(assigned, probes, k)
+
+
+def band_index_maintainer(
+    warehouse,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+):
+    """foreachBatch function maintaining the corpus MinHash band index
+    incrementally — the streaming completion of the near-dup dedup
+    lifecycle: each arriving micro-batch's band table
+    (dedup.minhash_band_table, the same construction q23/q127 gate)
+    lands in a batch_id partition via dynamic partition overwrite
+    (exactly-once by idempotence, the mg_maintainer contract).
+
+    The maintained table is exactly what the incremental near-dup
+    gate equi-joins its batch bands against
+    (tests/test_training_ops.test_incremental_neardup_with_stored_band_index):
+    candidates come from (band_idx, band_key) matches, so arriving-
+    batch dedup cost stays proportional to the batch and its
+    candidate fan-out, never to the corpus — and the index itself now
+    grows per batch without ever rescanning history."""
+    from nyc_etl_pipeline_spark.operators.dedup import minhash_band_table
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # empty batch 0 must not create an empty table
+        bt = minhash_band_table(
+            batch_df, id_col, text_col, n, num_hashes, bands
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        if warehouse.exists(table):
+            warehouse.overwrite_partitions(bt, table, ["batch_id"])
+        else:
+            warehouse.overwrite(bt, table, partition_by=["batch_id"])
+
+    return write_batch

@@ -370,3 +370,69 @@ def test_ivf_maintainer_parity_and_exactly_once(spark, sf_dir, tmp_path):
     assert wh.read("vecidx").count() == n_before + 100
     # and the retry rewrote ONLY its own batch partitions
     assert wh.read("vecidx").filter(F.col("batch_id") == 999).count() == 100
+
+
+def test_band_index_maintainer_parity_and_exactly_once(spark, sf_dir, tmp_path):
+    """Stream documents through the band-index maintainer in multiple
+    file-batches: the maintained index must equal the batch-built
+    minhash_band_table over the same corpus AS A SET, an arriving
+    batch's candidate join against it must match the live-index path,
+    and a verbatim batch retry must not duplicate rows."""
+    from nyc_etl_pipeline_spark.io import Warehouse
+    from nyc_etl_pipeline_spark.operators import dedup as D
+    from nyc_etl_pipeline_spark.streaming.sinks import band_index_maintainer
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    arriving = docs.filter(F.col("doc_id") >= 250)
+
+    staging = str(tmp_path / "staging")
+    corpus.repartition(3).write.parquet(staging)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    writer = band_index_maintainer(wh, "bands", num_hashes=64, bands=16)
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    maintained = wh.read("bands")
+    assert maintained.select("batch_id").distinct().count() >= 2
+
+    live = D.minhash_band_table(corpus, num_hashes=64, bands=16)
+    as_set = lambda df: {
+        (r["doc_id"], r["band_idx"], r["band_key"])
+        for r in df.select("doc_id", "band_idx", "band_key").collect()
+    }
+    assert as_set(maintained) == as_set(live)
+
+    # candidate join for an arriving batch: maintained == live index
+    nb = D.minhash_band_table(arriving, num_hashes=64, bands=16)
+
+    def cands(cb):
+        return {
+            (r["new_id"], r["other_id"])
+            for r in nb.select(F.col("doc_id").alias("new_id"), "band_idx", "band_key")
+            .join(
+                cb.select(F.col("doc_id").alias("other_id"), "band_idx", "band_key"),
+                on=["band_idx", "band_key"],
+            )
+            .select("new_id", "other_id")
+            .dropDuplicates()
+            .collect()
+        }
+
+    assert cands(maintained) == cands(live) and cands(maintained)
+
+    # verbatim retry of a new batch id: rows contributed exactly once
+    n_before = maintained.count()
+    replay = arriving.limit(40)
+    writer(replay, 777)
+    writer(replay, 777)
+    per_doc = D.minhash_band_table(replay, num_hashes=64, bands=16).count()
+    assert wh.read("bands").count() == n_before + per_doc
