@@ -216,3 +216,76 @@ def capped_sessionize(
 
     out_schema = src.drop("__us", "__b").schema.add("session_idx", "long")
     return src.groupBy("__b").applyInPandas(assign, out_schema)
+
+
+def holt_winters_level_trend(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + trend) over
+    a time-ordered series — the forecasting primitive behind capacity
+    and drift dashboards:
+
+        s_1 = x_1,              b_1 = x_2 - x_1   (classical init)
+        s_t = alpha*x_t + (1-alpha)*(s_{t-1} + b_{t-1})
+        b_t = beta*(s_t - s_{t-1}) + (1-beta)*b_{t-1}
+
+    Returns one row per key: (key..., n, level, trend, forecast_1)
+    with level/trend/one-step forecast rounded to 6 dp; keys with a
+    single observation get trend 0.0. Ties on time_col are broken by
+    value to keep the scan order deterministic.
+
+    Scale shape: the recurrence is inherently sequential PER KEY but
+    embarrassingly parallel ACROSS keys — applyInPandas groups by
+    key; per-group state is one (n,) float64 pass (same contract as
+    capped_sessionize: group size is the per-key series length, so
+    callers bucket ultra-long series upstream if a single key's
+    history outgrows a worker). Float ops are plain numpy float64 in
+    recurrence order — a pure-Python replay performs the identical
+    double sequence (pinned in tests/test_training_ops.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 < alpha <= 1.0 or not 0.0 <= beta <= 1.0:
+        raise ValueError("alpha in (0,1], beta in [0,1] required")
+
+    out_fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in key_cols
+    )
+    schema = f"{out_fields}, n long, level double, trend double, forecast_1 double"
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [time_col, value_col], kind="mergesort"
+        ).reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(x)
+        s = x[0]
+        b = (x[1] - x[0]) if n > 1 else 0.0
+        for t in range(1, n):
+            prev_s = s
+            s = alpha * x[t] + (1.0 - alpha) * (s + b)
+            b = beta * (s - prev_s) + (1.0 - beta) * b
+
+        def r6(v: float) -> float:
+            import math
+
+            return math.floor(v * 1000000.0 + 0.5) / 1000000.0
+
+        row = {c: [pdf[c].iloc[0]] for c in key_cols}
+        row.update(
+            n=[n], level=[r6(float(s))], trend=[r6(float(b))],
+            forecast_1=[r6(float(s + b))],
+        )
+        return pd.DataFrame(row)
+
+    return (
+        df.select(*key_cols, time_col, value_col)
+        .groupBy(*key_cols)
+        .applyInPandas(smooth, schema=schema)
+    )

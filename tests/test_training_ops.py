@@ -1401,3 +1401,60 @@ def test_mmr_diversifies_clustered_pool(spark):
         SIM.mmr_rerank(pool, k=0)
     with pytest.raises(ValueError):
         SIM.mmr_rerank(pool, lam=1.5)
+
+
+def test_holt_winters_matches_pure_python_and_known_series(spark, sf_dir):
+    """Exact recurrence replay in plain Python over the real events
+    table (same double-op order), plus closed-form pins: a constant
+    series has trend 0 and level == the constant; a perfect linear
+    ramp is tracked exactly (level == last point, trend == slope,
+    one-step forecast == next point) because Holt with ANY alpha/beta
+    is exact on linear data under the classical s1=x1, b1=x2-x1 init."""
+    import math
+
+    from nyc_etl_pipeline_spark.operators.pandas_ops import (
+        holt_winters_level_trend,
+    )
+
+    # closed-form: constant and linear series
+    rows = [("c", t, 5.0) for t in range(10)] + [
+        ("lin", t, 3.0 + 2.0 * t) for t in range(12)
+    ] + [("single", 0, 7.0)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {r["k"]: r for r in holt_winters_level_trend(df, ["k"], "t", "v").collect()}
+    assert got["c"]["level"] == 5.0 and got["c"]["trend"] == 0.0
+    assert got["lin"]["level"] == 3.0 + 2.0 * 11
+    assert got["lin"]["trend"] == 2.0
+    assert got["lin"]["forecast_1"] == 3.0 + 2.0 * 12
+    assert got["single"]["n"] == 1 and got["single"]["trend"] == 0.0
+
+    # exact replay on real data: hourly event counts per type
+    events = read_testdata(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    alpha, beta = 0.5, 0.25
+    got2 = {
+        r["event_type"]: (r["n"], r["level"], r["trend"])
+        for r in holt_winters_level_trend(
+            hourly, ["event_type"], "h", "v", alpha=alpha, beta=beta
+        ).collect()
+    }
+    series = {}
+    for r in hourly.collect():
+        series.setdefault(r["event_type"], []).append((r["h"], r["v"]))
+    for k, pts in series.items():
+        xs = [v for _, v in sorted(pts)]
+        s = xs[0]
+        b = (xs[1] - xs[0]) if len(xs) > 1 else 0.0
+        for t in range(1, len(xs)):
+            prev = s
+            s = alpha * xs[t] + (1.0 - alpha) * (s + b)
+            b = beta * (s - prev) + (1.0 - beta) * b
+        r6 = lambda v: math.floor(v * 1000000.0 + 0.5) / 1000000.0
+        assert got2[k] == (len(xs), r6(s), r6(b)), k
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        holt_winters_level_trend(df, ["k"], "t", "v", alpha=0.0)
