@@ -109,6 +109,11 @@ def test_logreg_score_is_map_only(spark, sf_dir):
     assert plan.count("Exchange") == feat_plan.count("Exchange")
     assert plan.count("Join") == feat_plan.count("Join")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # count-then-pivot-then-join shape regression pin: the narrow
+    # (doc, bucket) count's __b attribute and the meta join-back must
+    # both exist — a revert to the single wide aggregate (the measured
+    # 26x cliff) has neither
+    assert "__b" in feat_plan and "Join" in feat_plan
 
 
 def test_logreg_validates(spark):
