@@ -1635,16 +1635,16 @@ def mmr_rerank(
     but embarrassingly parallel ACROSS queries — applyInPandas groups
     by query, each group bounded by the upstream pool size (a rerank
     contract, like pq_topk's shortlist), so per-group state is a
-    (pool x dim) float64 block, never the corpus. Deterministic:
-    ties break to the lowest candidate id; float ops are plain
-    numpy float64 (no FMA fusing — see kmeans' _assign_arrow note).
+    (pool x dim) float64 block, never the corpus.
 
-    Not gate-queried: the greedy argmax chain is a k-deep sequential
-    recurrence per query — SQL-unrollable in principle (the q125
-    pattern) but k*pool CTE triples add gate wall-clock for no new
-    determinism class; parity is pinned instead by an exact
-    brute-force greedy replay in tests/test_training_ops.py (the PQ
-    codes-tier precedent, COVERAGE.md).
+    Cross-engine determinism (oracle-gated as q173): ties break to
+    the lowest candidate id, and EVERY float is an index-ordered fold
+    — dots and norms loop dims explicitly (numpy elementwise, never
+    matmul/.sum(), whose pairwise/SIMD summation is not the fold a
+    SQL engine computes), `max over selected` is order-independent,
+    and the per-step score lam*rel - (1-lam)*max_sim uses the same
+    literal association both engines. sql_mmr_chain unrolls the
+    k-step selection as chained CTEs from the same constants.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -1666,9 +1666,17 @@ def mmr_rerank(
         # stable candidate order by id -> argmax ties resolve lowest id
         pdf = pdf.sort_values("__id", kind="mergesort").reset_index(drop=True)
         X = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-        norms = np.sqrt((X * X).sum(axis=1))
+        dim = X.shape[1]
+        # INDEX-ORDERED folds, never BLAS: matmul/.sum() use pairwise
+        # or SIMD-reordered summation, which is NOT the fold any SQL
+        # engine computes — the oracle's argmax then flips on near-ties
+        # (the kmeans _assign_arrow discipline: loop dims, vectorize
+        # across rows; float64 elementwise ops are IEEE-exact per step)
+        sq = np.zeros(len(X))
+        for i in range(dim):
+            sq = sq + X[:, i] * X[:, i]
+        norms = np.sqrt(sq)
         norms[norms == 0.0] = 1.0
-        Xn = X / norms[:, None]
         rel = pdf["__rel"].to_numpy(dtype=np.float64)
         n = len(pdf)
         chosen: list[int] = []
@@ -1692,7 +1700,10 @@ def mmr_rerank(
             )
             avail[j] = False
             chosen.append(j)
-            sim_j = Xn @ Xn[j]
+            dot = np.zeros(n)
+            for i in range(dim):
+                dot = dot + X[:, i] * X[j, i]
+            sim_j = dot / (norms * norms[j])
             max_sim = np.maximum(max_sim, sim_j)
         return pd.DataFrame(
             out_rows, columns=["__q", "__id", "mmr", "rank"]
@@ -1713,3 +1724,62 @@ def mmr_rerank(
             "rank",
         )
     )
+
+
+def sql_mmr_chain(pool_name: str, dim: int, k: int, lam: float) -> str:
+    """CTE fragment replaying mmr_rerank's greedy selection (DuckDB).
+
+    `pool_name` must expose (query_id, id, rel, v) with v CAST to
+    DOUBLE[] — the same pool the operator re-ranks. Returns
+    "p1 AS (...), ..., sel{k} AS (...)"; the caller reads
+    (query_id, sid, score, rank) from sel{k}. Every float mirrors the
+    operator bit-for-bit: dots/norms are index-ordered list_reduce
+    folds, `max` over selected is order-independent, and the score's
+    literal association matches (`oml` = the exact double 1 - lam,
+    injected as a string literal per the functions.__init__ trap)."""
+    oml = repr(1.0 - lam)
+    lam_s = repr(float(lam))
+    fold = "list_reduce(list_transform(range(1, {n}), {f}), (a, b) -> a + b)"
+    dot = fold.format(n=dim + 1, f="i -> p.v[i] * s.sv[i]")
+    nrm_p = "sqrt(" + fold.format(n=dim + 1, f="i -> p.v[i] * p.v[i]") + ")"
+    nrm_s = "sqrt(" + fold.format(n=dim + 1, f="i -> s.sv[i] * s.sv[i]") + ")"
+    sim = f"({dot}) / (({nrm_p}) * ({nrm_s}))"
+    parts = [
+        f"""p1 AS MATERIALIZED (
+  SELECT query_id, id, rel, v, CAST('{lam_s}' AS DOUBLE) * rel AS score
+  FROM {pool_name})""",
+        """sel1 AS MATERIALIZED (
+  SELECT query_id, id AS sid, v AS sv, score, 1 AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, id) AS rn FROM p1)
+  WHERE rn = 1)""",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+  SELECT p.query_id, p.id, p.rel, max({sim}) AS ms
+  FROM {pool_name} p
+  ANTI JOIN sel{r - 1} se ON p.query_id = se.query_id AND p.id = se.sid
+  JOIN sel{r - 1} s ON p.query_id = s.query_id
+  GROUP BY 1, 2, 3)"""
+        )
+        parts.append(
+            f"""pick{r} AS MATERIALIZED (
+  SELECT query_id, id, score FROM (
+    SELECT query_id, id,
+           CAST('{lam_s}' AS DOUBLE) * rel
+             - CAST('{oml}' AS DOUBLE) * ms AS score,
+           row_number() OVER (PARTITION BY query_id ORDER BY
+             CAST('{lam_s}' AS DOUBLE) * rel
+               - CAST('{oml}' AS DOUBLE) * ms DESC, id) AS rn
+    FROM m{r}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""sel{r} AS MATERIALIZED (
+  SELECT * FROM sel{r - 1}
+  UNION ALL
+  SELECT k.query_id, k.id AS sid, p.v AS sv, k.score, {r} AS rank
+  FROM pick{r} k JOIN {pool_name} p
+    ON k.query_id = p.query_id AND k.id = p.id)"""
+        )
+    return ",\n".join(parts)

@@ -517,6 +517,61 @@ FROM ranked WHERE rn <= {HARDNEG_K}
 """
 
 
+MMR_K = 6
+MMR_LAM = 0.5  # exactly representable: 1 - lam is the same double class
+MMR_POOL = 20
+MMR_QUERIES = 3  # vec_id < 3
+
+
+def q173_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-rank of q25-style exact-cosine pools — the
+    diversity stage between retrieval and a context window. The k-step
+    greedy argmax recurrence replays as chained CTEs
+    (similarity.sql_mmr_chain); every float is an index-ordered fold
+    on both engines (see mmr_rerank's determinism note)."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < MMR_QUERIES)
+    pool = (
+        SIM.cosine_topk(emb, anchors, k=MMR_POOL)
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .select(
+            "query_id", "neighbor_id", "embedding",
+            F.col("cosine").alias("relevance"),
+        )
+    )
+    return SIM.mmr_rerank(pool, k=MMR_K, lam=MMR_LAM)
+
+
+def _q173_sql() -> str:
+    chain = SIM.sql_mmr_chain("pool", EMB_DIM, MMR_K, MMR_LAM)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < {MMR_QUERIES}),
+scored AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="qv", b="v.e")} AS cos, v.e AS e
+  FROM q, v
+  WHERE v.vec_id != query_id
+),
+pool AS MATERIALIZED (
+  SELECT query_id, neighbor_id AS id,
+         floor((cos) * 10000.0 + 0.5) / 10000.0 AS rel, e AS v
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored)
+  WHERE rn <= {MMR_POOL}
+),
+{chain}
+SELECT query_id, sid AS neighbor_id,
+       floor((score) * 1000000.0 + 0.5) / 1000000.0 AS mmr,
+       CAST(rank AS INTEGER) AS rank
+FROM sel{MMR_K}
+"""
+
+
 SPECS = [
     QuerySpec("q25_embedding_topk", q25_embedding_topk, _Q25_SQL,
               "exact cosine top-k (broadcast queries, no corpus shuffle)"),
@@ -540,4 +595,6 @@ SPECS = [
               "fixed-round distributed Lloyd k-means, chained-CTE oracle"),
     QuerySpec("q172_hard_negatives", q172_hard_negatives, _Q172_SQL,
               "semi-hard negative mining (different-label cosine top-k)"),
+    QuerySpec("q173_mmr_rerank", q173_mmr_rerank, _q173_sql(),
+              "MMR diversified re-rank (k-step greedy, chained-CTE oracle)"),
 ]

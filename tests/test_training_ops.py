@@ -1326,7 +1326,6 @@ def test_mmr_rerank_matches_bruteforce_greedy(spark, sf_dir):
     selection order, ids, and 6 dp scores all match."""
     import math
 
-    import numpy as np
 
     from nyc_etl_pipeline_spark.operators import similarity as SIM
 
@@ -1351,14 +1350,20 @@ def test_mmr_rerank_matches_bruteforce_greedy(spark, sf_dir):
     expect = {}
     for q, cands in by_q.items():
         cands = sorted(cands, key=lambda r: r["neighbor_id"])
-        X = np.array([list(r["embedding"]) for r in cands], dtype=np.float64)
-        norms = np.sqrt((X * X).sum(axis=1))
-        norms[norms == 0.0] = 1.0
-        Xn = X / norms[:, None]
-        rel = np.array([r["relevance"] for r in cands], dtype=np.float64)
+        X = [list(map(float, r["embedding"])) for r in cands]
+        dim = len(X[0])
+
+        def fold_dot(a, b):
+            acc = 0.0
+            for i in range(dim):
+                acc = acc + a[i] * b[i]
+            return acc
+
+        norms = [math.sqrt(fold_dot(x, x)) or 1.0 for x in X]
+        rel = [float(r["relevance"]) for r in cands]
         n = len(cands)
         avail = [True] * n
-        max_sim = np.full(n, -np.inf)
+        max_sim = [-math.inf] * n
         sel = []
         for rank in range(1, min(k, n) + 1):
             best_j, best_s = None, None
@@ -1371,7 +1376,10 @@ def test_mmr_rerank_matches_bruteforce_greedy(spark, sf_dir):
             sel.append((rank, cands[best_j]["neighbor_id"],
                         math.floor(best_s * 1000000.0 + 0.5) / 1000000.0))
             avail[best_j] = False
-            max_sim = np.maximum(max_sim, Xn @ Xn[best_j])
+            for j in range(n):
+                sim = fold_dot(X[j], X[best_j]) / (norms[j] * norms[best_j])
+                if sim > max_sim[j]:
+                    max_sim[j] = sim
         expect[q] = sel
     assert got == expect
 
