@@ -46,21 +46,21 @@ _DRIVER_EVIDENCE: dict[str, int] = {
     # q58); removed here when the window-invariant test flagged it stale.
     # rounds 1-4 era (CORRECTNESS_r01-r04) — still awaiting post-r5-decimal
     # re-verification; the rotation leads with these.
-    "q57_arrow_zscore": 4, "q69_window_gauntlet": 4, "q70_gapfill_hours": 4,
-    "q75_ewma": 4, "q77_salted_agg": 4, "q78_scd2_intervals": 4,
-    "q79_session_window": 4, "q84_anomaly_bands": 4, "q85_variant_props": 4,
-    "q89_xml_roundtrip": 4, "q90_activity_streaks": 4, "q91_latest_wins": 4,
-    "q92_ratio_to_report": 4,
+    "q57_arrow_zscore": 8, "q69_window_gauntlet": 8, "q70_gapfill_hours": 8,
+    "q75_ewma": 8, "q77_salted_agg": 8, "q78_scd2_intervals": 8,
+    "q79_session_window": 8, "q84_anomaly_bands": 8, "q85_variant_props": 8,
+    "q89_xml_roundtrip": 8, "q90_activity_streaks": 8, "q91_latest_wins": 8,
+    "q92_ratio_to_report": 8,
     # round-5 green rows (CORRECTNESS_r05.json)
-    "q51_contamination": 5, "q52_cc_twophase": 5, "q53_text_normalize": 5,
-    "q54_pii_redact": 5, "q55_funnel": 5, "q58_percentiles_sorted": 5,
-    "q60_cohort_retention": 5, "q61_tpch_q3": 5, "q62_tpch_q5": 5,
-    "q63_tpch_q10": 5, "q64_tpch_q18": 5, "q65_sequence_pack": 5,
-    "q66_stratified_sample": 5, "q67_repetition_stats": 5,
-    "q68_shard_shuffle": 5, "q71_url_parse": 5, "q72_domain_stats": 5,
-    "q73_token_zipf": 5, "q74_quality_deciles": 5, "q80_sketch_rollup": 5,
-    "q81_per_key_sample": 5, "q82_chunk_windows": 5, "q83_tpch_q21": 5,
-    "q86_grouping_sets": 5, "q87_fuzzy_pairs": 5, "q88_tpch_q22": 5,
+    "q51_contamination": 8, "q52_cc_twophase": 8, "q53_text_normalize": 8,
+    "q54_pii_redact": 8, "q55_funnel": 8, "q58_percentiles_sorted": 8,
+    "q60_cohort_retention": 8, "q61_tpch_q3": 8, "q62_tpch_q5": 8,
+    "q63_tpch_q10": 8, "q64_tpch_q18": 8, "q65_sequence_pack": 8,
+    "q66_stratified_sample": 8, "q67_repetition_stats": 8,
+    "q68_shard_shuffle": 8, "q71_url_parse": 8, "q72_domain_stats": 8,
+    "q73_token_zipf": 8, "q74_quality_deciles": 8, "q80_sketch_rollup": 8,
+    "q81_per_key_sample": 8, "q82_chunk_windows": 8, "q83_tpch_q21": 8,
+    "q86_grouping_sets": 8, "q87_fuzzy_pairs": 8, "q88_tpch_q22": 5,
     "q93_tpch_q2": 5, "q94_tpch_q4": 5, "q95_tpch_q11": 5, "q96_tpch_q13": 5,
     "q97_tpch_q15": 5, "q98_tpch_q16": 5, "q99_tpch_q17": 5,
     "q100_tpch_q20": 5, "q101_pq_clustered": 5, "q102_tpch_q6": 5,
@@ -111,6 +111,13 @@ _DRIVER_EVIDENCE: dict[str, int] = {
     "q47_ngram_jaccard_capped": 7, "q48_incremental_dedup": 7,
     "q49_outer_joins": 7, "q56_sq8_topk": 7, "q125_bpe_merges": 7,
     "q161_phrase_slop": 7,
+    # round-8 green rows (CORRECTNESS_r08.json, 50/50 — first driver
+    # evidence for the 13 r8 additions q162-q173)
+    "q162_kcore": 8, "q163_label_prop": 8, "q164_dsir_importance": 8,
+    "q165_kmeans": 8, "q166_heavy_hitters": 8, "q167_leakage_safe_split": 8,
+    "q168_split_leakage_audit": 8, "q169_boilerplate_strip": 8,
+    "q170_hybrid_rrf": 8, "q171_quality_logreg": 8, "q172_hard_negatives": 8,
+    "q173_mmr_rerank": 8,
 }
 
 # Backwards-compatible view used by the window-invariant test and the
