@@ -110,6 +110,12 @@ class Engine:
         if zone_csv:
             self.wh.overwrite(zone_dim(spark, zone_csv), "dim_zone")
 
+    # Dims are enum-like (vendors, rate codes, payment types) — a few
+    # dozen rows by design. The bound exists so corrupt raw data that
+    # explodes key cardinality (e.g. millions of distinct VendorIDs)
+    # fails loud at the guard instead of OOMing the driver collect.
+    MAX_DIM_ROWS = 100_000
+
     def _existing(self, table: str, seed: DataFrame) -> DataFrame:
         # Q5 semantics: existing dim rows are never updated; seeds are
         # the initial state on first run. The existing dim is
@@ -119,6 +125,14 @@ class Engine:
         # parquet mid-write.
         if self.wh.exists(table):
             df = self.wh.read(table)
+            n = df.count()
+            if n > self.MAX_DIM_ROWS:
+                raise ValueError(
+                    f"dim table {table!r} has {n} rows > MAX_DIM_ROWS="
+                    f"{self.MAX_DIM_ROWS}: dims are materialized to the "
+                    f"driver for same-path overwrite, so an unbounded dim "
+                    f"indicates corrupt upstream keys — refusing the collect."
+                )
             return self.spark.createDataFrame(df.collect(), df.schema)
         return seed
 

@@ -611,6 +611,205 @@ def incremental_neardup_dedup(
     return new_docs.join(dropped, on=id_col, how="left_anti")
 
 
+def bloom_bits(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """The Bloom filter over a benchmark corpus's distinct word
+    n-grams, as a (bit) table of the set positions: each shingle sets
+    k_hashes bits at pmod(md5_long(shingle || '|j'), m_bits).
+
+    The table is the STORED decontamination artifact at 100 TB scale:
+    its size is bounded by m_bits rows (a few MB) regardless of
+    benchmark size, so it broadcasts to every executor and the corpus
+    probe is a map-side broadcast join — no shuffle of either side's
+    shingles. md5-derived positions are reproducible outside Spark
+    (the q177 oracle rebuilds the filter bit-for-bit in SQL)."""
+    bsh = (
+        benchmark.select(tokens(F.col(text_col)).alias("__toks"))
+        .select(F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("__sh_str"))
+        .dropDuplicates()
+    )
+    probes = F.array(*[
+        F.pmod(
+            md5_long(F.concat(F.col("__sh_str"), F.lit(f"|{j}"))), F.lit(m_bits)
+        )
+        for j in range(k_hashes)
+    ])
+    return bsh.select(F.explode(probes).alias("bit")).dropDuplicates()
+
+
+def bloom_contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """`contamination_scores` through a Bloom filter instead of the
+    exact benchmark shingle set — the form that survives a benchmark
+    suite too large to broadcast as raw shingles: the filter is
+    m_bits-bounded however many eval sets it absorbs, and admits a
+    deterministic, oracle-replicable false-positive rate (a shingle
+    counts as a hit iff ALL k_hashes bits are set), so contamination
+    is over- but never under-estimated — the safe direction for a
+    drop-if-contaminated gate.
+
+    Same output shape as contamination_scores: (id, n_shingles,
+    n_hit, contamination rounded to 3, is_contaminated). Scale shape:
+    the corpus pays one shingle pass; the per-shingle membership test
+    runs on the DISTINCT shingle dictionary (each unique n-gram probed
+    once, k broadcast-join lookups), then rejoins the per-doc rows."""
+    bits = bloom_bits(benchmark, text_col, n, m_bits, k_hashes).withColumn(
+        "__b", F.lit(1)
+    )
+    csh = (
+        docs.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks"))
+        .select("__id", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("__sh_str"))
+    )
+    sh_dict = csh.select("__sh_str").dropDuplicates()
+    probe_rows = sh_dict.select(
+        "__sh_str",
+        F.explode(F.array(*[
+            F.pmod(
+                md5_long(F.concat(F.col("__sh_str"), F.lit(f"|{j}"))),
+                F.lit(m_bits),
+            )
+            for j in range(k_hashes)
+        ])).alias("bit"),
+    )
+    hit_sh = (
+        probe_rows.join(F.broadcast(bits), on="bit")
+        .groupBy("__sh_str")
+        .agg(F.count("__b").alias("__k"))
+        .filter(F.col("__k") == k_hashes)
+        .select("__sh_str")
+        .withColumn("__hit_flag", F.lit(1))
+    )
+    per_doc = (
+        csh.join(hit_sh, on="__sh_str", how="left")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__n"), F.count("__hit_flag").alias("__hit"))
+    )
+    rate = F.col("__hit") / F.col("__n")
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(per_doc, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("__n", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("__hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.when(F.col("__n").isNull(), F.lit(0.0))
+            .otherwise(round_half_up(rate, 3))
+            .alias("contamination"),
+            F.when(F.col("__n").isNull(), F.lit(False))
+            .otherwise(rate >= threshold)
+            .alias("is_contaminated"),
+        )
+    )
+
+
+def incremental_neardup_dedup_indexed(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """`incremental_neardup_dedup` against a STORED corpus band index
+    (minhash_band_table rows, e.g. the table a streaming
+    `band_index_maintainer` grows per batch) instead of re-signaturing
+    the corpus. This is the at-scale form: the corpus contributes
+
+      * candidate generation — an equi-join of batch bands against the
+        index (index-sized, never re-derived), and
+      * verification text — `corpus_docs` is semi-join pruned to the
+        candidate ids BEFORE shingling, so only candidate documents'
+        text is ever tokenized (at 100 TB that prune pushes down to an
+        id-keyed scan; the corpus is never re-read in full).
+
+    `corpus_index` must have been built with the SAME (n, num_hashes,
+    bands) — band keys are positional. Decision semantics (greedy
+    first-id-wins within batch, verified Jaccard >= threshold) are
+    identical to the self-contained form; q176 hash-matches this path
+    against q127's full-chain SQL oracle.
+    """
+    clash = (
+        new_docs.select(F.col(id_col))
+        .join(corpus_index.select(F.col(id_col)).dropDuplicates(), on=id_col)
+        .limit(1)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"{id_col}={clash[0][0]!r} appears in BOTH new_docs and the "
+            "corpus index; ids must be disjoint (re-ingestions need a fresh "
+            "id or an upstream exact-dedup pass)"
+        )
+    new_sh = _shingle_table(new_docs, id_col, text_col, n).persist()
+    nb = minhash_band_table(new_docs, id_col, text_col, n, num_hashes, bands, sh=new_sh)
+    cb = corpus_index.select(id_col, "band_idx", "band_key")
+
+    vs_corpus = (
+        nb.select(F.col(id_col).alias("new_id"), "band_idx", "band_key")
+        .join(cb.select(F.col(id_col).alias("other_id"), "band_idx", "band_key"),
+              on=["band_idx", "band_key"])
+        .select("new_id", "other_id")
+    )
+    within = (
+        nb.select(F.col(id_col).alias("new_id"), "band_idx", "band_key")
+        .join(nb.select(F.col(id_col).alias("other_id"), "band_idx", "band_key"),
+              on=["band_idx", "band_key"])
+        .filter(F.col("other_id") < F.col("new_id"))
+        .select("new_id", "other_id")
+    )
+    cands = vs_corpus.unionByName(within).dropDuplicates().persist()
+
+    cand_new_ids = cands.select(F.col("new_id").alias("__id")).dropDuplicates()
+    cand_other_ids = cands.select(F.col("other_id").alias("__id")).dropDuplicates()
+    # Corpus text is pruned to candidate ids FIRST, then shingled —
+    # the only corpus-doc access in the whole path is this id-keyed
+    # semi-join (contrast the self-contained form, which shingles the
+    # full corpus because it also has to build the bands from it).
+    cand_corpus_sh = _shingle_table(
+        corpus_docs.join(
+            cand_other_ids.select(F.col("__id").alias(id_col)),
+            on=id_col, how="leftsemi",
+        ),
+        id_col, text_col, n,
+    )
+    new_side = _doc_shingle_arrays(
+        new_sh.join(cand_new_ids, on="__id", how="leftsemi")
+    ).select(
+        F.col("__id").alias("new_id"), F.col("__arr").alias("__arr_a"), F.col("__n").alias("__na")
+    )
+    other_side = _doc_shingle_arrays(
+        new_sh.unionByName(cand_corpus_sh).join(cand_other_ids, on="__id", how="leftsemi")
+    ).select(
+        F.col("__id").alias("other_id"), F.col("__arr").alias("__arr_b"), F.col("__n").alias("__nb")
+    )
+    ovc = F.size(F.array_intersect("__arr_a", "__arr_b"))
+    jac = ovc / (F.col("__na") + F.col("__nb") - ovc)
+    dropped = (
+        cands.join(new_side, on="new_id")
+        .join(other_side, on="other_id")
+        .filter(jac >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .dropDuplicates()
+    )
+    return new_docs.join(dropped, on=id_col, how="left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -366,3 +366,72 @@ def hybrid_search(
     return rrf_fuse(
         [sparse.select("doc_id", "rank"), dense], k=rrf_k, topk=topk
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine >= threshold, computed
+    through the inverted index — the sparse-vector companion of the
+    dense embedding near-dup family (cosine_pairs / lsh_bucketed_pairs):
+    topical similarity from weighted term overlap, with no embedding
+    model in the loop.
+
+    w(d,t) = tf * idf6, idf6 = round6(ln(N / df)); dot products and
+    norms are decimal-accumulated sums of per-row double products
+    (order-independent cross-engine — the dec_sum discipline), so the
+    entire pipeline after the one ln() per TERM is deterministic and
+    the q178 oracle hash-matches it.
+
+    Scale shape: pair candidates come from the postings SELF-JOIN on
+    term — cost sum_t df(t)^2, which a heavy stopword-ish term
+    dominates. `max_df` drops terms with df > max_df from the PROFILE
+    (weights, norms, and dots — the cosine stays a true cosine over
+    the retained vocabulary): the standard prefix/stopword cap that
+    bounds per-term fan-out at max_df^2 and is how this survives a
+    100 TB corpus (high-df terms carry near-zero idf anyway). None
+    keeps it exact.
+
+    Returns (a_id, b_id, cosine rounded 4), a_id < b_id.
+    """
+    from nyc_etl_pipeline_spark.functions import dec_sum
+
+    toks = df.select(F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    n = df.agg(F.count(F.lit(1)).alias("__n"))
+    w = (
+        tf.join(dfreq, "term")  # inner join: capped terms drop here
+        .crossJoin(F.broadcast(n))
+        .select(
+            "__id",
+            "term",
+            (F.col("tf") * round_half_up(F.log(F.col("__n") / F.col("df")), 6)).alias("__w"),
+        )
+    )
+    norms = w.groupBy("__id").agg(
+        F.sqrt(dec_sum(F.col("__w") * F.col("__w"))).alias("__nrm")
+    )
+    dots = (
+        w.select(F.col("__id").alias("a_id"), "term", F.col("__w").alias("__wa"))
+        .join(
+            w.select(F.col("__id").alias("b_id"), "term", F.col("__w").alias("__wb")),
+            on="term",
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(dec_sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    cos = F.col("__dot") / (F.col("__na") * F.col("__nb"))
+    return (
+        dots.join(norms.select(F.col("__id").alias("a_id"), F.col("__nrm").alias("__na")), "a_id")
+        .join(norms.select(F.col("__id").alias("b_id"), F.col("__nrm").alias("__nb")), "b_id")
+        .filter(cos >= threshold)
+        .select("a_id", "b_id", round_half_up(cos, 4).alias("cosine"))
+    )

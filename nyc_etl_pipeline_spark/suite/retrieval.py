@@ -402,9 +402,70 @@ QUALIFY rank <= {HYBRID_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# q178 — sparse TF-IDF cosine pairs through the inverted index
+# --------------------------------------------------------------------------
+
+SPARSE_COS_MAX_DF = 50
+SPARSE_COS_THRESHOLD = 0.25
+
+
+def q178_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted term-overlap document similarity: TF-IDF cosine >=
+    threshold via the postings self-join, with the max_df stopword cap
+    that bounds per-term fan-out (the sparse companion of the dense
+    embedding near-dup family). Norms and dots are decimal-accumulated
+    so the whole pipeline after one ln() per term is order-independent
+    and fully oracle-replicated."""
+    from nyc_etl_pipeline_spark.operators.retrieval import sparse_cosine_pairs
+
+    return sparse_cosine_pairs(
+        read_testdata(spark, sf_dir, "documents"),
+        max_df=SPARSE_COS_MAX_DF,
+        threshold=SPARSE_COS_THRESHOLD,
+    )
+
+
+def _sparse_cos_sql() -> str:
+    from nyc_etl_pipeline_spark.functions import sql_dec_sum, sql_round_half_up
+
+    idf6 = sql_round_half_up("ln(n_docs * 1.0 / df)", 6)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+  HAVING count(*) <= {SPARSE_COS_MAX_DF}
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+  SELECT doc_id, term, tf * ({idf6}) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+norms AS (
+  SELECT doc_id, sqrt({sql_dec_sum('w * w')}) AS nrm FROM w GROUP BY 1
+),
+dots AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, {sql_dec_sum('a.w * b.w')} AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       {sql_round_half_up('dot / (na.nrm * nb.nrm)', 4)} AS cosine
+FROM dots
+JOIN norms na ON a_id = na.doc_id
+JOIN norms nb ON b_id = nb.doc_id
+WHERE dot / (na.nrm * nb.nrm) >= {SPARSE_COS_THRESHOLD}
+"""
+
+
 SPECS = [
     QuerySpec("q109_bm25_topk", q109_bm25_topk, _bm25_sql(),
               "BM25 top-k retrieval (broadcast stats, filtered postings)"),
+    QuerySpec("q178_sparse_cosine", q178_sparse_cosine, _sparse_cos_sql(),
+              "TF-IDF cosine pairs via postings self-join (max_df-capped)"),
     QuerySpec("q110_boolean_search", q110_boolean_search, _bool_sql(),
               "conjunctive boolean search via posting intersection"),
     QuerySpec("q111_weighted_sample", q111_weighted_sample, _wsample_sql(),

@@ -592,6 +592,50 @@ WHERE d.doc_id >= {INCR_SPLIT}
 
 
 # --------------------------------------------------------------------------
+# q176 — incremental near-dup against the MAINTAINED band index
+# --------------------------------------------------------------------------
+
+
+def q176_maintained_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q127's decision, but the corpus band index comes from the
+    STREAMING maintainer: the corpus (id < 250) arrives as two
+    micro-batches through `band_index_maintainer` (one replayed, to
+    pin exactly-once-by-idempotence inside the gate), and the arriving
+    batch joins its bands against the STORED table via
+    `incremental_neardup_dedup_indexed` — corpus text is touched only
+    for candidate ids. Same oracle as q127: the accept/reject decision
+    must be byte-identical whichever way the index was built."""
+    import tempfile
+
+    from nyc_etl_pipeline_spark.io import Warehouse
+    from nyc_etl_pipeline_spark.streaming.sinks import band_index_maintainer
+
+    d = read_testdata(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < INCR_SPLIT)
+    batch = d.filter(F.col("doc_id") >= INCR_SPLIT)
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="maintained_band_"))
+    write_batch = band_index_maintainer(
+        wh, "band_index", n=NGRAM_N, num_hashes=MINHASH_NUM, bands=MINHASH_BANDS
+    )
+    half = INCR_SPLIT // 2
+    write_batch(corpus.filter(F.col("doc_id") < half), 0)
+    write_batch(corpus.filter(F.col("doc_id") >= half), 1)
+    write_batch(corpus.filter(F.col("doc_id") < half), 0)  # retry replay
+
+    survivors = D.incremental_neardup_dedup_indexed(
+        batch,
+        corpus_docs=corpus,
+        corpus_index=wh.read("band_index"),
+        n=NGRAM_N,
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+    return survivors.select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
 # q155 — feature hashing (hashing-trick vectorizer) bucket profile
 # --------------------------------------------------------------------------
 
@@ -751,6 +795,8 @@ SPECS = [
               "passage-level exact dup detection (k-token window hashes)"),
     QuerySpec("q127_incremental_neardup", q127_incremental_neardup, _q127_sql(),
               "batch-vs-corpus MinHash near-dup dedup (band-index join)"),
+    QuerySpec("q176_maintained_neardup", q176_maintained_neardup, _q127_sql(),
+              "q127's decision via the streaming-maintained stored band index"),
     QuerySpec("q128_containment_pairs", q128_containment_pairs, _Q128_SQL,
               "asymmetric n-gram containment (quote/subset detection)"),
     QuerySpec("q23_minhash_lsh_pairs", q23_minhash_lsh_pairs, _q23_sql(),

@@ -104,6 +104,73 @@ LEFT JOIN hits ht USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# q177 — Bloom-filter decontamination (bounded-size benchmark artifact)
+# --------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 16
+BLOOM_K = 4
+
+
+def q177_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q51's decision through a Bloom filter: the benchmark's shingles
+    are folded into an m_bits-bounded bit table (the artifact that
+    stays broadcastable however many eval suites it absorbs); hits
+    require all k salted md5 positions set, so false positives are
+    deterministic and the oracle reproduces them bit-for-bit —
+    contamination can only be over-estimated, never missed."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    cand = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return D.bloom_contamination_scores(
+        cand, bench, n=NGRAM_N, m_bits=BLOOM_M_BITS, k_hashes=BLOOM_K,
+        threshold=CONTAM_THRESHOLD,
+    )
+
+
+def _q177_sql() -> str:
+    from nyc_etl_pipeline_spark.functions import sql_md5_long
+
+    pos = sql_md5_long("s || '|' || CAST(j AS VARCHAR)") + f" % {BLOOM_M_BITS}"
+    return f"""
+WITH bench AS (SELECT * FROM documents WHERE doc_id % {BENCH_MOD} = 0),
+cand AS (SELECT * FROM documents WHERE doc_id % {BENCH_MOD} <> 0),
+btoks AS (SELECT {_TOKS} AS t FROM bench),
+bsh AS (SELECT DISTINCT unnest({_SHINGLES}) AS s FROM btoks),
+bits AS (
+  SELECT DISTINCT {pos} AS bit
+  FROM bsh CROSS JOIN range(0, {BLOOM_K}) t(j)
+),
+ctoks AS (SELECT doc_id, {_TOKS} AS t FROM cand),
+csh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM ctoks),
+sh_dict AS (SELECT DISTINCT s FROM csh),
+probes AS (
+  SELECT s, j, {pos} AS bit
+  FROM sh_dict CROSS JOIN range(0, {BLOOM_K}) t(j)
+),
+hitsh AS (
+  SELECT s FROM probes JOIN bits USING (bit)
+  GROUP BY s HAVING count(*) = {BLOOM_K}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+hits AS (
+  SELECT doc_id, count(*) AS h FROM csh
+  WHERE s IN (SELECT s FROM hitsh)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(sz.n, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(ht.h, 0) AS BIGINT) AS n_hit,
+       CASE WHEN sz.n IS NULL THEN 0.0
+            ELSE {sql_round_half_up('coalesce(ht.h, 0) * 1.0 / sz.n', 3)} END AS contamination,
+       CASE WHEN sz.n IS NULL THEN FALSE
+            ELSE coalesce(ht.h, 0) * 1.0 / sz.n >= {CONTAM_THRESHOLD} END AS is_contaminated
+FROM cand d
+LEFT JOIN sizes sz USING (doc_id)
+LEFT JOIN hits ht USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # q52 — connected components, large-star/small-star (billion-edge path)
 # --------------------------------------------------------------------------
 
@@ -835,6 +902,8 @@ SPECS = [
               "deterministic portable train/val/test split"),
     QuerySpec("q51_contamination", q51_contamination, _Q51_SQL,
               "benchmark decontamination via n-gram overlap"),
+    QuerySpec("q177_bloom_contamination", q177_bloom_contamination, _q177_sql(),
+              "decontamination via an m-bounded Bloom filter (FPs oracle-replicated)"),
     QuerySpec("q52_cc_twophase", q52_cc_twophase, _Q41_SQL,
               "large-star/small-star connected components"),
     QuerySpec("q53_text_normalize", q53_text_normalize, _Q53_SQL,

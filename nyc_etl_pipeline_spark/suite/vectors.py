@@ -572,9 +572,108 @@ FROM sel{MMR_K}
 """
 
 
+# --------------------------------------------------------------------------
+# q175 — IVF top-k via the MAINTAINED (streaming-built) index
+# --------------------------------------------------------------------------
+
+# q35 gates IVF *quality* (its k-means centers aren't SQL-expressible
+# cheaply, so the oracle pins the exact ranks and a gap contract).
+# q175 gates the maintained-index *machinery* exactly: with explicit
+# deterministic centers (the first IVF_N_LISTS vectors by id) the whole
+# pipeline — cell assignment, probe choice, partition-pruned search,
+# rescoring — is replicated in SQL and hash-matched. Cell assignment
+# distances use the identical index-ordered fold on both engines.
+
+MAINT_IVF_BATCHES = 3
+
+
+def q175_maintained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search over the IVF index a streaming `ivf_maintainer`
+    grew across MAINT_IVF_BATCHES micro-batches (one replayed, to pin
+    exactly-once-by-idempotence inside the gate). Must be
+    hash-identical to the from-scratch SQL replication — proving the
+    maintained (batch_id, __cell)-partitioned table searches exactly
+    like a batch-built index."""
+    import tempfile
+
+    from nyc_etl_pipeline_spark.io import Warehouse
+    from nyc_etl_pipeline_spark.streaming.sinks import (
+        ivf_maintainer,
+        maintained_ivf_topk,
+    )
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    centers = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < IVF_N_LISTS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERIES)
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="maintained_ivf_"))
+    write_batch = ivf_maintainer(wh, "ivf_index", centers)
+    for b in range(MAINT_IVF_BATCHES):
+        write_batch(emb.filter(F.pmod(F.col("vec_id"), F.lit(MAINT_IVF_BATCHES)) == b), b)
+    write_batch(emb.filter(F.pmod(F.col("vec_id"), F.lit(MAINT_IVF_BATCHES)) == 0), 0)
+
+    return maintained_ivf_topk(
+        wh, "ivf_index", centers, queries, k=TOPK_K, n_probe=IVF_N_PROBE
+    )
+
+
+_D2_FOLD = (
+    "list_reduce(list_transform(range(1, {dim} + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+_Q175_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (SELECT CAST(vec_id AS INT) AS cell, e AS cv FROM v WHERE vec_id < {IVF_N_LISTS}),
+assign AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT v.vec_id, v.e, c.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_D2_FOLD.format(dim=EMB_DIM, a="v.e", b="c.cv")}, c.cell
+           ) AS rn
+    FROM v CROSS JOIN c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < {TOPK_QUERIES}),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_D2_FOLD.format(dim=EMB_DIM, a="q.qv", b="c.cv")}, c.cell
+           ) AS pr
+    FROM q CROSS JOIN c
+  ) WHERE pr <= {IVF_N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="p.qv", b="a.e")} AS cos
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id,
+       floor((cos) * 10000.0 + 0.5) / 10000.0 AS cosine,
+       CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= {TOPK_K}
+"""
+
+
 SPECS = [
     QuerySpec("q25_embedding_topk", q25_embedding_topk, _Q25_SQL,
               "exact cosine top-k (broadcast queries, no corpus shuffle)"),
+    QuerySpec("q175_maintained_ivf", q175_maintained_ivf, _Q175_SQL,
+              "IVF top-k via the streaming-maintained index, fully oracle-replicated"),
     QuerySpec("q26_embedding_neardup", q26_embedding_neardup, _Q26_SQL,
               "exact cosine near-dup pairs"),
     QuerySpec("q27_lsh_bucketed_pairs", q27_lsh_bucketed_pairs, _q27_sql(),

@@ -92,6 +92,23 @@ def test_engine_dim_upsert_keeps_existing_names(spark, tmp_path, two_month_dir):
     assert pays[0] == "Flex Fare trip"  # sentinel kept for payment dim
 
 
+def test_engine_refuses_exploded_dim(spark, tmp_path):
+    """_existing materializes dims to the driver for same-path
+    overwrite; a dim whose cardinality exploded (corrupt upstream
+    keys) must fail at the row-count guard, not OOM the collect."""
+    eng = Engine(spark, str(tmp_path / "wh_guard"))
+    big = spark.range(eng.MAX_DIM_ROWS + 1).select(
+        F.col("id").cast("int").alias("VendorID"),
+        F.concat(F.lit("v"), F.col("id")).alias("VendorName"),
+    )
+    eng.wh.overwrite(big, "dim_vendor")
+    with pytest.raises(ValueError, match="MAX_DIM_ROWS"):
+        eng._existing("dim_vendor", big.limit(0))
+    # a sane dim still round-trips through the guard
+    eng.wh.overwrite(big.limit(5), "dim_rate")
+    assert eng._existing("dim_rate", big.limit(0)).count() == 5
+
+
 def test_engine_full_rebuild_drops_deleted_month(spark, tmp_path, two_month_dir):
     """A month removed from silver must disappear from the fact on a
     full rebuild (incremental=False uses STATIC overwrite). Dynamic

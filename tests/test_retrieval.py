@@ -415,3 +415,41 @@ def test_hybrid_search_contains_both_modalities(spark, sf_dir):
         from nyc_etl_pipeline_spark.operators.retrieval import rrf_fuse
 
         rrf_fuse([])
+
+
+# ---- sparse TF-IDF cosine pairs -------------------------------------------
+
+def test_sparse_cosine_planted_pairs(spark):
+    from nyc_etl_pipeline_spark.operators.retrieval import sparse_cosine_pairs
+
+    docs = spark.createDataFrame([
+        (1, "apple banana cherry apple banana"),
+        (2, "apple banana cherry apple grape"),
+        (3, "totally unrelated words about engines and pistons"),
+        (4, ""),
+    ], "doc_id long, text string")
+    got = {(r["a_id"], r["b_id"]): r["cosine"]
+           for r in sparse_cosine_pairs(docs, threshold=0.3).collect()}
+    assert set(got) == {(1, 2)} and 0.5 < got[(1, 2)] <= 1.0
+
+
+def test_sparse_cosine_max_df_drops_stop_terms(spark):
+    """A term in EVERY doc is the only bridge between 1 and 3; capping
+    max_df below the corpus size removes the pair (and the self-join
+    fan-out it stands for)."""
+    from nyc_etl_pipeline_spark.operators.retrieval import sparse_cosine_pairs
+
+    docs = spark.createDataFrame([
+        (1, "common alpha beta alpha beta"),
+        (2, "common alpha beta alpha gamma"),
+        (3, "common delta epsilon zeta eta"),
+        # a doc WITHOUT the bridge term keeps idf(common) > 0, so the
+        # uncapped form genuinely scores the stop-term-only pairs
+        (4, "iota kappa lambda mu nu"),
+    ], "doc_id long, text string")
+    uncapped = {(r["a_id"], r["b_id"])
+                for r in sparse_cosine_pairs(docs, threshold=0.01).collect()}
+    capped = {(r["a_id"], r["b_id"])
+              for r in sparse_cosine_pairs(docs, max_df=2, threshold=0.01).collect()}
+    assert (1, 3) in uncapped and (2, 3) in uncapped
+    assert capped == {(1, 2)}

@@ -74,6 +74,48 @@ def test_contamination_partial_overlap(spark):
     assert row["contamination"] == 0.75 and row["is_contaminated"]
 
 
+def test_bloom_contamination_is_superset_of_exact(spark, sf_dir):
+    """Bloom hits = exact hits + deterministic false positives: per
+    doc, bloom n_hit >= exact n_hit (never under-estimates — the safe
+    direction for a drop gate), and a planted exact-contaminated doc
+    is bloom-contaminated too."""
+    from pyspark.sql import functions as F
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    cand = docs.filter(F.col("doc_id") % 17 != 0)
+    exact = {r["doc_id"]: r for r in D.contamination_scores(cand, bench).collect()}
+    bloom = {
+        r["doc_id"]: r
+        for r in D.bloom_contamination_scores(
+            cand, bench, m_bits=1 << 16, k_hashes=4
+        ).collect()
+    }
+    assert set(exact) == set(bloom)
+    assert all(bloom[i]["n_hit"] >= exact[i]["n_hit"] for i in exact)
+    assert all(
+        bloom[i]["is_contaminated"] for i in exact if exact[i]["is_contaminated"]
+    )
+    # with a roomy filter the FP inflation should be tiny: decisions agree
+    # on the overwhelming majority of docs
+    agree = sum(
+        bloom[i]["is_contaminated"] == exact[i]["is_contaminated"] for i in exact
+    )
+    assert agree >= 0.99 * len(exact)
+
+
+def test_bloom_tiny_filter_saturates_to_all_hits(spark):
+    """m_bits=1 sets the single bit for every position: every shingle
+    'hits' — the degenerate bound that proves the k-of-k membership
+    rule is doing the work in the normal regime."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="one two three four five six seven eight")]
+    )
+    bench = spark.createDataFrame([Row(doc_id=9, text="x y z w v u t s")])
+    row = D.bloom_contamination_scores(docs, bench, m_bits=1, k_hashes=4).collect()[0]
+    assert row["n_hit"] == row["n_shingles"] and row["is_contaminated"]
+
+
 # ---- two-phase connected components --------------------------------------
 
 def test_twophase_cc_matches_label_propagation(spark, sf_dir):
@@ -840,6 +882,37 @@ def test_incremental_neardup_empty_corpus_is_self_dedup(spark):
         ).collect()
     }
     assert survivors == {1, 3}
+
+
+def test_incremental_neardup_indexed_matches_self_contained(spark, sf_dir):
+    """The stored-index form (corpus bands from an index table, corpus
+    text pruned to candidates before shingling) must make the IDENTICAL
+    accept/reject decisions as the self-contained form, on real data
+    and on the planted cases."""
+    from pyspark.sql import functions as F
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    index = D.minhash_band_table(corpus, num_hashes=64, bands=16)
+
+    got = {
+        r["doc_id"]
+        for r in D.incremental_neardup_dedup_indexed(
+            batch, corpus, index, num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in D.incremental_neardup_dedup(
+            batch, corpus, num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert got == want and want  # identical decisions, non-degenerate
+
+    # id-clash guard carries over to the indexed form
+    with pytest.raises(ValueError, match="disjoint"):
+        D.incremental_neardup_dedup_indexed(corpus.limit(5), corpus, index)
 
 
 def test_incremental_neardup_with_stored_band_index(spark, sf_dir, tmp_path):
