@@ -240,3 +240,84 @@ def dsir_importance(
             F.sum("tf").cast("long").alias("n_feats"),
         )
     )
+
+
+def bigram_nll_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean NLL under an INTERPOLATED bigram LM — the
+    KenLM-shaped perplexity filter a pretraining pipeline runs after
+    the unigram proxy (unigram_nll_scores) starts passing fluent-
+    looking junk:
+
+        P(w | v) = lam * c(v,w)/c_prefix(v)
+                 + (1-lam) * (c_w + alpha) / (C + alpha*V)
+        nll(d)   = - Σ_pos ln P(w_i | w_{i-1}) / (T_d - 1)
+
+    c_prefix(v) counts v's occurrences as a bigram PREFIX (derived
+    from the bigram table itself, so the conditional sums to 1 over
+    the observed vocabulary); the unigram back-off term keeps unseen
+    bigrams finite. lam/1-lam default to exact dyadic 0.75/0.25 so the
+    literal matches cross-engine bit-for-bit. Documents with fewer
+    than 2 tokens are dropped (no bigram positions to score).
+
+    Scale shape: two token-sized shuffles (per-doc bigram counts,
+    corpus bigram counts), one word-keyed prefix/unigram join on the
+    BIGRAM VOCABULARY (never per-position rows), and the q113 ordered
+    per-doc fold for the transcendental sum (merge-order-proof).
+    Rounded floor-form at 6 dp. Returns (id, nll, n_bigrams).
+    """
+    from nyc_etl_pipeline_spark.operators.text import ngrams_from_tokens
+
+    toks = docs.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
+    dbig = (
+        toks.select("doc", F.explode(ngrams_from_tokens(F.col("toks"), 2)).alias("bigram"))
+        .groupBy("doc", "bigram")
+        .agg(F.count(F.lit(1)).cast("double").alias("bf"))
+    )
+    big = dbig.groupBy("bigram").agg(F.sum("bf").alias("c_ab"))
+    split_big = big.select(
+        "bigram",
+        "c_ab",
+        F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
+    )
+    prefix = split_big.groupBy("w1").agg(F.sum("c_ab").alias("c_prefix"))
+    uni = (
+        toks.select(F.explode("toks").alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c_w"))
+    )
+    totals = uni.agg(
+        F.sum("c_w").alias("corpus_tokens"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    p = F.lit(lam) * (F.col("c_ab") / F.col("c_prefix")) + F.lit(1.0 - lam) * (
+        (F.col("c_w") + F.lit(alpha))
+        / (F.col("corpus_tokens") + F.lit(alpha) * F.col("vocab"))
+    )
+    stats = (
+        split_big.join(prefix, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("bigram", F.log(p).alias("lnp"))
+    )
+    folded = F.aggregate(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("bigram"), (F.col("bf") * F.col("lnp")).alias("contrib")))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["contrib"],
+    )
+    return (
+        dbig.join(stats, "bigram")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            round_half_up(-folded / F.sum("bf"), 6).alias("nll"),
+            F.sum("bf").cast("long").alias("n_bigrams"),
+        )
+    )

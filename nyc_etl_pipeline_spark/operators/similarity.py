@@ -1783,3 +1783,43 @@ def sql_mmr_chain(pool_name: str, dim: int, k: int, lam: float) -> str:
     ON k.query_id = p.query_id AND k.id = p.id)"""
         )
     return ",\n".join(parts)
+
+
+def cluster_representatives(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 4,
+    n_rounds: int = 3,
+    per_cluster: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-balanced representative selection (prototype/coreset
+    sampling): run the fixed-round k-means, then keep the
+    `per_cluster` vectors nearest their centroid — a diversity-
+    preserving subset for labeling budgets, eval-set construction, or
+    per-cluster inspection (the selection-side companion of SemDeDup,
+    which REMOVES from buckets; this KEEPS the most central).
+
+    Determinism contract: inherits kmeans_fixed's bit-exact rounds;
+    ranking orders by the 6-dp-rounded distance with id tie-break, so
+    the picked set is stable across engines and partitionings (raw
+    double distance last-ulp wobble cannot flip a rank). Returns
+    (id, cluster, rk) with rk 1..per_cluster.
+
+    Scale shape: kmeans_fixed's map-only assignment passes plus ONE
+    cluster-partitioned window (k groups — skew-safe because cluster
+    count is k, each group a partition-local top-N heap under
+    WindowGroupLimit pushdown).
+    """
+    from nyc_etl_pipeline_spark.functions import round_half_up
+
+    out = kmeans_fixed(df, vec_col, dim=dim, k=k, n_rounds=n_rounds, id_col=id_col)
+    w = W.partitionBy("cluster").orderBy(
+        round_half_up(F.col("dist2"), 6).asc(), F.col(id_col).asc()
+    )
+    return (
+        out.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= per_cluster)
+        .select(id_col, "cluster", "rk")
+    )

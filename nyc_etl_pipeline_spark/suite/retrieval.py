@@ -138,6 +138,68 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q179 — interpolated bigram LM NLL (the KenLM-shaped perplexity filter)
+# --------------------------------------------------------------------------
+
+BIGRAM_LAM = 0.75  # dyadic: lam and 1-lam exact in binary64
+
+
+def q179_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean NLL under the corpus's interpolated bigram model
+    (ML bigram conditional backed off to the add-alpha unigram) —
+    q113's sharper sibling: fluency now depends on word ORDER, not
+    just vocabulary. Same ordered-fold determinism discipline."""
+    from nyc_etl_pipeline_spark.operators.lm import bigram_nll_scores
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return bigram_nll_scores(docs, lam=BIGRAM_LAM, alpha=NLL_ALPHA)
+
+
+def _bigram_nll_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK} AS t FROM documents WHERE trim(text) <> ''
+),
+dbig AS (
+  SELECT doc_id, bigram, CAST(count(*) AS DOUBLE) AS bf FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+    FROM toks
+  ) GROUP BY 1, 2
+),
+big AS (SELECT bigram, sum(bf) AS c_ab FROM dbig GROUP BY 1),
+sb AS (
+  SELECT bigram, c_ab,
+         string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2
+  FROM big
+),
+prefix AS (SELECT w1, sum(c_ab) AS c_prefix FROM sb GROUP BY 1),
+uni AS (
+  SELECT w2, CAST(count(*) AS DOUBLE) AS c_w
+  FROM (SELECT unnest(t) AS w2 FROM toks) GROUP BY 1
+),
+totals AS (
+  SELECT sum(c_w) AS corpus_tokens, CAST(count(*) AS DOUBLE) AS vocab FROM uni
+),
+stats AS (
+  SELECT bigram,
+         ln({BIGRAM_LAM} * (c_ab / c_prefix)
+            + {1.0 - BIGRAM_LAM} * ((c_w + {NLL_ALPHA})
+                                    / (corpus_tokens + {NLL_ALPHA} * vocab))) AS lnp
+  FROM sb JOIN prefix USING (w1) JOIN uni USING (w2) CROSS JOIN totals
+)
+SELECT doc_id,
+       floor((CAST(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(CAST(
+         bf * lnp
+       AS DOUBLE) ORDER BY bigram)), (acc, x) -> acc + x) / sum(bf) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS nll,
+       CAST(sum(bf) AS BIGINT) AS n_bigrams
+FROM dbig JOIN stats USING (bigram)
+GROUP BY doc_id
+"""
+
+
 PMI_MIN_COUNT = 5
 PMI_TOP_K = 25
 
@@ -472,6 +534,8 @@ SPECS = [
               "deterministic weighted sample (Efraimidis-Spirakis A-Res)"),
     QuerySpec("q113_unigram_nll", q113_unigram_nll, _nll_sql(),
               "perplexity-proxy scores under the corpus unigram LM"),
+    QuerySpec("q179_bigram_nll", q179_bigram_nll, _bigram_nll_sql(),
+              "interpolated bigram LM NLL (order-aware perplexity filter)"),
     QuerySpec("q116_pmi_collocations", q116_pmi_collocations, _pmi_sql(),
               "PMI collocation mining over adjacent word pairs"),
     QuerySpec("q151_tfidf_keywords", q151_tfidf_keywords, _tfidf_sql(),

@@ -481,6 +481,49 @@ FROM a{KM_ROUNDS}
 """
 
 
+# --------------------------------------------------------------------------
+# q180 — cluster-balanced representative sampling (prototype selection)
+# --------------------------------------------------------------------------
+
+CLUSTER_REPS_N = 10
+
+
+def q180_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving subset: the CLUSTER_REPS_N vectors nearest
+    each k-means centroid (fixed rounds, bit-exact — q165's machinery
+    composed with a rounded-distance window). The labeling-budget /
+    eval-set construction primitive."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return SIM.cluster_representatives(
+        emb, "embedding", dim=EMB_DIM, k=KM_K, n_rounds=KM_ROUNDS,
+        per_cluster=CLUSTER_REPS_N,
+    )
+
+
+def _q180_sql() -> str:
+    from nyc_etl_pipeline_spark.functions import sql_round_half_up
+
+    chain = SIM.sql_kmeans_chain("vq", EMB_DIM, KM_K, KM_ROUNDS)
+    quant = sql_round_half_up("x", 6)
+    return f"""
+WITH vq AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {quant}) AS v
+  FROM embeddings
+),
+{chain},
+ranked AS (
+  SELECT id AS vec_id, cluster,
+         CAST(row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY {sql_round_half_up('d', 6)}, id
+         ) AS INTEGER) AS rk
+  FROM a{KM_ROUNDS}
+)
+SELECT vec_id, cluster, rk FROM ranked WHERE rk <= {CLUSTER_REPS_N}
+"""
+
+
 HARDNEG_K = 5
 HARDNEG_ANCHORS = 5  # vec_id < 5
 HARDNEG_MAX_COS = 0.3  # semi-hard window (fixture max pairwise ~0.51)
@@ -692,6 +735,8 @@ SPECS = [
               "per-label centroid cohesion (embedding cluster quality)"),
     QuerySpec("q165_kmeans", q165_kmeans, _q165_sql(),
               "fixed-round distributed Lloyd k-means, chained-CTE oracle"),
+    QuerySpec("q180_cluster_reps", q180_cluster_reps, _q180_sql(),
+              "cluster-balanced representative sampling (per-centroid top-N)"),
     QuerySpec("q172_hard_negatives", q172_hard_negatives, _Q172_SQL,
               "semi-hard negative mining (different-label cosine top-k)"),
     QuerySpec("q173_mmr_rerank", q173_mmr_rerank, _q173_sql(),

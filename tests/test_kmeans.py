@@ -129,3 +129,28 @@ def test_arrow_assignment_path_bitwise_equals_jvm(spark, monkeypatch):
     monkeypatch.setattr(SIM, "_NEAREST_CELL_EXPR_MAX_TERMS", 0)
     arrow = _run(spark, vecs, k=3, rounds=3, dim=8)
     assert arrow == jvm  # exact doubles, not approx
+
+
+def test_cluster_representatives_picks_central_points(spark):
+    """Two planted blobs: the reps of each cluster must be the points
+    nearest its center, quota respected, ranks 1..N per cluster."""
+    from pyspark.sql import Row
+
+    from nyc_etl_pipeline_spark.operators.similarity import cluster_representatives
+
+    rows = []
+    for i in range(10):  # blob A around (0,0): ids 0..9, radius grows with id
+        rows.append(Row(vec_id=i, embedding=[0.0 + i * 0.1, 0.0]))
+    for i in range(10):  # blob B around (10,10)
+        rows.append(Row(vec_id=100 + i, embedding=[10.0 + i * 0.1, 10.0]))
+    df = spark.createDataFrame(rows)
+    got = cluster_representatives(df, dim=2, k=2, n_rounds=3, per_cluster=3).collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r["cluster"], []).append((r["rk"], r["vec_id"]))
+    assert len(by_cluster) == 2
+    for cluster, members in by_cluster.items():
+        ids = {v for _, v in members}
+        assert sorted(r for r, _ in members) == [1, 2, 3]
+        # all three reps from the same blob
+        assert ids <= set(range(10)) or ids <= set(range(100, 110))

@@ -86,6 +86,32 @@ def test_unigram_nll_flags_out_of_distribution_doc(spark):
     assert rows[99] > common, rows
 
 
+def test_bigram_nll_is_word_order_aware(spark):
+    """The discriminating property over the unigram proxy: a doc with
+    the corpus's exact vocabulary but scrambled word ORDER must score
+    worse than the fluent form (identical unigram distribution, so
+    unigram NLL cannot tell them apart), and a doc with fewer than two
+    tokens is dropped."""
+    from nyc_etl_pipeline_spark.operators.lm import (
+        bigram_nll_scores,
+        unigram_nll_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+        + [(99, "dog the lazy jumps fox over quick the brown")]  # scrambled
+        + [(100, "solo")],  # single token -> no bigram positions
+        "doc_id long, text string",
+    )
+    bi = {r.doc_id: r.nll for r in bigram_nll_scores(docs).collect()}
+    assert 100 not in bi
+    fluent = max(v for k, v in bi.items() if k != 99)
+    assert bi[99] > fluent, bi
+    # the unigram model is blind to the scramble (same token multiset)
+    uni = {r.doc_id: r.nll for r in unigram_nll_scores(docs).collect()}
+    assert uni[99] == uni[1]
+
+
 def test_canonical_per_cluster_keeps_longest(spark):
     from nyc_etl_pipeline_spark.operators.dedup import canonical_per_cluster
 
