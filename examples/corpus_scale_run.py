@@ -310,6 +310,49 @@ def main() -> None:
         return f"3-round GD train + score {n_scored:,} docs (dim 65)"
 
     timed("quality_logreg (train+score)", _logreg_probe)
+
+    # round-9 additions -----------------------------------------------------
+    # Bloom decontamination: benchmark = 0.1% slice; the filter stays
+    # m_bits-bounded, the corpus pays one shingle pass + a dictionary-
+    # sized membership probe
+    timed(
+        "bloom_contamination",
+        lambda: "%s contaminated" % f"""{D.bloom_contamination_scores(
+            docs.filter(F.col('doc_id') % 1000 != 0),
+            docs.filter(F.col('doc_id') % 1000 == 0),
+            m_bits=1 << 20, k_hashes=4,
+        ).filter('is_contaminated').count():,}""",
+    )
+    # sparse TF-IDF cosine pairs: max_df caps the postings self-join
+    # fan-out (uniform 2000-word vocab -> every term is hot without it)
+    from nyc_etl_pipeline_spark.operators.retrieval import sparse_cosine_pairs
+
+    timed(
+        "sparse_cosine_pairs (max_df=1000)",
+        lambda: f"{sparse_cosine_pairs(docs, max_df=1000, threshold=0.6).count():,} pairs",
+    )
+    # interpolated bigram NLL: two token-sized shuffles + a bigram-
+    # vocabulary join (never per-position rows)
+    from nyc_etl_pipeline_spark.operators.lm import bigram_nll_scores
+
+    timed(
+        "bigram_nll",
+        lambda: "avg nll %.4f" % bigram_nll_scores(docs).agg(F.avg("nll")).first()[0],
+    )
+    # indexed incremental near-dup: 10k batch vs the stored corpus band
+    # index (the maintained-index serving path q176 gates)
+    corpus = docs.filter(F.col("doc_id") >= 10_000)
+    batch = docs.filter(F.col("doc_id") < 10_000)
+    t_idx = time.perf_counter()
+    index = D.minhash_band_table(corpus, num_hashes=64, bands=16).localCheckpoint()
+    print(f"band_index build (one-time): {index.count():,} rows "
+          f"in {time.perf_counter() - t_idx:.1f}s")
+    timed(
+        "incremental_neardup_indexed (10k batch vs stored index)",
+        lambda: f"""{D.incremental_neardup_dedup_indexed(
+            batch, corpus, index, num_hashes=64, bands=16, threshold=0.5
+        ).count():,} survivors""",
+    )
     docs.unpersist()
 
 

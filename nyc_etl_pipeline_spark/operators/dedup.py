@@ -663,9 +663,16 @@ def bloom_contamination_scores(
 
     Same output shape as contamination_scores: (id, n_shingles,
     n_hit, contamination rounded to 3, is_contaminated). Scale shape:
-    the corpus pays one shingle pass; the per-shingle membership test
-    runs on the DISTINCT shingle dictionary (each unique n-gram probed
-    once, k broadcast-join lookups), then rejoins the per-doc rows."""
+    the corpus pays one shingle pass; each (doc, shingle) emits its
+    k_hashes positions, the broadcast bit-table join filters them
+    map-side, and one (doc, shingle-hash) aggregate counts the
+    all-k survivors — shuffle keys are 16 bytes, shingle STRINGS never
+    shuffle. (A first cut routed a distinct shingle-string dictionary
+    through the membership test to probe each unique n-gram once; on
+    near-unique-shingle corpora — most real text — the dictionary is
+    corpus-sized, and its two string shuffles measured a super-linear
+    cliff between 200k and 1M docs. The per-occurrence bigint form
+    replaced it.)"""
     bits = bloom_bits(benchmark, text_col, n, m_bits, k_hashes).withColumn(
         "__b", F.lit(1)
     )
@@ -673,9 +680,9 @@ def bloom_contamination_scores(
         docs.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks"))
         .select("__id", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("__sh_str"))
     )
-    sh_dict = csh.select("__sh_str").dropDuplicates()
-    probe_rows = sh_dict.select(
-        "__sh_str",
+    pos_rows = csh.select(
+        "__id",
+        md5_long("__sh_str").alias("__sh"),
         F.explode(F.array(*[
             F.pmod(
                 md5_long(F.concat(F.col("__sh_str"), F.lit(f"|{j}"))),
@@ -684,18 +691,19 @@ def bloom_contamination_scores(
             for j in range(k_hashes)
         ])).alias("bit"),
     )
-    hit_sh = (
-        probe_rows.join(F.broadcast(bits), on="bit")
-        .groupBy("__sh_str")
+    hit_per_doc = (
+        pos_rows.join(F.broadcast(bits), on="bit")
+        .groupBy("__id", "__sh")
         .agg(F.count("__b").alias("__k"))
         .filter(F.col("__k") == k_hashes)
-        .select("__sh_str")
-        .withColumn("__hit_flag", F.lit(1))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__hit"))
     )
     per_doc = (
-        csh.join(hit_sh, on="__sh_str", how="left")
-        .groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("__n"), F.count("__hit_flag").alias("__hit"))
+        csh.groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .join(hit_per_doc, on="__id", how="left")
+        .select("__id", "__n", F.coalesce("__hit", F.lit(0)).alias("__hit"))
     )
     rate = F.col("__hit") / F.col("__n")
     return (

@@ -265,28 +265,38 @@ def bigram_nll_scores(
     literal matches cross-engine bit-for-bit. Documents with fewer
     than 2 tokens are dropped (no bigram positions to score).
 
-    Scale shape: two token-sized shuffles (per-doc bigram counts,
-    corpus bigram counts), one word-keyed prefix/unigram join on the
-    BIGRAM VOCABULARY (never per-position rows), and the q113 ordered
-    per-doc fold for the transcendental sum (merge-order-proof).
-    Rounded floor-form at 6 dp. Returns (id, nll, n_bigrams).
+    Scale shape: bigram STRINGS shuffle exactly once (the vocabulary
+    distinct); everything per-position or per-doc moves on the 60-bit
+    md5 bigram key — per-doc counts groupBy (doc, bh), the stats join
+    lands on bh, and the q113 ordered per-doc fold (merge-order-proof)
+    orders by bh, which the oracle reproduces with the same md5
+    expression. A first cut shuffled the raw bigram strings through
+    all three stages and measured 206 s at 1M docs / 59M bigrams; the
+    hash-keyed form is the _shingle_table lesson applied to LM scoring
+    (collision caveat shared with it: 60-bit keys, a cross-bigram
+    collision needs ~2^60 vocabulary). Rounded floor-form at 6 dp.
+    Returns (id, nll, n_bigrams).
     """
+    from nyc_etl_pipeline_spark.functions import md5_long
     from nyc_etl_pipeline_spark.operators.text import ngrams_from_tokens
 
     toks = docs.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks"))
+    pos = toks.select(
+        "doc", F.explode(ngrams_from_tokens(F.col("toks"), 2)).alias("bigram")
+    )
     dbig = (
-        toks.select("doc", F.explode(ngrams_from_tokens(F.col("toks"), 2)).alias("bigram"))
-        .groupBy("doc", "bigram")
+        pos.select("doc", md5_long("bigram").alias("bh"))
+        .groupBy("doc", "bh")
         .agg(F.count(F.lit(1)).cast("double").alias("bf"))
     )
-    big = dbig.groupBy("bigram").agg(F.sum("bf").alias("c_ab"))
-    split_big = big.select(
-        "bigram",
-        "c_ab",
+    vocab = pos.select("bigram").dropDuplicates().select(
+        md5_long("bigram").alias("bh"),
         F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
         F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
     )
-    prefix = split_big.groupBy("w1").agg(F.sum("c_ab").alias("c_prefix"))
+    big = dbig.groupBy("bh").agg(F.sum("bf").alias("c_ab"))
+    sb = big.join(vocab, "bh")
+    prefix = sb.groupBy("w1").agg(F.sum("c_ab").alias("c_prefix"))
     uni = (
         toks.select(F.explode("toks").alias("w2"))
         .groupBy("w2")
@@ -301,20 +311,20 @@ def bigram_nll_scores(
         / (F.col("corpus_tokens") + F.lit(alpha) * F.col("vocab"))
     )
     stats = (
-        split_big.join(prefix, "w1")
+        sb.join(prefix, "w1")
         .join(uni, "w2")
         .crossJoin(F.broadcast(totals))
-        .select("bigram", F.log(p).alias("lnp"))
+        .select("bh", F.log(p).alias("lnp"))
     )
     folded = F.aggregate(
         F.sort_array(
-            F.collect_list(F.struct(F.col("bigram"), (F.col("bf") * F.col("lnp")).alias("contrib")))
+            F.collect_list(F.struct(F.col("bh"), (F.col("bf") * F.col("lnp")).alias("contrib")))
         ),
         F.lit(0.0),
         lambda acc, x: acc + x["contrib"],
     )
     return (
-        dbig.join(stats, "bigram")
+        dbig.join(stats, "bh")
         .groupBy(F.col("doc").alias(id_col))
         .agg(
             round_half_up(-folded / F.sum("bf"), 6).alias("nll"),

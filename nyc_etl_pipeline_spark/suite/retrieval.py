@@ -157,24 +157,30 @@ def q179_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bigram_nll_sql() -> str:
+    from nyc_etl_pipeline_spark.functions import sql_md5_long
+
+    bh = sql_md5_long("bigram")
     return f"""
 WITH toks AS (
   SELECT doc_id, {_TOK} AS t FROM documents WHERE trim(text) <> ''
 ),
-dbig AS (
-  SELECT doc_id, bigram, CAST(count(*) AS DOUBLE) AS bf FROM (
-    SELECT doc_id,
-           unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
-    FROM toks
-  ) GROUP BY 1, 2
+pos AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks
 ),
-big AS (SELECT bigram, sum(bf) AS c_ab FROM dbig GROUP BY 1),
-sb AS (
-  SELECT bigram, c_ab,
+dbig AS (
+  SELECT doc_id, {bh} AS bh, CAST(count(*) AS DOUBLE) AS bf
+  FROM pos GROUP BY 1, 2
+),
+vocab AS (
+  SELECT {bh} AS bh,
          string_split(bigram, ' ')[1] AS w1,
          string_split(bigram, ' ')[2] AS w2
-  FROM big
+  FROM (SELECT DISTINCT bigram FROM pos)
 ),
+big AS (SELECT bh, sum(bf) AS c_ab FROM dbig GROUP BY 1),
+sb AS (SELECT big.bh, c_ab, w1, w2 FROM big JOIN vocab USING (bh)),
 prefix AS (SELECT w1, sum(c_ab) AS c_prefix FROM sb GROUP BY 1),
 uni AS (
   SELECT w2, CAST(count(*) AS DOUBLE) AS c_w
@@ -184,7 +190,7 @@ totals AS (
   SELECT sum(c_w) AS corpus_tokens, CAST(count(*) AS DOUBLE) AS vocab FROM uni
 ),
 stats AS (
-  SELECT bigram,
+  SELECT bh,
          ln({BIGRAM_LAM} * (c_ab / c_prefix)
             + {1.0 - BIGRAM_LAM} * ((c_w + {NLL_ALPHA})
                                     / (corpus_tokens + {NLL_ALPHA} * vocab))) AS lnp
@@ -193,9 +199,9 @@ stats AS (
 SELECT doc_id,
        floor((CAST(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(CAST(
          bf * lnp
-       AS DOUBLE) ORDER BY bigram)), (acc, x) -> acc + x) / sum(bf) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS nll,
+       AS DOUBLE) ORDER BY bh)), (acc, x) -> acc + x) / sum(bf) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS nll,
        CAST(sum(bf) AS BIGINT) AS n_bigrams
-FROM dbig JOIN stats USING (bigram)
+FROM dbig JOIN stats USING (bh)
 GROUP BY doc_id
 """
 
