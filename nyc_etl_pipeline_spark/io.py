@@ -267,6 +267,47 @@ class Warehouse:
             .save(self.path(table))
         )
 
+    def overwrite_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Hash-clustered (bucketed) table write — the CO-LOCATION
+        primitive for repeated large-large joins and aggregations: two
+        tables bucketed by the same key with the same bucket count
+        sort-merge-join with NO shuffle exchange on either side, and a
+        groupBy on the bucket key aggregates without an exchange
+        (plan-asserted in tests/test_io_formats.py). At 100 TB this is
+        the difference between shuffling the fact table on every run
+        and shuffling it ONCE at write time.
+
+        Bucketed tables live in the session catalog (Spark's bucketBy
+        requires saveAsTable) with their files at the warehouse path;
+        read back via `read_table`. Deployment note: cross-session
+        bucket metadata needs a persistent catalog (Hive metastore /
+        Unity-style); the file layout itself is plain parquet either
+        way. `sort_cols` additionally sorts within buckets, upgrading
+        the merge join's sort to a free pass-through."""
+        writer = (
+            df.write.format(self.table_format)
+            .mode("overwrite")
+            .option("path", self.path(table))
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        self.spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        writer.saveAsTable(table)
+
+    def read_table(self, table: str) -> DataFrame:
+        """Catalog read — required for bucketed tables (a plain path
+        read sees the files but not the bucket spec, so the co-location
+        guarantee is silently lost)."""
+        return self.spark.table(table)
+
     def _partition_columns(self, table: str) -> list[str]:
         """Hive-style partition columns of a stored table, inferred
         from the directory layout (k=v levels), via the Hadoop FS API

@@ -552,7 +552,55 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q181 — bucketed co-located join (write-once shuffle)
+# --------------------------------------------------------------------------
+
+BUCKETS_Q181 = 8
+
+
+def q181_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment order revenue computed through BUCKETED
+    tables: orders and customer are hash-clustered on custkey at write
+    time, so the join runs with no shuffle exchange on either side
+    (plan-asserted in tests/test_io_formats.py) — the write-once
+    co-location contract this gate proves is RESULT-preserving."""
+    import tempfile
+
+    from nyc_etl_pipeline_spark.io import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="bucketed_q181_"))
+    wh.overwrite_bucketed(
+        read_testdata(spark, sf_dir, "orders"), "q181_orders_b",
+        ["o_custkey"], BUCKETS_Q181, sort_cols=["o_custkey"],
+    )
+    wh.overwrite_bucketed(
+        read_testdata(spark, sf_dir, "customer"), "q181_customer_b",
+        ["c_custkey"], BUCKETS_Q181, sort_cols=["c_custkey"],
+    )
+    ob, cb = wh.read_table("q181_orders_b"), wh.read_table("q181_customer_b")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            R(dec_sum("o_totalprice"), 3).alias("revenue"),
+        )
+    )
+
+
+_Q181_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)) * 1000.0 + 0.5) / 1000.0 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 SPECS = [
+    QuerySpec("q181_bucketed_join", q181_bucketed_join, _Q181_SQL,
+              "co-located join through write-time bucketed tables"),
     QuerySpec("q01_monthly_sales_report", q01_monthly_sales_report, _Q01_SQL,
               "flagship: star join + wide group-agg (platinum monthly report shape)"),
     QuerySpec("q02_weekly_sales_report", q02_weekly_sales_report, _Q02_SQL,

@@ -314,3 +314,45 @@ def test_warehouse_orc_format_end_to_end(spark, sf_dir, tmp_path):
     assert n == len(years)
     assert wh.read("orders").count() == orders.count() + one_year.count()
 
+
+
+# ---- bucketed (hash-clustered) tables --------------------------------------
+
+def test_bucketed_join_has_no_shuffle_exchange(spark, tmp_path, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts
+    must sort-merge-join WITHOUT a shuffle on either side, and the
+    bucket-key aggregate must run exchange-free — the write-once
+    co-location contract. A control join of the plain-path reads shows
+    the exchanges the bucketing removed."""
+    from nyc_etl_pipeline_spark.io import Warehouse, read_testdata
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    cust = read_testdata(spark, sf_dir, "customer")
+    wh = Warehouse(spark, str(tmp_path / "bwh"))
+    wh.overwrite_bucketed(orders, "orders_b", ["o_custkey"], 8, sort_cols=["o_custkey"])
+    wh.overwrite_bucketed(cust, "customer_b", ["c_custkey"], 8, sort_cols=["c_custkey"])
+
+    ob, cb = wh.read_table("orders_b"), wh.read_table("customer_b")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(cb, ob.o_custkey == cb.c_custkey).groupBy("c_mktsegment").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the only exchange allowed is the k-group one above the join
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges <= 1, plan
+        assert "SortMergeJoin" in plan
+
+        control = (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment").count()
+        )
+        cplan = control._jdf.queryExecution().executedPlan().toString()
+        assert cplan.count("Exchange hashpartitioning") >= 2, cplan
+
+        # results identical through the bucketed path
+        got = {r["c_mktsegment"]: r["count"] for r in joined.collect()}
+        want = {r["c_mktsegment"]: r["count"] for r in control.collect()}
+        assert got == want and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
