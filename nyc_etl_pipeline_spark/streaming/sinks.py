@@ -443,3 +443,49 @@ def band_index_maintainer(
             warehouse.overwrite(bt, table, partition_by=["batch_id"])
 
     return write_batch
+
+
+def hll_maintainer(warehouse, table: str, keys: list[str], value_col: str):
+    """foreachBatch function maintaining per-key HLL distinct-count
+    sketches incrementally — the streaming face of the q80 rollup and
+    the last member of the mergeable-summary maintainer family
+    (sketch_maintainer / mart_maintainer / mg_maintainer share the
+    contract): each micro-batch's per-key Datasketches HLL binaries
+    land in a batch_id partition via dynamic partition overwrite, so a
+    replayed batch rewrites its own partition instead of double-
+    counting (exactly-once by idempotence — though HLL registers are
+    max-merged, so even a true double-count could not move the
+    estimate; the contract is kept uniform anyway).
+
+    `merged_hll` is one hll_union_agg over all partitions: register
+    maxima commute, so batch order and replay cannot change the merged
+    estimate, and a new batch containing only already-seen values is a
+    provable no-op (subset registers never exceed the union's)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # see sketch_maintainer: empty batch 0 must not write
+        partial = batch_df.groupBy(*keys).agg(
+            F.hll_sketch_agg(value_col).alias("hll_sketch")
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        if warehouse.exists(table):
+            warehouse.overwrite_partitions(partial, table, ["batch_id"])
+        else:
+            warehouse.overwrite(partial, table, partition_by=["batch_id"])
+
+    return write_batch
+
+
+def merged_hll(warehouse, table: str, keys: list[str]) -> DataFrame:
+    """Per-key distinct estimate over every arrived batch: one
+    register-max union of keys x batches sketch rows, never
+    corpus-sized."""
+    return (
+        warehouse.read(table)
+        .groupBy(*keys)
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hll_sketch")).alias(
+                "distinct_est"
+            )
+        )
+    )

@@ -436,3 +436,40 @@ def test_band_index_maintainer_parity_and_exactly_once(spark, sf_dir, tmp_path):
     writer(replay, 777)
     per_doc = D.minhash_band_table(replay, num_hashes=64, bands=16).count()
     assert wh.read("bands").count() == n_before + per_doc
+
+
+def test_streaming_hll_maintenance_exactly_once_and_subset_noop(spark, sf_dir, tmp_path):
+    """Per-batch HLL partials in batch_id partitions: merged estimate
+    within HLL tolerance of the exact distinct count, replay is a
+    no-op, and a NEW batch of already-seen values provably cannot move
+    the estimate (register maxima)."""
+    from nyc_etl_pipeline_spark.streaming.sinks import hll_maintainer, merged_hll
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = read_event_stream(spark, sf_dir).select("event_type", "user_id")
+    writer = hll_maintainer(wh, "hll", ["event_type"], "user_id")
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    events = read_testdata(spark, sf_dir, "events").select("event_type", "user_id")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.distinct().groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    est = {r["event_type"]: r["distinct_est"] for r in merged_hll(wh, "hll", ["event_type"]).collect()}
+    assert set(est) == set(exact)
+    assert all(abs(est[k] - exact[k]) <= 0.1 * exact[k] + 2 for k in exact), (est, exact)
+
+    # replay batch 0 verbatim: partition overwrite -> merged unchanged
+    writer(events, 0)
+    assert {r["event_type"]: r["distinct_est"] for r in merged_hll(wh, "hll", ["event_type"]).collect()} == est
+
+    # a genuinely NEW batch of already-seen values: distinct-count
+    # semantics -> estimates identical (subset registers)
+    writer(events.limit(200), 7)
+    assert {r["event_type"]: r["distinct_est"] for r in merged_hll(wh, "hll", ["event_type"]).collect()} == est
