@@ -542,18 +542,18 @@ def q127_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id", "lang", "source")
 
 
-def _q127_sql() -> str:
+def _q127_sql(num_hashes: int = MINHASH_NUM, bands: int = MINHASH_BANDS) -> str:
     p = D.MERSENNE31
-    rows = MINHASH_NUM // MINHASH_BANDS
+    rows = num_hashes // bands
     mh_exprs = []
-    for i in range(MINHASH_NUM):
+    for i in range(num_hashes):
         a, b = D.minhash_base_coeffs(i)
         mh_exprs.append(f"min(({a} * hm + {b}) % {p}) AS mh_{i}")
     band_rows = "\nUNION ALL ".join(
         "SELECT doc_id, {b} AS band_idx, CAST('0x' || substr(md5({cat}), 1, 15) AS BIGINT) AS band_key FROM sig".format(
             b=b, cat=" || ',' || ".join(f"mh_{b * rows + r}" for r in range(rows))
         )
-        for b in range(MINHASH_BANDS)
+        for b in range(bands)
     )
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -596,6 +596,15 @@ WHERE d.doc_id >= {INCR_SPLIT}
 # --------------------------------------------------------------------------
 
 
+# 64 hashes / 16 bands (4-row bands, same candidate-probability curve
+# family as q127's 128/32): q176 re-proves the MACHINERY (maintained
+# index == batch decisions), and the half-width signature halves the
+# gate's dominant cost — the 128-expression signature aggregate is a
+# ~10 s codegen compile PER DISTINCT PLAN (ROUND_NOTES r8), and q176
+# at 128/32 measured 24.0 s of the sf0.1 suite run.
+MAINT_NEARDUP_HASHES, MAINT_NEARDUP_BANDS = 64, 16
+
+
 def q176_maintained_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q127's decision, but the corpus band index comes from the
     STREAMING maintainer: the corpus (id < 250) arrives as two
@@ -603,8 +612,9 @@ def q176_maintained_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin exactly-once-by-idempotence inside the gate), and the arriving
     batch joins its bands against the STORED table via
     `incremental_neardup_dedup_indexed` — corpus text is touched only
-    for candidate ids. Same oracle as q127: the accept/reject decision
-    must be byte-identical whichever way the index was built."""
+    for candidate ids. Same full-chain oracle family as q127: the
+    accept/reject decision must be byte-identical whichever way the
+    index was built."""
     import tempfile
 
     from nyc_etl_pipeline_spark.io import Warehouse
@@ -616,7 +626,8 @@ def q176_maintained_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wh = Warehouse(spark, tempfile.mkdtemp(prefix="maintained_band_"))
     write_batch = band_index_maintainer(
-        wh, "band_index", n=NGRAM_N, num_hashes=MINHASH_NUM, bands=MINHASH_BANDS
+        wh, "band_index", n=NGRAM_N,
+        num_hashes=MAINT_NEARDUP_HASHES, bands=MAINT_NEARDUP_BANDS,
     )
     half = INCR_SPLIT // 2
     write_batch(corpus.filter(F.col("doc_id") < half), 0)
@@ -628,8 +639,8 @@ def q176_maintained_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_docs=corpus,
         corpus_index=wh.read("band_index"),
         n=NGRAM_N,
-        num_hashes=MINHASH_NUM,
-        bands=MINHASH_BANDS,
+        num_hashes=MAINT_NEARDUP_HASHES,
+        bands=MAINT_NEARDUP_BANDS,
         threshold=JACCARD_THRESHOLD,
     )
     return survivors.select("doc_id", "lang", "source")
@@ -795,7 +806,8 @@ SPECS = [
               "passage-level exact dup detection (k-token window hashes)"),
     QuerySpec("q127_incremental_neardup", q127_incremental_neardup, _q127_sql(),
               "batch-vs-corpus MinHash near-dup dedup (band-index join)"),
-    QuerySpec("q176_maintained_neardup", q176_maintained_neardup, _q127_sql(),
+    QuerySpec("q176_maintained_neardup", q176_maintained_neardup,
+              _q127_sql(MAINT_NEARDUP_HASHES, MAINT_NEARDUP_BANDS),
               "q127's decision via the streaming-maintained stored band index"),
     QuerySpec("q128_containment_pairs", q128_containment_pairs, _Q128_SQL,
               "asymmetric n-gram containment (quote/subset detection)"),
