@@ -401,3 +401,73 @@ def sql_label_propagation_chain(e0_name: str, n_rounds: int) -> str:
             f" ORDER BY cnt DESC, label ASC) AS rn FROM c{r}) WHERE rn = 1)"
         )
     return ",\n".join(parts)
+
+
+def adamic_adar_topk(
+    edges: DataFrame,
+    k: int = 20,
+    max_degree: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Adamic-Adar link prediction over a SYMMETRIC simple edge list:
+    for each non-adjacent pair (u, v), score = Σ_z 1/ln(deg(z)) over
+    common neighbors z — the inverse-log weighting that discounts hub
+    intermediaries (a shared celebrity follower means less than a
+    shared niche contact). Returns the top-k pairs by score
+    (u < v, score rounded 6, ties by (u, v)).
+
+    Determinism: deg(z) is an exact integer, so 1/ln(deg) is the
+    documented single-libm-call residual class; the per-pair sum is an
+    index-ORDERED fold over neighbors z (the q113/q179 discipline), so
+    merge order cannot move a digit. A common neighbor has degree >= 2
+    by construction — ln(1)=0 division is unreachable.
+
+    Scale shape: candidate pairs come from the wedge join
+    (u—z)⋈(z—v), cost Σ_z deg(z)² — the classic hub blowup.
+    `max_degree` drops intermediaries above the cap BEFORE the wedge
+    join (the standard approximation: a node with a million neighbors
+    contributes 1/ln(10⁶) ≈ 0.07 per pair but 10¹² wedges); None keeps
+    it exact. Existing edges leave via one left-anti join.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("u", "z")
+    # deg >= 2: a degree-1 node cannot be a COMMON neighbor, and the
+    # filter must precede the projection — under ANSI mode 1/ln(1)
+    # raises DIVIDE_BY_ZERO even for rows the wedge join would drop
+    mid = deg.filter(F.col("deg") >= 2)
+    if max_degree is not None:
+        mid = mid.filter(F.col("deg") <= max_degree)
+    contrib = (F.lit(1.0) / F.log(F.col("deg"))).alias("w")
+    # wedge: (u - z) x (z - v), u < v, z's contribution attached once
+    wedges = (
+        e.select(F.col("v").alias("z"), F.col("u").alias("a"))
+        .join(e.select(F.col("u").alias("z"), F.col("v").alias("b")), on="z")
+        .filter(F.col("a") < F.col("b"))
+        .join(mid.select("z", contrib), on="z")
+    )
+    folded = F.aggregate(
+        F.sort_array(F.collect_list(F.struct(F.col("z"), F.col("w")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["w"],
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        folded.alias("__s"), F.count(F.lit(1)).alias("n_common")
+    )
+    non_adjacent = scored.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        on=["a", "b"],
+        how="left_anti",
+    )
+    from nyc_etl_pipeline_spark.functions import round_half_up
+
+    return (
+        non_adjacent.select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            F.col("n_common"),
+            round_half_up(F.col("__s"), 6).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), F.asc("u"), F.asc("v"))
+        .limit(k)
+    )

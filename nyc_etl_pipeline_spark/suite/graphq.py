@@ -314,9 +314,79 @@ SELECT node, label FROM l{LPA_ROUNDS}
 """
 
 
+# --------------------------------------------------------------------------
+# q182 — Adamic-Adar link prediction over the sparsified trade graph
+# --------------------------------------------------------------------------
+
+AA_TOPK = 20
+
+# Shared e0 construction with q162/q163 (the sparsified contracted
+# trade graph) — one CTE prefix string so the three cannot drift.
+_E0_PREFIX_SQL = f"""
+WITH wbase AS MATERIALIZED (
+  SELECT CAST(o.o_custkey % {_KCORE_MOD_C} AS BIGINT) AS src,
+         CAST(1000 + l.l_suppkey % {_KCORE_MOD_S} AS BIGINT) AS dst,
+         count(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+w0 AS MATERIALIZED (
+  SELECT 2 * (CAST(sum(w) AS BIGINT) // count(*)) + 1 AS t FROM wbase
+),
+base AS MATERIALIZED (
+  SELECT src, dst FROM wbase WHERE w >= (SELECT t FROM w0)
+),
+e0 AS MATERIALIZED (
+  SELECT src, dst FROM base UNION SELECT dst, src FROM base
+)"""
+
+
+def q182_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k link predictions by Adamic-Adar (inverse-log common-
+    neighbor weighting) over the same symmetric simple graph as
+    q162/q163 — the graph-curation primitive behind 'suggest an edge'
+    and graph-densification passes. Per-pair sums are z-ordered folds
+    so the oracle hash-matches digit for digit."""
+    from nyc_etl_pipeline_spark.operators.graph import adamic_adar_topk
+
+    return adamic_adar_topk(_kcore_edges(spark, sf_dir), k=AA_TOPK)
+
+
+def _q182_sql() -> str:
+    from nyc_etl_pipeline_spark.functions import sql_round_half_up
+
+    return f"""{_E0_PREFIX_SQL},
+deg AS (SELECT src AS z, count(*) AS deg FROM e0 GROUP BY 1),
+wedges AS (
+  SELECT e1.src AS a, e1.dst AS z, e2.dst AS b
+  FROM e0 e1 JOIN e0 e2 ON e1.dst = e2.src
+  WHERE e1.src < e2.dst
+),
+scored AS (
+  SELECT a, b, count(*) AS n_common,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(CAST(
+           1.0 / ln(deg)
+         AS DOUBLE) ORDER BY z)), (acc, x) -> acc + x) AS s
+  FROM wedges JOIN deg USING (z)
+  GROUP BY a, b
+),
+non_adj AS (
+  SELECT * FROM scored
+  WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.src = scored.a AND e0.dst = scored.b)
+)
+SELECT a AS u, b AS v, CAST(n_common AS BIGINT) AS n_common,
+       {sql_round_half_up('s', 6)} AS aa_score
+FROM non_adj
+ORDER BY aa_score DESC, u ASC, v ASC
+LIMIT {AA_TOPK}
+"""
+
+
 SPECS = [
     QuerySpec("q76_pagerank_nations", q76_pagerank_nations, _q76_sql(),
               "fixed-point weighted PageRank, integer-exact oracle"),
+    QuerySpec("q182_adamic_adar", q182_adamic_adar, _q182_sql(),
+              "Adamic-Adar link prediction (z-ordered inverse-log folds)"),
     QuerySpec("q114_triangle_clustering", q114_triangle_clustering, _Q114_SQL,
               "degree-ordered triangle counting + clustering coefficient"),
     QuerySpec("q118_recursive_bfs", q118_recursive_bfs, _Q118_SQL,

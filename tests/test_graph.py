@@ -221,3 +221,62 @@ def test_kcore_truncated_peel_matches_edge_list_semantics(spark):
         df = spark.createDataFrame(_sym(edges), "src long, dst long")
         got = {r.node: r.degree for r in kcore_peel(df, 2, rounds).collect()}
         assert got == brute_rounds(edges, 2, rounds), rounds
+
+
+# ---- Adamic-Adar link prediction -------------------------------------------
+
+def _sym(spark, pairs):
+    rows = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_adamic_adar_matches_python_brute_force(spark):
+    import math
+    import random
+
+    from nyc_etl_pipeline_spark.operators.graph import adamic_adar_topk
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    pairs = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)}
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def brute():
+        out = {}
+        for u in nodes:
+            for v in nodes:
+                if u < v and v not in adj.get(u, set()):
+                    common = adj.get(u, set()) & adj.get(v, set())
+                    if common:
+                        s = sum(1.0 / math.log(len(adj[z])) for z in sorted(common))
+                        out[(u, v)] = (len(common), math.floor(s * 1e6 + 0.5) / 1e6)
+        return out
+
+    want = brute()
+    got = {
+        (r["u"], r["v"]): (r["n_common"], r["aa_score"])
+        for r in adamic_adar_topk(_sym(spark, pairs), k=10_000).collect()
+    }
+    assert got == want
+
+
+def test_adamic_adar_hub_cap_drops_hub_wedges(spark):
+    """A hub connected to everyone manufactures a common neighbor for
+    every pair; max_degree below its degree removes those wedges (and
+    pairs whose ONLY common neighbor was the hub disappear)."""
+    from nyc_etl_pipeline_spark.operators.graph import adamic_adar_topk
+
+    hub_pairs = [(99, i) for i in range(10)]  # hub 99, degree 10
+    chain = [(0, 1), (1, 2)]  # 0 and 2 share genuine neighbor 1
+    edges = _sym(spark, hub_pairs + chain)
+    uncapped = {(r["u"], r["v"]) for r in adamic_adar_topk(edges, k=1000).collect()}
+    capped = {
+        (r["u"], r["v"])
+        for r in adamic_adar_topk(edges, k=1000, max_degree=5).collect()
+    }
+    assert (3, 4) in uncapped        # hub-only common neighbor
+    assert (3, 4) not in capped      # gone under the cap
+    assert (0, 2) in capped          # genuine wedge survives
