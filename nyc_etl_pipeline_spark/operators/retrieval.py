@@ -415,8 +415,15 @@ def sparse_cosine_pairs(
             (F.col("tf") * round_half_up(F.log(F.col("__n") / F.col("df")), 6)).alias("__w"),
         )
     )
-    norms = w.groupBy("__id").agg(
-        F.sqrt(dec_sum(F.col("__w") * F.col("__w"))).alias("__nrm")
+    # A document whose every retained term is corpus-universal (idf 0,
+    # or w^2 entirely below the 6-dp decimal quantum) has a zero norm:
+    # no direction, no cosine — it participates in NO pairs (and under
+    # ANSI mode an unguarded division raises; found by the hypothesis
+    # brute-force differential in tests/test_properties.py).
+    norms = (
+        w.groupBy("__id")
+        .agg(F.sqrt(dec_sum(F.col("__w") * F.col("__w"))).alias("__nrm"))
+        .filter(F.col("__nrm") > 0.0)
     )
     dots = (
         w.select(F.col("__id").alias("a_id"), "term", F.col("__w").alias("__wa"))

@@ -513,7 +513,11 @@ w AS (
   FROM tf JOIN dfreq USING (term) CROSS JOIN n
 ),
 norms AS (
-  SELECT doc_id, sqrt({sql_dec_sum('w * w')}) AS nrm FROM w GROUP BY 1
+  -- zero-norm profiles (all retained terms corpus-universal) join no
+  -- pairs; mirrors the operator's ANSI-safe filter
+  SELECT doc_id, nrm FROM (
+    SELECT doc_id, sqrt({sql_dec_sum('w * w')}) AS nrm FROM w GROUP BY 1
+  ) WHERE nrm > 0.0
 ),
 dots AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, {sql_dec_sum('a.w * b.w')} AS dot

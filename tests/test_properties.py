@@ -402,3 +402,67 @@ def test_boilerplate_strip_matches_bruteforce(spark, corpus, max_df):
         assert got[i] == ("\n".join(kept), len(lines), len(kept)), (
             i, lines, boiler, got[i],
         )
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["apple", "pear", "plum", "kiwi", "fig"]),
+                 min_size=0, max_size=8),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_sparse_cosine_matches_bruteforce(spark, token_lists):
+    """sparse_cosine_pairs vs a plain-Python replica of its exact
+    arithmetic contract (6-dp idf quantization, per-product
+    DECIMAL(28,6) half-up casts, exact decimal sums): the PAIR SET
+    must match exactly at a near-zero threshold and cosines agree to
+    the output rounding (the one ln() call is the documented 1-ulp
+    class, absorbed by the 1e-4 comparison)."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from nyc_etl_pipeline_spark.operators.retrieval import sparse_cosine_pairs
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["a_id"], r["b_id"]): r["cosine"]
+        for r in sparse_cosine_pairs(df, threshold=1e-9).collect()
+    }
+
+    def dec6(x: float) -> Decimal:
+        return Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+    n_docs = len(docs)
+    tf = {i: Counter(t.split()) for i, t in ((i, t) for i, t in docs) if t.strip()}
+    dfreq = Counter(term for c in tf.values() for term in c)
+    w = {
+        i: {
+            t: c * (math.floor(math.log(n_docs / dfreq[t]) * 1e6 + 0.5) / 1e6)
+            for t, c in cnt.items()
+        }
+        for i, cnt in tf.items()
+    }
+    norms = {
+        i: math.sqrt(float(sum(dec6(x * x) for x in ws.values()) or 0))
+        for i, ws in w.items()
+        if ws
+    }
+    norms = {i: n for i, n in norms.items() if n > 0.0}  # zero-norm: no pairs
+    want = {}
+    ids = sorted(norms)
+    for ai in ids:
+        for bi in ids:
+            if ai < bi:
+                shared = set(w[ai]) & set(w[bi])
+                if not shared:
+                    continue
+                dot = float(sum(dec6(w[ai][t] * w[bi][t]) for t in shared))
+                cos = dot / (norms[ai] * norms[bi])
+                if cos >= 1e-9:
+                    want[(ai, bi)] = math.floor(cos * 1e4 + 0.5) / 1e4
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) <= 1e-4 for k in want), (got, want)
