@@ -728,3 +728,39 @@ def test_heavy_hitter_verify_pass_broadcasts_candidates(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bloom_probe_join_broadcasts_bit_table(spark, sf_dir):
+    """q177's membership test must be a map-side broadcast join of the
+    m_bits-bounded bit table against the corpus positions — a shuffle
+    join here re-shuffles every (doc, shingle, probe) row at 100 TB."""
+    from nyc_etl_pipeline_spark.suite.training import q177_bloom_contamination
+
+    plan = P.explain_str(q177_bloom_contamination(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cluster_reps_window_group_limit_and_single_exchange(spark, sf_dir):
+    """The per-cluster top-N must run under WindowGroupLimit pushdown
+    (partition-local heaps, rk never materialized past per_cluster)
+    with exactly ONE exchange — the k-group window partition; the
+    kmeans assignment passes stay map-only (q165's plan contract)."""
+    from nyc_etl_pipeline_spark.suite.vectors import q180_cluster_reps
+
+    plan = P.explain_str(q180_cluster_reps(spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_sparse_cosine_caps_df_before_self_join(spark, sf_dir):
+    """max_df must reach the dfreq aggregate as a post-agg filter
+    BEFORE the postings self-join (the fan-out bound is the point);
+    the final plan must contain no cartesian product."""
+    from nyc_etl_pipeline_spark.suite.retrieval import q178_sparse_cosine
+
+    df = q178_sparse_cosine(spark, sf_dir)
+    plan = P.explain_str(df, "extended")
+    assert "CartesianProduct" not in plan.split("== Physical Plan ==")[-1]
+    # the cap appears as a Filter on the df count, not on pair rows
+    assert "50" in plan and "Filter" in plan
