@@ -487,3 +487,67 @@ def token_budget_sample(
     + stable-bucket filter shape as mixture_sample)."""
     thr = token_budget_fractions(df, source_col, token_count_col, weights, total_tokens)
     return _threshold_filter(df, thr, source_col, key_cols, salt, portable)
+
+
+def largest_remainder_plan(
+    avail: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    tokens_col: str = "avail_tokens",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Integer-exact largest-remainder (Hamilton) allocation of a
+    token budget across sources — the mixture-PLANNING step upstream
+    of token_budget_sample: given per-source available tokens and
+    integer mixture weights, produce per-source token quotas that sum
+    EXACTLY to the budget (floor allocations, then one extra token to
+    the largest fractional remainders), plus the implied epoch factor
+    (quota/available — > 1 means multi-epoch upsampling of that
+    source).
+
+    Everything except the final 6-dp epoch ratio is bigint arithmetic
+    (base = budget*w // W, remainder = budget*w % W), so the plan is
+    reproducible in any engine bit-for-bit and immune to float-weight
+    drift. Ties on the remainder break by source name. Input `avail`
+    is one row per source — the output of a per-source aggregate, so
+    this whole operator runs on a vocabulary-of-sources-sized table
+    (a window over n_sources rows, nothing data-sized).
+    """
+    from pyspark.sql import Window as W
+
+    tot = avail.agg(F.sum(weight_col).alias("__W"))
+    # bigint DIV / % — NOT floor(double division), whose last-ulp error
+    # can misfloor once budget*weight outgrows 2^53
+    base = avail.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        tokens_col,
+        weight_col,
+        F.expr(f"CAST(({budget_tokens} * {weight_col}) DIV __W AS BIGINT)").alias("__base"),
+        F.expr(f"({budget_tokens} * {weight_col}) % __W").alias("__rem"),
+    )
+    leftover = base.agg(
+        (F.lit(budget_tokens) - F.sum("__base")).alias("__left")
+    )
+    w = W.orderBy(F.desc("__rem"), F.asc(source_col))
+    return (
+        base.crossJoin(F.broadcast(leftover))
+        .withColumn("__rk", F.row_number().over(w))
+        .select(
+            source_col,
+            F.col(tokens_col).cast("bigint").alias("avail_tokens"),
+            F.col(weight_col).cast("bigint").alias("weight"),
+            (F.col("__base") + F.when(F.col("__rk") <= F.col("__left"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("quota_tokens"),
+        )
+        .withColumn(
+            "epochs",
+            F.when(
+                F.col("avail_tokens") > 0,
+                F.floor(
+                    F.col("quota_tokens") / F.col("avail_tokens") * 1000000.0 + 0.5
+                )
+                / 1000000.0,
+            ).otherwise(F.lit(None).cast("double")),
+        )
+    )

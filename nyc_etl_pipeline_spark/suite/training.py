@@ -171,6 +171,64 @@ LEFT JOIN hits ht USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# q183 — largest-remainder token-budget allocation (mixture planning)
+# --------------------------------------------------------------------------
+
+MIX_BUDGET_TOKENS = 100_000
+
+
+def q183_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton (largest-remainder) allocation of a token budget
+    across sources under integer mixture weights — the planning step
+    that decides per-source quotas and epoch factors BEFORE
+    token_budget_sample executes them. Quotas sum exactly to the
+    budget; everything but the final epoch ratio is bigint
+    arithmetic, so the plan is engine-independent bit-for-bit."""
+    from nyc_etl_pipeline_spark.operators.text import whitespace_token_count
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum(whitespace_token_count(F.col("text"))).alias("avail_tokens")
+    ).withColumn(
+        "weight", F.lit(1) + F.pmod(F.substring("source", 4, 16).cast("int"), F.lit(4))
+    )
+    return sampling.largest_remainder_plan(avail, MIX_BUDGET_TOKENS)
+
+
+_Q183_SQL = f"""
+WITH avail AS (
+  SELECT source,
+         sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END) AS avail_tokens,
+         1 + (CAST(substr(source, 4) AS INT) % 4) AS weight
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(weight) AS w_total FROM avail),
+base AS (
+  SELECT source, avail_tokens, weight,
+         ({MIX_BUDGET_TOKENS} * weight) // w_total AS base_q,
+         ({MIX_BUDGET_TOKENS} * weight) % w_total AS rem
+  FROM avail CROSS JOIN tot
+),
+leftover AS (SELECT {MIX_BUDGET_TOKENS} - sum(base_q) AS l FROM base),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM base
+)
+SELECT source,
+       CAST(avail_tokens AS BIGINT) AS avail_tokens,
+       CAST(weight AS BIGINT) AS weight,
+       CAST(base_q + CASE WHEN rk <= (SELECT l FROM leftover) THEN 1 ELSE 0 END AS BIGINT)
+         AS quota_tokens,
+       CASE WHEN avail_tokens > 0 THEN
+         floor((CAST(base_q + CASE WHEN rk <= (SELECT l FROM leftover) THEN 1 ELSE 0 END AS DOUBLE)
+                / avail_tokens) * 1000000.0 + 0.5) / 1000000.0
+       ELSE NULL END AS epochs
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
 # q52 — connected components, large-star/small-star (billion-edge path)
 # --------------------------------------------------------------------------
 
@@ -904,6 +962,8 @@ SPECS = [
               "benchmark decontamination via n-gram overlap"),
     QuerySpec("q177_bloom_contamination", q177_bloom_contamination, _q177_sql(),
               "decontamination via an m-bounded Bloom filter (FPs oracle-replicated)"),
+    QuerySpec("q183_mixture_plan", q183_mixture_plan, _Q183_SQL,
+              "largest-remainder token-budget allocation (integer-exact quotas)"),
     QuerySpec("q52_cc_twophase", q52_cc_twophase, _Q41_SQL,
               "large-star/small-star connected components"),
     QuerySpec("q53_text_normalize", q53_text_normalize, _Q53_SQL,

@@ -281,3 +281,43 @@ def test_naive_split_leaks_on_real_corpus_and_safe_does_not(spark, sf_dir):
     )
     assert S.split_leakage_audit(pairs, naive).count() > 0
     assert S.split_leakage_audit(pairs, safe).count() == 0
+
+
+# ---- largest-remainder mixture planning -------------------------------------
+
+def test_largest_remainder_quotas_sum_to_budget_exactly(spark):
+    from nyc_etl_pipeline_spark.operators.sampling import largest_remainder_plan
+
+    avail = spark.createDataFrame(
+        [("a", 100, 3), ("b", 50, 3), ("c", 10, 1)],
+        "source string, avail_tokens long, weight int",
+    )
+    for budget in (0, 1, 7, 100, 12345):
+        rows = largest_remainder_plan(avail, budget).collect()
+        assert sum(r["quota_tokens"] for r in rows) == budget, budget
+        # proportionality: quota within 1 token of the exact share
+        w_total = 7
+        for r in rows:
+            exact = budget * r["weight"] / w_total
+            assert abs(r["quota_tokens"] - exact) < 1.0, (budget, r)
+
+
+def test_largest_remainder_epochs_and_tie_break(spark):
+    from nyc_etl_pipeline_spark.operators.sampling import largest_remainder_plan
+
+    # equal weights, budget 10 over 3 sources: remainders tie, extra
+    # tokens go to the alphabetically-first sources
+    avail = spark.createDataFrame(
+        [("x", 5, 1), ("y", 5, 1), ("z", 5, 1)],
+        "source string, avail_tokens long, weight int",
+    )
+    got = {r["source"]: r for r in largest_remainder_plan(avail, 10).collect()}
+    assert [got[s]["quota_tokens"] for s in ("x", "y", "z")] == [4, 3, 3]
+    assert got["x"]["epochs"] == 0.8  # 4/5 -> multi-epoch factor < 1
+    # zero-avail source: quota still allocated, epochs NULL (caller
+    # must re-weight or drop; silently dividing would hide the gap)
+    avail2 = spark.createDataFrame(
+        [("a", 0, 1), ("b", 10, 1)], "source string, avail_tokens long, weight int"
+    )
+    got2 = {r["source"]: r for r in largest_remainder_plan(avail2, 6).collect()}
+    assert got2["a"]["epochs"] is None and got2["a"]["quota_tokens"] == 3
