@@ -100,6 +100,7 @@ def curate(
     classifier_seed: F.Column | None = None,
     classifier_cutoff: float = 0.5,
     classifier_buckets: int = 32,
+    bloom_m_bits: int | None = None,
 ) -> dict[str, DataFrame]:
     """documents(doc_id, text, ...) -> {split: curated DataFrame}."""
     from nyc_etl_pipeline_spark.operators.lm import unigram_nll_scores
@@ -141,9 +142,20 @@ def curate(
     docs2 = docs2.join(viol, on="doc_id", how="left_anti")
 
     # 3. decontamination vs the benchmark corpus
-    contam = D.contamination_scores(
-        docs2, benchmark, n=NGRAM_N, threshold=CONTAM_THRESHOLD
-    )
+    # `bloom_m_bits` switches to the Bloom form (dedup.
+    # bloom_contamination_scores): the exact broadcast-set form needs
+    # the benchmark's distinct shingles to fit a broadcast; the Bloom
+    # artifact is m_bits-bounded however many eval suites it absorbs,
+    # at the price of a deterministic, one-sided (over-drop) FP rate.
+    if bloom_m_bits is not None:
+        contam = D.bloom_contamination_scores(
+            docs2, benchmark, n=NGRAM_N, threshold=CONTAM_THRESHOLD,
+            m_bits=bloom_m_bits,
+        )
+    else:
+        contam = D.contamination_scores(
+            docs2, benchmark, n=NGRAM_N, threshold=CONTAM_THRESHOLD
+        )
     clean_ids = contam.filter(~F.col("is_contaminated")).select("doc_id")
     docs3 = docs2.join(clean_ids, on="doc_id", how="left_semi")
 

@@ -309,3 +309,26 @@ def test_curation_classifier_gate_drops_offvocab_docs(spark):
     web_ref_kept = {i for i in gated if 30 <= i < 60}
     assert not junk_kept  # classifier drops every off-vocab doc
     assert len(web_ref_kept) >= 25  # and generalizes past the seed ids
+
+
+def test_curation_bloom_decontamination_is_one_sided(spark, sf_dir):
+    """bloom_m_bits switches stage 3 to the Bloom form: its survivor
+    set must be a SUBSET of the exact form's (deterministic FPs can
+    only over-drop, never leak a contaminated doc through), and with a
+    roomy filter the two pipelines agree exactly."""
+    mod = _load()
+    docs = read_testdata(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0)
+    candidates = docs.filter(F.col("doc_id") % 17 != 0)
+
+    def ids(splits):
+        frames = list(splits.values())
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        return {r["doc_id"] for r in u.select("doc_id").collect()}
+
+    exact_ids = ids(mod.curate(candidates, benchmark))
+    bloom_ids = ids(mod.curate(candidates, benchmark, bloom_m_bits=1 << 16))
+    assert bloom_ids <= exact_ids
+    assert bloom_ids == exact_ids  # roomy filter: zero FPs on this corpus
