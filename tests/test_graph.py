@@ -225,7 +225,7 @@ def test_kcore_truncated_peel_matches_edge_list_semantics(spark):
 
 # ---- Adamic-Adar link prediction -------------------------------------------
 
-def _sym(spark, pairs):
+def _sym_df(spark, pairs):
     rows = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
     return spark.createDataFrame(rows, "src long, dst long")
 
@@ -258,7 +258,7 @@ def test_adamic_adar_matches_python_brute_force(spark):
     want = brute()
     got = {
         (r["u"], r["v"]): (r["n_common"], r["aa_score"])
-        for r in adamic_adar_topk(_sym(spark, pairs), k=10_000).collect()
+        for r in adamic_adar_topk(_sym_df(spark, pairs), k=10_000).collect()
     }
     assert got == want
 
@@ -271,7 +271,7 @@ def test_adamic_adar_hub_cap_drops_hub_wedges(spark):
 
     hub_pairs = [(99, i) for i in range(10)]  # hub 99, degree 10
     chain = [(0, 1), (1, 2)]  # 0 and 2 share genuine neighbor 1
-    edges = _sym(spark, hub_pairs + chain)
+    edges = _sym_df(spark, hub_pairs + chain)
     uncapped = {(r["u"], r["v"]) for r in adamic_adar_topk(edges, k=1000).collect()}
     capped = {
         (r["u"], r["v"])
