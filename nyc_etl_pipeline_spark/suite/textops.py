@@ -785,6 +785,103 @@ WHERE ov * 1.0 / (sa.n + sb.n - ov) >= {PREFIX_JACCARD_THRESHOLD}
 """
 
 
+# --------------------------------------------------------------------------
+# q184/q185 — model-eval metrics: rank-statistic ROC-AUC + calibration
+# --------------------------------------------------------------------------
+
+CALIB_BINS = 10
+
+
+def q184_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC-AUC of the stopword-ratio score against the
+    'is English' label — the Mann-Whitney rank identity with exact
+    average-rank tie handling (the 4-dp-rounded score guarantees ties,
+    so the tie path is under the gate, not just the happy path).
+    English stopword counting genuinely separates the classes, so the
+    AUCs are non-vacuous."""
+    from nyc_etl_pipeline_spark.operators.evalmetrics import roc_auc
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    scored = q19_text_quality(spark, sf_dir).select("doc_id", "stopword_ratio")
+    base = docs.select(
+        "doc_id", "source", (F.col("lang") == "en").cast("int").alias("y")
+    ).join(scored, "doc_id")
+    return roc_auc(base, "stopword_ratio", "y", ["source"])
+
+
+_Q184_SQL = f"""
+WITH q19 AS ({_Q19_SQL}),
+s AS (
+  SELECT d.source, q.stopword_ratio AS sc,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM q19 q JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT source, y,
+         rank() OVER (PARTITION BY source ORDER BY sc ASC) AS rmin,
+         count(*) OVER (PARTITION BY source, sc) AS tie
+  FROM s
+),
+agg AS (
+  SELECT source, sum(y) AS n_pos, count(*) - sum(y) AS n_neg,
+         sum(CASE WHEN y = 1 THEN 2 * rmin + tie - 1 ELSE 0 END) AS s2
+  FROM r GROUP BY 1
+)
+SELECT source,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         {sql_round_half_up('(s2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg)', 6)}
+       ELSE NULL END AS auc
+FROM agg
+"""
+
+
+def q185_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins + ECE for the heuristic quality score
+    read as P(is English): per fixed-width bin, exact counts, decimal-
+    accumulated mean confidence, empirical accuracy, and the weighted
+    |acc - conf| gap."""
+    from nyc_etl_pipeline_spark.operators.evalmetrics import calibration_report
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    scored = q19_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    base = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+    ).join(scored, "doc_id")
+    return calibration_report(base, "quality_score", "y", n_bins=CALIB_BINS)
+
+
+_Q185_SQL = f"""
+WITH q19 AS ({_Q19_SQL}),
+s AS (
+  SELECT q.quality_score AS sc,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM q19 q JOIN documents d USING (doc_id)
+),
+per_bin AS (
+  SELECT least(CAST(floor(sc * {CALIB_BINS}) AS INT), {CALIB_BINS - 1}) AS bin,
+         count(*) AS n,
+         CAST(sum(CAST(sc AS DECIMAL(28,6))) AS DOUBLE) AS s_sum,
+         sum(y) AS n_pos
+  FROM s GROUP BY 1
+),
+fin AS (
+  SELECT bin, n, s_sum / n AS conf, n_pos / n AS acc FROM per_bin
+),
+totals AS (
+  SELECT sum(n) AS big_n,
+         CAST(sum(CAST(n * abs(acc - conf) AS DECIMAL(28,6))) AS DOUBLE) AS gap
+  FROM fin
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+       {sql_round_half_up('conf', 6)} AS conf,
+       {sql_round_half_up('acc', 6)} AS acc,
+       {sql_round_half_up('gap / big_n', 6)} AS ece
+FROM fin CROSS JOIN totals
+"""
+
+
 SPECS = [
     QuerySpec("q17_exact_dedup", q17_exact_dedup, _Q17_SQL,
               "exact dedup via md5 digest group-by"),
@@ -821,4 +918,8 @@ SPECS = [
               "hashing-trick vectorizer bucket profile (md5 buckets, integer-only)"),
     QuerySpec("q160_source_overlap", q160_source_overlap, _Q160_SQL,
               "source-level shingle-set overlap matrix (corpus composition)"),
+    QuerySpec("q184_roc_auc", q184_roc_auc, _Q184_SQL,
+              "per-source rank-statistic ROC-AUC (exact average-rank ties)"),
+    QuerySpec("q185_calibration", q185_calibration, _Q185_SQL,
+              "reliability bins + ECE (integer counts, decimal confidences)"),
 ]
