@@ -127,3 +127,77 @@ def calibration_report(
         round_half_up(F.col("__acc"), 6).alias("acc"),
         round_half_up(F.col("__gap") / F.col("__N"), 6).alias("ece"),
     )
+
+
+def retrieval_eval(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Ranked-retrieval quality per query: MRR, recall@k, nDCG@k —
+    the retrieval counterpart of roc_auc (which scores pointwise
+    scorers). `ranked` is (query, doc, rank) from any ranker
+    (BM25, ANN, hybrid RRF); `relevant` is the (query, doc) ground
+    truth.
+
+        MRR    = 1 / rank of the first relevant hit (0 if none in top-k)
+        recall = |relevant ∩ top-k| / |relevant|
+        nDCG@k = Σ_hits 1/log2(rank+1)  /  Σ_{i=1..min(|rel|,k)} 1/log2(i+1)
+
+    Determinism: counts and first-hit ranks are integers; the DCG and
+    ideal-DCG sums are rank-ORDERED folds (the q113 discipline), so
+    the single log2 per term is the documented 1-ulp libm residual
+    and merge order cannot move a digit. Queries with no relevant
+    docs get NULL recall/ndcg (undefined, not zero).
+
+    Scale shape: one equi-join of the top-k slice against the truth
+    set, two query-keyed aggregates; per-query fold size <= k.
+    Returns (query, n_rel, hits_at_k, mrr, recall_at_k, ndcg_at_k),
+    metrics rounded 6.
+    """
+    q, d, r = query_col, id_col, rank_col
+    topk = ranked.filter(F.col(r) <= k).select(q, d, r)
+    rel_n = relevant.groupBy(q).agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    hit_aggs = (
+        topk.join(relevant.select(q, d), on=[q, d])
+        .groupBy(q)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits_at_k"),
+            F.min(r).cast("bigint").alias("__first"),
+            F.aggregate(
+                F.sort_array(F.collect_list(F.col(r).cast("bigint"))),
+                F.lit(0.0),
+                lambda acc, rk: acc + (F.lit(1.0) / F.log2(rk.cast("double") + 1.0)),
+            ).alias("__dcg"),
+        )
+    )
+    m = F.least(F.col("n_rel"), F.lit(k)).cast("int")
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), m),
+        F.lit(0.0),
+        lambda acc, i: acc + (F.lit(1.0) / F.log2(i.cast("double") + 1.0)),
+    )
+    base = ranked.select(q).dropDuplicates().join(rel_n, on=q, how="left").join(
+        hit_aggs, on=q, how="left"
+    )
+    return base.select(
+        q,
+        F.coalesce("n_rel", F.lit(0)).cast("bigint").alias("n_rel"),
+        F.coalesce("hits_at_k", F.lit(0)).cast("bigint").alias("hits_at_k"),
+        round_half_up(
+            F.when(F.col("__first").isNotNull(), F.lit(1.0) / F.col("__first"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("mrr"),
+        F.when(
+            F.coalesce("n_rel", F.lit(0)) > 0,
+            round_half_up(F.coalesce("hits_at_k", F.lit(0)) / F.col("n_rel"), 6),
+        ).alias("recall_at_k"),
+        F.when(
+            F.coalesce("n_rel", F.lit(0)) > 0,
+            round_half_up(F.coalesce("__dcg", F.lit(0.0)) / idcg, 6),
+        ).alias("ndcg_at_k"),
+    )

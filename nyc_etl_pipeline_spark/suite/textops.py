@@ -882,6 +882,89 @@ FROM fin CROSS JOIN totals
 """
 
 
+RETR_EVAL_K = 10
+
+
+def q186_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / recall@k / nDCG@k of the per-source quality-score ranking
+    against 'is English' ground truth — the ranked-retrieval eval
+    harness (evalmetrics.retrieval_eval) under the gate with a ranking
+    every engine can reproduce: row_number over (rounded quality desc,
+    doc_id)."""
+    from pyspark.sql import Window as W
+
+    from nyc_etl_pipeline_spark.operators.evalmetrics import retrieval_eval
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    scored = q19_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    base = docs.select("doc_id", "source", "lang").join(scored, "doc_id")
+    w = W.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = base.select(
+        F.col("source").alias("query_id"),
+        "doc_id",
+        F.row_number().over(w).alias("rank"),
+    )
+    relevant = base.filter(F.col("lang") == "en").select(
+        F.col("source").alias("query_id"), "doc_id"
+    )
+    return retrieval_eval(ranked, relevant, k=RETR_EVAL_K)
+
+
+def _q186_sql() -> str:
+    dcg = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(CAST(1.0 / log2(rank + 1.0) AS DOUBLE) ORDER BY rank)), "
+        "(acc, x) -> acc + x)"
+    )
+    idcg = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, least(n_rel, {RETR_EVAL_K}) + 1), "
+        f"i -> CAST(1.0 / log2(i + 1.0) AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH q19 AS ({_Q19_SQL}),
+base AS (
+  SELECT d.doc_id, d.source, d.lang, q.quality_score
+  FROM q19 q JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT source AS query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY source ORDER BY quality_score DESC, doc_id ASC
+         ) AS rank
+  FROM base
+),
+relevant AS (
+  SELECT source AS query_id, doc_id FROM base WHERE lang = 'en'
+),
+rel_n AS (SELECT query_id, count(*) AS n_rel FROM relevant GROUP BY 1),
+hits AS (
+  SELECT r.query_id, count(*) AS hits_at_k, min(rank) AS first_rank,
+         {dcg} AS dcg
+  FROM ranked r JOIN relevant USING (query_id, doc_id)
+  WHERE rank <= {RETR_EVAL_K}
+  GROUP BY 1
+),
+qs AS (SELECT DISTINCT query_id FROM ranked)
+SELECT qs.query_id,
+       CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel,
+       CAST(coalesce(hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       floor((CASE WHEN first_rank IS NOT NULL THEN 1.0 / first_rank ELSE 0.0 END)
+             * 1000000.0 + 0.5) / 1000000.0 AS mrr,
+       CASE WHEN coalesce(n_rel, 0) > 0 THEN
+         floor((coalesce(hits_at_k, 0) / n_rel) * 1000000.0 + 0.5) / 1000000.0
+       ELSE NULL END AS recall_at_k,
+       CASE WHEN coalesce(n_rel, 0) > 0 THEN
+         floor((coalesce(dcg, 0.0) / ({idcg})) * 1000000.0 + 0.5) / 1000000.0
+       ELSE NULL END AS ndcg_at_k
+FROM qs
+LEFT JOIN rel_n USING (query_id)
+LEFT JOIN hits USING (query_id)
+"""
+
+
 SPECS = [
     QuerySpec("q17_exact_dedup", q17_exact_dedup, _Q17_SQL,
               "exact dedup via md5 digest group-by"),
@@ -922,4 +1005,6 @@ SPECS = [
               "per-source rank-statistic ROC-AUC (exact average-rank ties)"),
     QuerySpec("q185_calibration", q185_calibration, _Q185_SQL,
               "reliability bins + ECE (integer counts, decimal confidences)"),
+    QuerySpec("q186_retrieval_eval", q186_retrieval_eval, _q186_sql(),
+              "MRR / recall@k / nDCG@k per query (rank-ordered log2 folds)"),
 ]

@@ -56,3 +56,35 @@ def test_calibration_hand_case(spark):
     assert got[0]["n"] == 2 and got[0]["acc"] == 0.5 and got[0]["conf"] == 0.05
     # ECE = (3/5)*|1 - 0.95| + (2/5)*|0.5 - 0.05| = 0.03 + 0.18 = 0.21
     assert abs(got[0]["ece"] - 0.21) < 1e-9 and got[0]["ece"] == got[9]["ece"]
+
+
+def test_retrieval_eval_hand_case(spark):
+    import math
+
+    from nyc_etl_pipeline_spark.operators.evalmetrics import retrieval_eval
+
+    ranked = spark.createDataFrame(
+        # q1: relevant docs at ranks 2 and 5 (and one outside top-3)
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3), ("q1", 13, 4)]
+        # q2: nothing relevant retrieved
+        + [("q2", 20, 1), ("q2", 21, 2)]
+        # q3: no relevant docs exist at all
+        + [("q3", 30, 1)],
+        "query_id string, doc_id long, rank long",
+    )
+    relevant = spark.createDataFrame(
+        [("q1", 11), ("q1", 13), ("q1", 99), ("q2", 77)],
+        "query_id string, doc_id long",
+    )
+    got = {r["query_id"]: r for r in retrieval_eval(ranked, relevant, k=3).collect()}
+    r6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    q1 = got["q1"]
+    assert q1["n_rel"] == 3 and q1["hits_at_k"] == 1
+    assert q1["mrr"] == 0.5  # first hit at rank 2
+    assert q1["recall_at_k"] == r6(1 / 3)
+    ideal = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert q1["ndcg_at_k"] == r6((1 / math.log2(3)) / ideal)
+    q2 = got["q2"]
+    assert (q2["hits_at_k"], q2["mrr"], q2["recall_at_k"], q2["ndcg_at_k"]) == (0, 0.0, 0.0, 0.0)
+    q3 = got["q3"]
+    assert q3["n_rel"] == 0 and q3["recall_at_k"] is None and q3["ndcg_at_k"] is None
