@@ -60,23 +60,23 @@ _DRIVER_EVIDENCE: dict[str, int] = {
     "q68_shard_shuffle": 8, "q71_url_parse": 8, "q72_domain_stats": 8,
     "q73_token_zipf": 8, "q74_quality_deciles": 8, "q80_sketch_rollup": 8,
     "q81_per_key_sample": 8, "q82_chunk_windows": 8, "q83_tpch_q21": 8,
-    "q86_grouping_sets": 8, "q87_fuzzy_pairs": 8, "q88_tpch_q22": 5,
-    "q93_tpch_q2": 5, "q94_tpch_q4": 5, "q95_tpch_q11": 5, "q96_tpch_q13": 5,
-    "q97_tpch_q15": 5, "q98_tpch_q16": 5, "q99_tpch_q17": 5,
-    "q100_tpch_q20": 5, "q101_pq_clustered": 5, "q102_tpch_q6": 5,
-    "q103_tpch_q7": 5, "q104_tpch_q8": 5, "q105_tpch_q9": 5,
-    "q107_tpch_q14": 5, "q108_tpch_q19": 5, "q109_bm25_topk": 5,
-    "q110_boolean_search": 5, "q111_weighted_sample": 5,
-    "q112_cluster_canonical": 5, "q113_unigram_nll": 5,
-    "q114_triangle_clustering": 5,
+    "q86_grouping_sets": 8, "q87_fuzzy_pairs": 8, "q88_tpch_q22": 9,
+    "q93_tpch_q2": 9, "q94_tpch_q4": 9, "q95_tpch_q11": 9, "q96_tpch_q13": 9,
+    "q97_tpch_q15": 9, "q98_tpch_q16": 9, "q99_tpch_q17": 9,
+    "q100_tpch_q20": 9, "q101_pq_clustered": 9, "q102_tpch_q6": 9,
+    "q103_tpch_q7": 9, "q104_tpch_q8": 9, "q105_tpch_q9": 9,
+    "q107_tpch_q14": 9, "q108_tpch_q19": 9, "q109_bm25_topk": 9,
+    "q110_boolean_search": 9, "q111_weighted_sample": 9,
+    "q112_cluster_canonical": 9, "q113_unigram_nll": 9,
+    "q114_triangle_clustering": 9,
     # round-6 green rows (CORRECTNESS_r06.json)
-    "q01_monthly_sales_report": 6, "q50_split_assign": 6,
-    "q76_pagerank_nations": 6, "q106_tpch_q12": 6, "q115_label_cohesion": 6,
-    "q116_pmi_collocations": 6, "q117_dq_expectations": 6,
-    "q118_recursive_bfs": 6, "q119_passage_dedup": 6,
-    "q120_incremental_mart": 6, "q121_psi_drift": 6, "q122_zorder_key": 6,
-    "q123_semantic_dedup": 6, "q124_cms_heavy_hitters": 6,
-    "q126_mixture_sample": 6, "q127_incremental_neardup": 6,
+    "q01_monthly_sales_report": 9, "q50_split_assign": 9,
+    "q76_pagerank_nations": 9, "q106_tpch_q12": 9, "q115_label_cohesion": 9,
+    "q116_pmi_collocations": 9, "q117_dq_expectations": 9,
+    "q118_recursive_bfs": 9, "q119_passage_dedup": 9,
+    "q120_incremental_mart": 9, "q121_psi_drift": 9, "q122_zorder_key": 9,
+    "q123_semantic_dedup": 9, "q124_cms_heavy_hitters": 9,
+    "q126_mixture_sample": 9, "q127_incremental_neardup": 6,
     "q128_containment_pairs": 6, "q129_interval_overlap": 6,
     "q130_trend_fit": 6, "q131_radius_pairs": 6, "q132_session_transitions": 6,
     "q133_twap": 6, "q134_running_distinct": 6, "q135_hist_quantiles": 6,
@@ -118,6 +118,13 @@ _DRIVER_EVIDENCE: dict[str, int] = {
     "q168_split_leakage_audit": 8, "q169_boilerplate_strip": 8,
     "q170_hybrid_rrf": 8, "q171_quality_logreg": 8, "q172_hard_negatives": 8,
     "q173_mmr_rerank": 8,
+    # round-9 green rows (CORRECTNESS_r09.json, 50/50 — first driver
+    # evidence for the 13 r9 additions q174-q186)
+    "q174_holt_smoothing": 9, "q175_maintained_ivf": 9,
+    "q176_maintained_neardup": 9, "q177_bloom_contamination": 9,
+    "q178_sparse_cosine": 9, "q179_bigram_nll": 9, "q180_cluster_reps": 9,
+    "q181_bucketed_join": 9, "q182_adamic_adar": 9, "q183_mixture_plan": 9,
+    "q184_roc_auc": 9, "q185_calibration": 9, "q186_retrieval_eval": 9,
 }
 
 # Backwards-compatible view used by the window-invariant test and the
