@@ -10,10 +10,20 @@ arithmetic and the single final division is the only float op:
   * calibration bins + ECE from exact counts and decimal-accumulated
     confidence sums.
 
-Scale shape: one sort-shuffle per group for the rank window, one
-group aggregate each — nothing pairwise (the naive AUC is the
-all-pairs P(score_pos > score_neg); the rank identity removes the
-quadratic join).
+Scale shape: scores are pre-aggregated to (group, score) before any
+window, so the rank window's input is DISTINCT SCORES per group, not
+rows; one group aggregate each — nothing pairwise (the naive AUC is
+the all-pairs P(score_pos > score_neg); the rank identity removes
+the quadratic join).
+
+Skew bound (grouped path): the cumulative-count window is
+single-partition PER GROUP — balanced groups parallelize, but one
+group holding 99% of rows serializes its distinct-score scan through
+one task (same contract as capped_sessionize's per-key window). The
+pre-aggregation caps that task at |distinct scores in the group|;
+if one group dominates AND its score is near-continuous, compute it
+alone via the ungrouped two-pass path below, which range-buckets the
+score axis instead of partitioning by group.
 """
 
 from __future__ import annotations
@@ -30,6 +40,7 @@ def roc_auc(
     score_col: str,
     label_col: str,
     group_cols: list[str] | None = None,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Per-group ROC-AUC = P(score of a random positive > score of a
     random negative) + ½·P(equal), computed by the Mann-Whitney rank
@@ -43,25 +54,87 @@ def roc_auc(
     the value is exact for any tie structure and any partitioning;
     groups with no positives or no negatives get NULL (AUC undefined).
 
+    Both paths first collapse rows to (group, score) → (tie_count,
+    pos_count), so rank arithmetic runs over distinct scores, and
+    rmin(s) = cum_count(s) - tie(s) + 1 where cum_count is the
+    running row count in ascending score order:
+
+      * grouped — one cumulative-sum window per group over its
+        distinct scores (single-partition per group; see module
+        docstring's skew bound);
+      * ungrouped (`group_cols=None`) — a TWO-PASS range-bucketed
+        global rank, never a single-partition window: bucket
+        boundaries come from approxQuantile (a bounded driver-side
+        list, ≤ num_buckets-1 floats), each distinct score maps to a
+        bucket via a pure literal-array expression (deterministic, so
+        independent recomputes of the two subtrees can't disagree),
+        local prefix sums run per bucket in parallel, and bucket
+        prefix OFFSETS — a ≤ num_buckets-row table — are broadcast
+        back. Exact for any boundary choice; boundaries only affect
+        balance. Costs one extra scan of `df` for the quantile probe.
+
     Returns (group..., n_pos, n_neg, auc rounded 6).
     """
     gcols = group_cols or []
-    part = [F.col(c) for c in gcols]
-    w_rank = W.partitionBy(*part).orderBy(F.col(score_col).asc())
-    w_tie = W.partitionBy(*part, F.col(score_col))
     lab = F.col(label_col).cast("bigint")
-    ranked = df.select(
-        *gcols,
-        lab.alias("__y"),
-        F.rank().over(w_rank).cast("bigint").alias("__rmin"),
-        F.count(F.lit(1)).over(w_tie).cast("bigint").alias("__tie"),
+    per_score = df.groupBy(*gcols, F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__tie"),
+        F.sum(lab).cast("bigint").alias("__pos"),
     )
-    agg = ranked.groupBy(*gcols).agg(
-        F.sum("__y").alias("n_pos"),
-        (F.count(F.lit(1)) - F.sum("__y")).alias("n_neg"),
+    if gcols:
+        w_cum = (
+            W.partitionBy(*[F.col(c) for c in gcols])
+            .orderBy(F.col("__s").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cum = per_score.withColumn("__cum", F.sum("__tie").over(w_cum))
+    else:
+        spark = df.sparkSession
+        p = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        probe = df.select(F.col(score_col).cast("double").alias("__sd"))
+        qs = [i / p for i in range(1, p)]
+        bounds = sorted(set(probe.approxQuantile("__sd", qs, 0.001))) if qs else []
+        if bounds:
+            barr = F.array(*[F.lit(float(b)) for b in bounds])
+            bucket = F.size(
+                F.filter(barr, lambda b: F.col("__s").cast("double") > b)
+            )
+        else:
+            bucket = F.lit(0)
+        bucketed = per_score.withColumn("__b", bucket)
+        w_loc = (
+            W.partitionBy("__b")
+            .orderBy(F.col("__s").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        local = bucketed.withColumn("__loc", F.sum("__tie").over(w_loc))
+        # bucket-count prefix offsets: ≤ num_buckets rows, so the
+        # no-partition window here is bounded by construction
+        w_off = W.orderBy(F.col("__b").asc()).rowsBetween(
+            W.unboundedPreceding, -1
+        )
+        offsets = (
+            bucketed.groupBy("__b")
+            .agg(F.sum("__tie").alias("__bt"))
+            .select(
+                "__b",
+                F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off"),
+            )
+        )
+        cum = local.join(F.broadcast(offsets), "__b").withColumn(
+            "__cum", F.col("__loc") + F.col("__off")
+        )
+    stats = cum.select(
+        *gcols,
+        "__tie",
+        "__pos",
+        (F.col("__cum") - F.col("__tie") + 1).alias("__rmin"),
+    )
+    agg = stats.groupBy(*gcols).agg(
+        F.sum("__pos").alias("n_pos"),
+        (F.sum("__tie") - F.sum("__pos")).alias("n_neg"),
         F.sum(
-            F.when(F.col("__y") == 1, 2 * F.col("__rmin") + F.col("__tie") - 1)
-            .otherwise(0)
+            F.col("__pos") * (2 * F.col("__rmin") + F.col("__tie") - 1)
         ).alias("__2sumrank"),
     )
     auc = (
@@ -155,14 +228,25 @@ def retrieval_eval(
 
     Scale shape: one equi-join of the top-k slice against the truth
     set, two query-keyed aggregates; per-query fold size <= k.
+
+    Duplicate tolerance: the truth set is deduplicated on (query,
+    doc) and a doc appearing at several ranks in the top-k slice
+    collapses to its FIRST (minimum) rank — otherwise repeated rows
+    double-count hits_at_k and the DCG fold, letting recall@k and
+    nDCG@k exceed 1.0. Both reductions are no-ops on clean input.
     Returns (query, n_rel, hits_at_k, mrr, recall_at_k, ndcg_at_k),
     metrics rounded 6.
     """
     q, d, r = query_col, id_col, rank_col
-    topk = ranked.filter(F.col(r) <= k).select(q, d, r)
-    rel_n = relevant.groupBy(q).agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    topk = (
+        ranked.filter(F.col(r) <= k)
+        .groupBy(q, d)
+        .agg(F.min(r).alias(r))
+    )
+    rel = relevant.select(q, d).dropDuplicates([q, d])
+    rel_n = rel.groupBy(q).agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
     hit_aggs = (
-        topk.join(relevant.select(q, d), on=[q, d])
+        topk.join(rel, on=[q, d])
         .groupBy(q)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("hits_at_k"),

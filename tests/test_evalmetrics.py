@@ -45,6 +45,48 @@ def test_auc_per_group_independence(spark):
     assert got == {"a": 1.0, "b": 0.0}
 
 
+def test_auc_ungrouped_two_pass_equals_grouped_constant_key(spark):
+    # the ungrouped path (range-bucketed two-pass global rank) must be
+    # bit-identical to the grouped per-key window with one constant key
+    import random
+
+    rng = random.Random(11)
+    rows = [(round(rng.random(), 2), rng.randint(0, 1)) for _ in range(500)]
+    rows.append((rows[0][0], 1 - rows[0][1]))
+    df = spark.createDataFrame(rows, "s double, y int")
+    ung = roc_auc(df, "s", "y", num_buckets=7).collect()[0]
+    grp = (
+        roc_auc(df.withColumn("g", F.lit("k")), "s", "y", ["g"])
+        .collect()[0]
+    )
+    assert (ung["n_pos"], ung["n_neg"], ung["auc"]) == (
+        grp["n_pos"], grp["n_neg"], grp["auc"],
+    )
+    # degenerate bucket counts (1 bucket == no boundaries) still exact
+    one = roc_auc(df, "s", "y", num_buckets=1).collect()[0]
+    assert one["auc"] == ung["auc"]
+
+
+def test_auc_grouped_with_dominant_group(spark):
+    # one group holds ~99% of rows (the documented per-group skew
+    # bound): result must still be exact for both groups
+    import random
+
+    rng = random.Random(5)
+    big = [("big", round(rng.random(), 1), rng.randint(0, 1)) for _ in range(990)]
+    small = [("small", 0.9, 1), ("small", 0.1, 0)]
+    df = spark.createDataFrame(big + small, "g string, s double, y int")
+    got = {r["g"]: r for r in roc_auc(df, "s", "y", ["g"]).collect()}
+    assert got["small"]["auc"] == 1.0
+    pos = [s for _, s, y in big if y == 1]
+    neg = [s for _, s, y in big if y == 0]
+    import math
+
+    wins = sum((p > n_) + 0.5 * (p == n_) for p in pos for n_ in neg)
+    want = math.floor(wins / (len(pos) * len(neg)) * 1e6 + 0.5) / 1e6
+    assert got["big"]["auc"] == want
+
+
 def test_calibration_hand_case(spark):
     # bin 9: two rows conf (0.9+0.95)/2=0.925, acc 1.0
     # bin 0: two rows conf (0.05+0.05)/2=0.05, acc 0.5
@@ -88,3 +130,28 @@ def test_retrieval_eval_hand_case(spark):
     assert (q2["hits_at_k"], q2["mrr"], q2["recall_at_k"], q2["ndcg_at_k"]) == (0, 0.0, 0.0, 0.0)
     q3 = got["q3"]
     assert q3["n_rel"] == 0 and q3["recall_at_k"] is None and q3["ndcg_at_k"] is None
+
+
+def test_retrieval_eval_duplicate_tolerance(spark):
+    # duplicate truth rows and a doc at two ranks must NOT double-count:
+    # recall@k and ndcg@k stay <= 1.0 and equal the clean-input values
+    from nyc_etl_pipeline_spark.operators.evalmetrics import retrieval_eval
+
+    clean_ranked = spark.createDataFrame(
+        [("q1", 11, 1), ("q1", 12, 2)], "query_id string, doc_id long, rank long"
+    )
+    dirty_ranked = spark.createDataFrame(
+        [("q1", 11, 1), ("q1", 12, 2), ("q1", 11, 3)],
+        "query_id string, doc_id long, rank long",
+    )
+    clean_rel = spark.createDataFrame(
+        [("q1", 11)], "query_id string, doc_id long"
+    )
+    dirty_rel = spark.createDataFrame(
+        [("q1", 11), ("q1", 11)], "query_id string, doc_id long"
+    )
+    want = retrieval_eval(clean_ranked, clean_rel, k=3).collect()[0]
+    got = retrieval_eval(dirty_ranked, dirty_rel, k=3).collect()[0]
+    assert want["recall_at_k"] == 1.0 and want["ndcg_at_k"] == 1.0
+    for c in ("n_rel", "hits_at_k", "mrr", "recall_at_k", "ndcg_at_k"):
+        assert got[c] == want[c], c
