@@ -627,11 +627,17 @@ def bloom_bits(
     benchmark size, so it broadcasts to every executor and the corpus
     probe is a map-side broadcast join — no shuffle of either side's
     shingles. md5-derived positions are reproducible outside Spark
-    (the q177 oracle rebuilds the filter bit-for-bit in SQL)."""
+    (the q177 oracle rebuilds the filter bit-for-bit in SQL).
+
+    The only distinct runs AFTER hashing, on the integer bit
+    positions: partial aggregation caps each map task's output at
+    m_bits ints, so the build shuffles o(m_bits × partitions)
+    regardless of benchmark size — shingle STRINGS are never
+    deduplicated or shuffled (a string-level dropDuplicates here is
+    the same distinct-string cliff the probe side's first cut hit)."""
     bsh = (
         benchmark.select(tokens(F.col(text_col)).alias("__toks"))
         .select(F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("__sh_str"))
-        .dropDuplicates()
     )
     probes = F.array(*[
         F.pmod(
@@ -663,11 +669,17 @@ def bloom_contamination_scores(
 
     Same output shape as contamination_scores: (id, n_shingles,
     n_hit, contamination rounded to 3, is_contaminated). Scale shape:
-    the corpus pays one shingle pass; each (doc, shingle) emits its
-    k_hashes positions, the broadcast bit-table join filters them
-    map-side, and one (doc, shingle-hash) aggregate counts the
-    all-k survivors — shuffle keys are 16 bytes, shingle STRINGS never
-    shuffle. (A first cut routed a distinct shingle-string dictionary
+    the corpus pays ONE shingle pass — posexplode keeps each
+    occurrence's identity, so the hit test and the per-doc denominator
+    fold out of the same subtree (the exact-form sibling's 8.8→3.4 s
+    single-pass lesson); each occurrence emits its k_hashes positions,
+    the broadcast bit-table LEFT join marks them map-side, and a
+    (doc, position) aggregate keeps occurrences whose k probes all
+    matched — shuffle keys are ~16 bytes, shingle STRINGS never
+    shuffle. An occurrence of a contaminated shingle counts every
+    time it appears (the oracle's `csh WHERE s IN hitsh` semantics —
+    a (doc, shingle-hash) grouping would collapse repeats within a
+    doc). (A first cut routed a distinct shingle-string dictionary
     through the membership test to probe each unique n-gram once; on
     near-unique-shingle corpora — most real text — the dictionary is
     corpus-sized, and its two string shuffles measured a super-linear
@@ -678,11 +690,16 @@ def bloom_contamination_scores(
     )
     csh = (
         docs.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks"))
-        .select("__id", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("__sh_str"))
+        .select(
+            "__id",
+            F.posexplode(shingles_from_tokens(F.col("__toks"), n)).alias(
+                "__pos", "__sh_str"
+            ),
+        )
     )
     pos_rows = csh.select(
         "__id",
-        md5_long("__sh_str").alias("__sh"),
+        "__pos",
         F.explode(F.array(*[
             F.pmod(
                 md5_long(F.concat(F.col("__sh_str"), F.lit(f"|{j}"))),
@@ -691,19 +708,15 @@ def bloom_contamination_scores(
             for j in range(k_hashes)
         ])).alias("bit"),
     )
-    hit_per_doc = (
-        pos_rows.join(F.broadcast(bits), on="bit")
-        .groupBy("__id", "__sh")
-        .agg(F.count("__b").alias("__k"))
-        .filter(F.col("__k") == k_hashes)
-        .groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("__hit"))
-    )
     per_doc = (
-        csh.groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .join(hit_per_doc, on="__id", how="left")
-        .select("__id", "__n", F.coalesce("__hit", F.lit(0)).alias("__hit"))
+        pos_rows.join(F.broadcast(bits), on="bit", how="left")
+        .groupBy("__id", "__pos")
+        .agg((F.count("__b") == k_hashes).cast("bigint").alias("__is_hit"))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__is_hit").alias("__hit"),
+        )
     )
     rate = F.col("__hit") / F.col("__n")
     return (
