@@ -286,11 +286,16 @@ class Warehouse:
 
         Bucketed tables live in the session catalog (Spark's bucketBy
         requires saveAsTable) with their files at the warehouse path;
-        read back via `read_table`. Deployment note: cross-session
-        bucket metadata needs a persistent catalog (Hive metastore /
-        Unity-style); the file layout itself is plain parquet either
-        way. `sort_cols` additionally sorts within buckets, upgrading
-        the merge join's sort to a free pass-through."""
+        read back via `read_table`. The catalog entry is NAMESPACED
+        per warehouse root (``<table>__wh_<md5(root)[:8]>``): the
+        session catalog is global, so two Warehouse instances with
+        different roots writing the same bare table name would
+        otherwise DROP and silently repoint each other's entry.
+        Deployment note: cross-session bucket metadata needs a
+        persistent catalog (Hive metastore / Unity-style); the file
+        layout itself is plain parquet either way. `sort_cols`
+        additionally sorts within buckets, upgrading the merge join's
+        sort to a free pass-through."""
         writer = (
             df.write.format(self.table_format)
             .mode("overwrite")
@@ -299,14 +304,24 @@ class Warehouse:
         )
         if sort_cols:
             writer = writer.sortBy(*sort_cols)
-        self.spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-        writer.saveAsTable(table)
+        name = self._catalog_name(table)
+        self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        writer.saveAsTable(name)
+
+    def _catalog_name(self, table: str) -> str:
+        """Session-catalog identifier for this warehouse's `table` —
+        bare names collide across Warehouse roots in the one global
+        catalog, so suffix a digest of the root path."""
+        import hashlib
+
+        digest = hashlib.md5(str(self.root).encode()).hexdigest()[:8]
+        return f"{table}__wh_{digest}"
 
     def read_table(self, table: str) -> DataFrame:
         """Catalog read — required for bucketed tables (a plain path
         read sees the files but not the bucket spec, so the co-location
         guarantee is silently lost)."""
-        return self.spark.table(table)
+        return self.spark.table(self._catalog_name(table))
 
     def _partition_columns(self, table: str) -> list[str]:
         """Hive-style partition columns of a stored table, inferred

@@ -356,3 +356,22 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, tmp_path, sf_dir):
         assert got == want and got
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_bucketed_table_names_are_isolated_per_warehouse(spark, tmp_path, sf_dir):
+    """The session catalog is global: two Warehouse roots writing the
+    SAME bare table name must not drop or repoint each other's entry
+    (the catalog name is namespaced per root)."""
+    from nyc_etl_pipeline_spark.io import Warehouse, read_testdata
+
+    nation = read_testdata(spark, sf_dir, "nation")
+    wh_a = Warehouse(spark, str(tmp_path / "wh_a"))
+    wh_b = Warehouse(spark, str(tmp_path / "wh_b"))
+    wh_a.overwrite_bucketed(nation.filter("n_regionkey = 0"), "t", ["n_nationkey"], 2)
+    wh_b.overwrite_bucketed(nation.filter("n_regionkey <> 0"), "t", ["n_nationkey"], 2)
+    a_keys = {r["n_nationkey"] for r in wh_a.read_table("t").collect()}
+    b_keys = {r["n_nationkey"] for r in wh_b.read_table("t").collect()}
+    want_a = {r["n_nationkey"] for r in nation.filter("n_regionkey = 0").collect()}
+    want_b = {r["n_nationkey"] for r in nation.filter("n_regionkey <> 0").collect()}
+    assert a_keys == want_a and b_keys == want_b
+    assert a_keys.isdisjoint(b_keys) and a_keys and b_keys
