@@ -1580,7 +1580,100 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# q187 — maintained (streaming) HLL distinct counts: error-bound contract
+# --------------------------------------------------------------------------
+# The q80/q34 pattern for approximate artifacts: the oracle pins the
+# EXACT distinct counts plus two booleans that must be TRUE —
+# (a) the maintained estimate is within the sketch's documented bound
+# of exact, and (b) the estimate grown by the streaming maintainer
+# across micro-batches (one replayed, through parquet) EXACTLY equals
+# a from-scratch batch job unioning the same per-batch partials —
+# replay, binary storage round-trip, and merge are provably lossless.
+# (Equality against a SINGLE-PASS sketch is deliberately NOT asserted:
+# at sf0.1's 1500 distinct users the union-of-partials and the
+# one-shot sketch sit in different precision modes and disagree by a
+# fraction of a register — an HLL property, not maintainer loss.)
+
+HLL_MAINT_BATCHES = 3
+HLL_MAINT_TOL = 0.10  # 5x the lgK=12 rsd; the sketch is deterministic
+
+# sf_dir -> temp warehouse root (same memoization contract as
+# q175/q176: the maintainer machinery — 3 batches + 1 replay — runs on
+# the first invocation per process; best-of-2 times the serving read).
+_MAINT_HLL_INDEX: dict[str, str] = {}
+
+
+def q187_maintained_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimates from the streaming
+    `hll_maintainer`'s stored per-batch sketch partials, checked two
+    ways: within HLL_MAINT_TOL of the exact count, and exactly equal
+    to a from-scratch batch union of identically-sliced partials —
+    the replay-safety + storage-round-trip invariant a 100 TB rollup
+    deployment depends on."""
+    import tempfile
+
+    from nyc_etl_pipeline_spark.io import Warehouse
+    from nyc_etl_pipeline_spark.streaming.sinks import hll_maintainer, merged_hll
+
+    e = read_testdata(spark, sf_dir, "events")
+    if sf_dir not in _MAINT_HLL_INDEX:
+        root = tempfile.mkdtemp(prefix="maintained_hll_")
+        wh = Warehouse(spark, root)
+        write_batch = hll_maintainer(wh, "hll", ["event_type"], "user_id")
+        for b in range(HLL_MAINT_BATCHES):
+            write_batch(
+                e.filter(F.pmod(F.col("user_id"), F.lit(HLL_MAINT_BATCHES)) == b), b
+            )
+        write_batch(
+            e.filter(F.pmod(F.col("user_id"), F.lit(HLL_MAINT_BATCHES)) == 0), 0
+        )  # retry replay: idempotent partition overwrite
+        _MAINT_HLL_INDEX[sf_dir] = root
+    wh = Warehouse(spark, _MAINT_HLL_INDEX[sf_dir])
+
+    maintained = merged_hll(wh, "hll", ["event_type"])
+    batch_built = (
+        e.withColumn("__b", F.pmod(F.col("user_id"), F.lit(HLL_MAINT_BATCHES)))
+        .groupBy("event_type", "__b")
+        .agg(F.hll_sketch_agg("user_id").alias("__sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__batch_est"))
+    )
+    exact = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    est = F.col("distinct_est").cast("double")
+    return (
+        maintained.join(batch_built, on="event_type")
+        .join(exact, on="event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.abs(est - F.col("exact_users")) <= HLL_MAINT_TOL * F.col("exact_users"))
+            .alias("maintained_within_tol"),
+            (est == F.col("__batch_est").cast("double")).alias(
+                "maintained_equals_batch"
+            ),
+        )
+    )
+
+
+_Q187_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS maintained_within_tol,
+       TRUE AS maintained_equals_batch
+FROM events
+GROUP BY 1
+"""
+
+
 SPECS = [
+    QuerySpec("q187_maintained_hll", q187_maintained_hll, _Q187_SQL,
+              "streaming-maintained HLL rollup: error bound + exact batch equality"),
     QuerySpec("q130_trend_fit", q130_trend_fit, _Q130_SQL,
               "per-key OLS daily-volume trend (bit-exact sums formulation)"),
     QuerySpec("q131_radius_pairs", q131_radius_pairs, _q131_sql(),
