@@ -187,6 +187,222 @@ def duplicated_passage_stats(
     )
 
 
+def _covered_window_hits(
+    df: DataFrame,
+    l_tokens: int,
+    id_col: str,
+    text_col: str,
+    min_occurrences: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the exact-substring-dedup family: (wins, hits).
+
+    `wins` is every positional l-token window as (doc_id, __pos
+    [1-based], __h) — persisted, it feeds both the duplicated-hash
+    aggregate and the per-doc rollups. `hits` is the subset whose
+    window content occurs >= min_occurrences times ANYWHERE in the
+    corpus (a GLOBAL occurrence count, so a passage repeated within
+    one document is duplicated too — the suffix-array semantics,
+    unlike duplicated_passage_stats' cross-doc-only criterion)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+    )
+    wins = (
+        toks.select(
+            "doc_id",
+            F.posexplode(positional_windows(F.col("__t"), l_tokens)).alias(
+                "__p0", "__w"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("__p0") + 1).alias("__pos"),
+            md5_long("__w").alias("__h"),
+        )
+        .persist()
+    )
+    dup = (
+        wins.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_occurrences)
+        .select("__h")
+    )
+    hits = wins.join(dup, on="__h").select("doc_id", "__pos")
+    return wins, hits
+
+
+def _merged_spans(hits: DataFrame, l_tokens: int) -> DataFrame:
+    """Gaps-and-islands interval merge of the l-token windows starting
+    at `hits.__pos`: consecutive window starts whose intervals
+    [pos, pos+l) overlap or touch chain into one covered run. Starts
+    are sorted per doc and every interval has the same length, so the
+    running max end is just the previous start + l — one lag + one
+    running sum, no self-join. Returns one row per maximal covered run
+    (doc_id, span_start [1-based], span_end [exclusive], span_len)."""
+    from pyspark.sql import Window as W
+
+    w_seq = W.partitionBy("doc_id").orderBy("__pos")
+    islands = hits.withColumn(
+        "__new",
+        (F.col("__pos").cast("bigint")
+         - F.lag(F.col("__pos").cast("bigint"), 1, -(1 << 40)).over(w_seq)
+         > l_tokens)
+        .cast("int"),
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(w_seq.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        islands.groupBy("doc_id", "__isl")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + l_tokens).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            (F.col("span_end") - F.col("span_start"))
+            .cast("bigint")
+            .alias("span_len"),
+        )
+    )
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    l_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """EXACT substring-level duplicate spans — the Spark-shaped form
+    of suffix-array training-data dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    token position covered by some l-token window whose exact content
+    occurs >= min_occurrences times in the corpus is duplicated, and
+    overlapping/touching duplicated windows merge into maximal covered
+    runs. Any duplicated substring of length >= l_tokens has ALL its
+    l-windows duplicated, so covered runs are a superset-exact
+    recovery of the suffix-array method's removable spans at
+    granularity l (the published tools remove exactly this cover).
+
+    Returns one row per maximal covered run: (doc_id, span_start
+    [1-based token index], span_end [exclusive], span_len).
+
+    Scale shape: window hashes (60-bit md5, 8-byte keys) shuffle once
+    with map-side combine for the occurrence count; the duplicated-
+    hash set joins back hash-partitioned (a tiny fraction of windows —
+    AQE handles hot-window skew); the interval merge is one lag + one
+    running sum per doc over its HIT windows only (not all windows),
+    so per-doc window state is proportional to duplication, not
+    document length. Nothing is ever pairwise and no suffix array —
+    O(corpus) rows end to end, where the SA construction itself is the
+    scale bottleneck of the published implementation."""
+    _, hits = _covered_window_hits(df, l_tokens, id_col, text_col, min_occurrences)
+    return _merged_spans(hits, l_tokens)
+
+
+def substring_dedup_report(
+    df: DataFrame,
+    l_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-document rollup of `duplicated_substring_spans`: every
+    input doc gets one row — (doc_id, n_tokens, n_windows,
+    n_dup_windows, n_spans, dup_tokens, longest_run, dup_ratio) —
+    zeros when nothing is duplicated (docs shorter than l_tokens have
+    n_windows = 0). dup_tokens counts tokens inside merged covered
+    runs; dup_ratio = dup_tokens / n_tokens rounded 4 (0.0 for empty
+    docs)."""
+    wins, hits = _covered_window_hits(df, l_tokens, id_col, text_col, min_occurrences)
+    spans = _merged_spans(hits, l_tokens)
+    per_doc_wins = wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows")
+    )
+    per_doc_hits = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows")
+    )
+    per_doc_spans = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+        F.max("span_len").alias("longest_run"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    z = F.lit(0)
+    out = (
+        base.join(per_doc_wins, on="doc_id", how="left")
+        .join(per_doc_hits, on="doc_id", how="left")
+        .join(per_doc_spans, on="doc_id", how="left")
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_windows", z).cast("bigint").alias("n_windows"),
+        F.coalesce("n_dup_windows", z).cast("bigint").alias("n_dup_windows"),
+        F.coalesce("n_spans", z).cast("bigint").alias("n_spans"),
+        F.coalesce("dup_tokens", z).cast("bigint").alias("dup_tokens"),
+        F.coalesce("longest_run", z).cast("bigint").alias("longest_run"),
+        F.when(F.col("n_tokens") > 0,
+               round_half_up(F.coalesce("dup_tokens", z) / F.col("n_tokens"), 4))
+        .otherwise(F.lit(0.0))
+        .alias("dup_ratio"),
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    l_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The removal half: drop every token inside a covered run and
+    rejoin the survivors with single spaces — what the suffix-array
+    dedup pipeline writes back out. Returns the input's id column plus
+    (text_dedup, removed_tokens). NOTE this removes ALL copies of a
+    duplicated span (the conservative variant of Lee et al.'s tooling;
+    keeping one canonical copy needs a global occurrence ordering —
+    compose with exact_dedup/first-id-wins if that is wanted).
+
+    The token filter is a higher-order expression over the collected
+    per-doc span list (merged maximal runs — at most n_tokens /
+    l_tokens per doc), so removal adds one docs⋈spans hash join and
+    zero extra shuffles of token data; text never leaves its row."""
+    spans = duplicated_substring_spans(
+        df, l_tokens, id_col, text_col, min_occurrences
+    )
+    span_lists = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.col("__t")
+    covered = lambda i: F.exists(  # noqa: E731 — 1-based token index i
+        F.col("__spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+    )
+    kept = F.filter(toks, lambda t, i0: ~covered(i0 + 1))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+        )
+        .join(span_lists, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.when(F.col("__spans").isNull(), F.concat_ws(" ", toks))
+            .otherwise(F.concat_ws(" ", kept))
+            .alias("text_dedup"),
+            F.when(F.col("__spans").isNull(), F.lit(0))
+            .otherwise(F.size(toks) - F.size(kept))
+            .cast("bigint")
+            .alias("removed_tokens"),
+        )
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams of a raw text column. Column-level API —
     cannot stage a projection, so the token array is re-evaluated per

@@ -456,6 +456,79 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q188 — exact substring dedup (suffix-array-style covered spans)
+# --------------------------------------------------------------------------
+
+SUBSTR_L = 8
+
+
+def q188_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document EXACT duplicated-substring report: maximal covered
+    runs of l-token windows occurring >= 2 times anywhere in the
+    corpus (intra-doc repeats included — the suffix-array semantics of
+    Lee et al. 2021, join-shaped instead of SA construction). The
+    interval-merge (gaps-and-islands) step is fully replicated in the
+    oracle, so span boundaries — not just counts — are hash-checked."""
+    return D.substring_dedup_report(
+        read_testdata(spark, sf_dir, "documents"), l_tokens=SUBSTR_L
+    )
+
+
+def _q188_sql() -> str:
+    h = sql_md5_long(f"array_to_string(list_slice(t, i, i + {SUBSTR_L - 1}), ' ')")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE {_TOKS} END AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {SUBSTR_L - 1})) AS i
+  FROM toks WHERE len(t) >= {SUBSTR_L}
+),
+wins AS (SELECT doc_id, i, {h} AS h FROM pos),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT w.doc_id, w.i FROM wins w JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i, 1, -1099511627776) OVER (
+           PARTITION BY doc_id ORDER BY i) > {SUBSTR_L} THEN 1 ELSE 0 END AS nw
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, i,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, g, min(i) AS s, max(i) + {SUBSTR_L} AS e
+  FROM isl2 GROUP BY 1, 2
+),
+per_doc_spans AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_tokens,
+         max(e - s) AS longest_run
+  FROM spans GROUP BY 1
+),
+per_doc_wins AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY 1),
+per_doc_hits AS (SELECT doc_id, count(*) AS n_dup_windows FROM hits GROUP BY 1)
+SELECT tk.doc_id,
+       CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(w.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(ht.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(sp.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(sp.longest_run, 0) AS BIGINT) AS longest_run,
+       CASE WHEN len(tk.t) > 0 THEN
+         {sql_round_half_up('coalesce(sp.dup_tokens, 0) * 1.0 / len(tk.t)', 4)}
+       ELSE 0.0 END AS dup_ratio
+FROM toks tk
+LEFT JOIN per_doc_wins w USING (doc_id)
+LEFT JOIN per_doc_hits ht USING (doc_id)
+LEFT JOIN per_doc_spans sp USING (doc_id)
+"""
+
+
 def q48_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-corpus dedup: docs with id >= 250 are the arriving
     batch, id < 250 the loaded corpus; survivors are batch docs whose
@@ -995,6 +1068,8 @@ SPECS = [
               "batch-vs-corpus incremental dedup on digest index"),
     QuerySpec("q119_passage_dedup", q119_passage_dedup, _Q119_SQL,
               "passage-level exact dup detection (k-token window hashes)"),
+    QuerySpec("q188_substring_dedup", q188_substring_dedup, _q188_sql(),
+              "exact substring dedup: merged covered spans, SA semantics"),
     QuerySpec("q127_incremental_neardup", q127_incremental_neardup, _q127_sql(),
               "batch-vs-corpus MinHash near-dup dedup (band-index join)"),
     QuerySpec("q176_maintained_neardup", q176_maintained_neardup,

@@ -337,3 +337,89 @@ def test_boilerplate_strip_duplicate_line_within_one_doc_counts_once(spark):
     out = {r["doc_id"]: r for r in D.strip_boilerplate_lines(
         df, max_doc_freq=1).collect()}
     assert out[1]["clean_text"] == "refrain\nrefrain\nrefrain\nverse"
+
+
+# ---- exact substring dedup (suffix-array-style covered spans) -------------
+
+def _subdup_fixture(spark):
+    # shared passage "a b c d" (l=4) between docs 1 and 2, at different
+    # offsets; doc 3 repeats its own passage "p q r s" twice (intra-doc);
+    # doc 4 is clean; doc 5 is shorter than l.
+    rows = [
+        (1, "x1 x2 a b c d y1 y2"),
+        (2, "a b c d z1 z2 z3 z4"),
+        (3, "p q r s m1 m2 p q r s"),
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8"),
+        (5, "v1 v2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_spans_hand_case(spark):
+    df = _subdup_fixture(spark)
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["span_len"]
+        for r in D.duplicated_substring_spans(df, l_tokens=4).collect()
+    }
+    # doc 1: tokens 3-6 covered (1-based, end exclusive -> 7)
+    # doc 2: tokens 1-4 -> [1, 5)
+    # doc 3: both copies: [1, 5) and [7, 11)
+    assert spans == {
+        (1, 3, 7): 4,
+        (2, 1, 5): 4,
+        (3, 1, 5): 4,
+        (3, 7, 11): 4,
+    }
+
+
+def test_substring_report_hand_case(spark):
+    df = _subdup_fixture(spark)
+    got = {r["doc_id"]: r for r in D.substring_dedup_report(df, l_tokens=4).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    r1 = got[1]
+    assert (r1["n_tokens"], r1["n_windows"], r1["n_dup_windows"]) == (8, 5, 1)
+    assert (r1["n_spans"], r1["dup_tokens"], r1["longest_run"]) == (1, 4, 4)
+    assert r1["dup_ratio"] == 0.5
+    assert got[3]["n_spans"] == 2 and got[3]["dup_tokens"] == 8
+    r4 = got[4]
+    assert r4["n_windows"] == 5 and r4["n_dup_windows"] == 0 and r4["dup_ratio"] == 0.0
+    r5 = got[5]
+    assert r5["n_tokens"] == 2 and r5["n_windows"] == 0 and r5["dup_ratio"] == 0.0
+
+
+def test_substring_spans_merge_overlapping_and_touching(spark):
+    # "a b c d e" shared -> doc 1's windows at pos 1 and 2 overlap and
+    # must merge into ONE [1, 6) span; and two duplicated passages that
+    # touch end-to-start chain into one covered run.
+    rows = [
+        (1, "a b c d e t1 t2 a b c d e"),
+        (2, "k1 a b c d e k2 k3 k4 k5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in D.duplicated_substring_spans(df, l_tokens=4).collect()
+    )
+    assert spans == [(1, 1, 6), (1, 8, 13), (2, 2, 7)]
+
+
+def test_exact_substring_dedup_removes_covered_tokens(spark):
+    df = _subdup_fixture(spark)
+    got = {r["doc_id"]: r for r in D.exact_substring_dedup(df, l_tokens=4).collect()}
+    assert got[1]["text_dedup"] == "x1 x2 y1 y2" and got[1]["removed_tokens"] == 4
+    assert got[2]["text_dedup"] == "z1 z2 z3 z4"
+    assert got[3]["text_dedup"] == "m1 m2" and got[3]["removed_tokens"] == 8
+    assert got[4]["text_dedup"] == "u1 u2 u3 u4 u5 u6 u7 u8"
+    assert got[5] ["removed_tokens"] == 0
+
+
+def test_substring_dedup_min_occurrences_three(spark):
+    # passage must appear >= 3 times to be flagged
+    rows = [
+        (1, "a b c d e1 e2 e3 e4"),
+        (2, "a b c d f1 f2 f3 f4"),
+        (3, "g1 g2 g3 g4 g5 g6 g7 g8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert D.duplicated_substring_spans(df, l_tokens=4, min_occurrences=3).count() == 0
+    assert D.duplicated_substring_spans(df, l_tokens=4, min_occurrences=2).count() == 2
