@@ -1,0 +1,83 @@
+"""Round-10 scale-up probe: 10x runs for the round-9 operators that
+were only measured at 1M docs (VERDICT r9 item 6), plus the first
+volume run of the new exact-substring-dedup family.
+
+Reuses corpus_scale_run's executor-side synthetic corpus (planted
+exact dups + trailing-token near-dups) so numbers are comparable with
+the 1M rows already in BASELINE.md:
+
+  bloom_contamination   (r9: 24.2 s / 1M)
+  sparse_cosine_pairs   (r9: 34.8 s / 1M)
+  bigram_nll            (r9: 157.5 s / 1M)
+  substring_dedup_report (new in r10 — covered-span SA semantics)
+
+The question each row answers is the SCALING SHAPE: a 10x input that
+costs ~10x is a linear operator a 1000-executor cluster divides; any
+super-linear step is a design bug to hunt (that's how the Bloom
+string-dictionary cliff was caught in r9).
+
+Usage: python examples/r10_scaleup_run.py [n_docs]
+(SPARK_GRAFT_DRIVER_MEM=48g recommended at 10M — one local JVM holds
+all executor state)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F
+
+from examples.corpus_scale_run import synth_docs
+from nyc_etl_pipeline_spark import get_spark
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    spark = get_spark(
+        app_name="r10-scaleup-probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    from nyc_etl_pipeline_spark.operators import dedup as D
+    from nyc_etl_pipeline_spark.operators.lm import bigram_nll_scores
+    from nyc_etl_pipeline_spark.operators.retrieval import sparse_cosine_pairs
+
+    docs = synth_docs(spark, n_docs).persist()
+    t0 = time.perf_counter()
+    print(f"synth+persist: {docs.count():,} docs in {time.perf_counter() - t0:.1f}s")
+
+    def timed(label: str, fn):
+        t = time.perf_counter()
+        out = fn()
+        print(f"{label}: {out} in {time.perf_counter() - t:.1f}s", flush=True)
+
+    timed(
+        "bloom_contamination",
+        lambda: "%s contaminated" % f"""{D.bloom_contamination_scores(
+            docs.filter(F.col('doc_id') % 1000 != 0),
+            docs.filter(F.col('doc_id') % 1000 == 0),
+            m_bits=1 << 20, k_hashes=4,
+        ).filter('is_contaminated').count():,}""",
+    )
+    timed(
+        "sparse_cosine_pairs (max_df=1000)",
+        lambda: f"{sparse_cosine_pairs(docs, max_df=1000, threshold=0.6).count():,} pairs",
+    )
+    timed(
+        "substring_dedup_report (l=8)",
+        lambda: "%s docs >50%% covered" % f"""{D.substring_dedup_report(
+            docs, l_tokens=8
+        ).filter('dup_ratio > 0.5').count():,}""",
+    )
+    timed(
+        "bigram_nll",
+        lambda: "avg nll %.4f" % bigram_nll_scores(docs).agg(F.avg("nll")).first()[0],
+    )
+    docs.unpersist()
+
+
+if __name__ == "__main__":
+    main()

@@ -155,6 +155,7 @@ def calibration_report(
     score_col: str,
     label_col: str,
     n_bins: int = 10,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Fixed-width calibration bins over a [0, 1] score: per bin the
     count, mean confidence (decimal-accumulated), and empirical
@@ -165,35 +166,52 @@ def calibration_report(
     (the weighted reliability-diagram gap). Scores land in bin
     min(floor(score·B), B-1); counts and label sums are exact
     integers, confidences are DECIMAL(28,6) sums, so the only float
-    division is per finalized bin. Returns one row per non-empty bin:
-    (bin, n, conf, acc, ece), conf/acc/ece rounded 6.
+    division is per finalized bin.
+
+    With `group_cols` the whole report is PER GROUP (per-domain
+    reliability — each group gets its own bins, N, and ECE): the bin
+    aggregate keys on (group..., bin) and the ECE totals on the group,
+    so both stay ordinary hash aggregates — no windows, no skew cliff.
+    Returns one row per non-empty bin: (group..., bin, n, conf, acc,
+    ece), conf/acc/ece rounded 6.
     """
+    gcols = group_cols or []
     lab = F.col(label_col).cast("bigint")
     bin_col = F.least(
         F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
     )
     per_bin = (
-        df.select(bin_col.alias("bin"), F.col(score_col).alias("__s"), lab.alias("__y"))
-        .groupBy("bin")
+        df.select(
+            *gcols, bin_col.alias("bin"), F.col(score_col).alias("__s"), lab.alias("__y")
+        )
+        .groupBy(*gcols, "bin")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             dec_sum("__s").alias("__s_sum"),
             F.sum("__y").cast("bigint").alias("__n_pos"),
         )
         .select(
+            *gcols,
             "bin",
             "n",
             (F.col("__s_sum") / F.col("n")).alias("__conf"),
             (F.col("__n_pos") / F.col("n")).alias("__acc"),
         )
     )
-    totals = per_bin.agg(
+    totals = per_bin.groupBy(*gcols).agg(
         F.sum("n").alias("__N"),
         # Σ n_b·|acc-conf| accumulated in decimal so bin order can't
         # move the last ulp of the final division
         dec_sum(F.col("n") * F.abs(F.col("__acc") - F.col("__conf"))).alias("__gap"),
     )
-    return per_bin.crossJoin(F.broadcast(totals)).select(
+    if gcols:
+        # totals is one row per group — usually broadcastable, but
+        # leave the strategy to AQE in case of huge group counts
+        joined = per_bin.join(totals, on=gcols)
+    else:
+        joined = per_bin.crossJoin(F.broadcast(totals))
+    return joined.select(
+        *gcols,
         F.col("bin").cast("bigint").alias("bin"),
         "n",
         round_half_up(F.col("__conf"), 6).alias("conf"),

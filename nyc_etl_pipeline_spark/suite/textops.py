@@ -966,6 +966,55 @@ FROM fin CROSS JOIN totals
 """
 
 
+def q189_grouped_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q185's reliability diagram PER SOURCE (per-domain calibration —
+    the drift question 'is the quality scorer calibrated on every
+    domain, not just on average'): each source gets its own bins,
+    total, and ECE. Pure hash aggregates on (source, bin) and source —
+    no windows, so no per-group skew cliff."""
+    from nyc_etl_pipeline_spark.operators.evalmetrics import calibration_report
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    scored = q19_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    base = docs.select(
+        "doc_id", "source", (F.col("lang") == "en").cast("int").alias("y")
+    ).join(scored, "doc_id")
+    return calibration_report(
+        base, "quality_score", "y", n_bins=CALIB_BINS, group_cols=["source"]
+    )
+
+
+_Q189_SQL = f"""
+WITH q19 AS ({_Q19_SQL}),
+s AS (
+  SELECT d.source, q.quality_score AS sc,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM q19 q JOIN documents d USING (doc_id)
+),
+per_bin AS (
+  SELECT source,
+         least(CAST(floor(sc * {CALIB_BINS}) AS INT), {CALIB_BINS - 1}) AS bin,
+         count(*) AS n,
+         CAST(sum(CAST(sc AS DECIMAL(28,6))) AS DOUBLE) AS s_sum,
+         sum(y) AS n_pos
+  FROM s GROUP BY 1, 2
+),
+fin AS (
+  SELECT source, bin, n, s_sum / n AS conf, n_pos / n AS acc FROM per_bin
+),
+totals AS (
+  SELECT source, sum(n) AS big_n,
+         CAST(sum(CAST(n * abs(acc - conf) AS DECIMAL(28,6))) AS DOUBLE) AS gap
+  FROM fin GROUP BY 1
+)
+SELECT f.source, CAST(f.bin AS BIGINT) AS bin, CAST(f.n AS BIGINT) AS n,
+       {sql_round_half_up('f.conf', 6)} AS conf,
+       {sql_round_half_up('f.acc', 6)} AS acc,
+       {sql_round_half_up('t.gap / t.big_n', 6)} AS ece
+FROM fin f JOIN totals t USING (source)
+"""
+
+
 RETR_EVAL_K = 10
 
 
@@ -1093,4 +1142,6 @@ SPECS = [
               "reliability bins + ECE (integer counts, decimal confidences)"),
     QuerySpec("q186_retrieval_eval", q186_retrieval_eval, _q186_sql(),
               "MRR / recall@k / nDCG@k per query (rank-ordered log2 folds)"),
+    QuerySpec("q189_grouped_calibration", q189_grouped_calibration, _Q189_SQL,
+              "per-domain reliability bins + ECE (hash aggs only)"),
 ]
