@@ -16,9 +16,12 @@ costs ~10x is a linear operator a 1000-executor cluster divides; any
 super-linear step is a design bug to hunt (that's how the Bloom
 string-dictionary cliff was caught in r9).
 
-Usage: python examples/r10_scaleup_run.py [n_docs]
+Usage: python examples/r10_scaleup_run.py [n_docs] [op1,op2,...]
 (SPARK_GRAFT_DRIVER_MEM=48g recommended at 10M — one local JVM holds
-all executor state)
+all executor state; at 10M also set
+SPARK_GRAFT_SHUFFLE_PARTITIONS=256 — the 32-partition local default
+puts ~17M rows in each shuffle partition of the token/window-scale
+aggregates, which spills)
 """
 
 from __future__ import annotations
@@ -37,6 +40,7 @@ from nyc_etl_pipeline_spark import get_spark
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     spark = get_spark(
         app_name="r10-scaleup-probe",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
@@ -50,6 +54,8 @@ def main() -> None:
     print(f"synth+persist: {docs.count():,} docs in {time.perf_counter() - t0:.1f}s")
 
     def timed(label: str, fn):
+        if only is not None and label.split(" ")[0] not in only:
+            return
         t = time.perf_counter()
         out = fn()
         print(f"{label}: {out} in {time.perf_counter() - t:.1f}s", flush=True)

@@ -241,6 +241,120 @@ def logreg_score(
     )
 
 
+def _softmax_probs(x_col: Column, weights: list[list[float]]) -> list[Column]:
+    """Per-class softmax probabilities under fixed weights, every step
+    deterministic and oracle-replicable: per-class margins are the
+    flat index-ordered folds of `_margin`; the max-subtraction
+    stabilizer is exact (max of doubles); each exp() is the bounded
+    1-ulp libm class; the denominator is the LEFT-TO-RIGHT sum of the
+    class exps (== DuckDB list_reduce association)."""
+    zs = [_margin(x_col, w) for w in weights]
+    m = F.greatest(*zs) if len(zs) > 1 else zs[0]
+    es = [F.exp(z - m) for z in zs]
+    denom = None
+    for e in es:
+        denom = e if denom is None else denom + e
+    return [e / denom for e in es]
+
+
+def softmax_train_fixed(
+    feats: DataFrame,
+    dim: int,
+    n_classes: int,
+    n_rounds: int = 2,
+    lr: float = 0.5,
+    label_col: str = "y",
+    x_col: str = "x",
+    exact_decimal: bool = False,
+) -> list[list[float]]:
+    """Multiclass head on the q171 scaffolding: full-batch softmax
+    cross-entropy GD from W = 0 for exactly n_rounds rounds; labels
+    are integer class ids 0..n_classes-1; returns the n_classes x dim
+    weight matrix (6 dp-quantized doubles).
+
+    Same determinism contract as logreg_train_fixed — per-component
+    contributions x_i·(1{y=k} − p_k) quantized to 6 dp BEFORE the
+    exact accumulation (bigint micro-units by default, DECIMAL(28,6)
+    via exact_decimal — see logreg's range note), weights re-quantized
+    after each update, so the whole run replays as chained CTEs
+    (`sql_softmax_chain`). Probabilities are staged as a PROJECTION
+    before the gradient aggregate, so each of the n_classes·dim agg
+    expressions stays a two-term product (not a re-inlined K-margin
+    softmax — the codegen width lesson of _MARGIN_FLAT_MAX_TERMS).
+
+    Scale shape: per round one corpus aggregate of n_classes·dim
+    mergeable sums (map-side combine; only K·dim doubles reach the
+    driver per round) over a map-only probability projection — the
+    same one-pass-per-round shape as logreg, K times wider."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if n_classes < 2:
+        raise ValueError("n_classes must be >= 2")
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+
+    W = [[0.0] * dim for _ in range(n_classes)]
+    feats = feats.persist()
+    try:
+        for _ in range(n_rounds):
+            ps = _softmax_probs(F.col(x_col), W)
+            scored = feats.select(
+                F.col(x_col).alias("__x"),
+                F.col(label_col).alias("__y"),
+                *[p.alias(f"__p{k}") for k, p in enumerate(ps)],
+            )
+            n = F.count(F.lit(1)).cast("double")
+            aggs = []
+            for k in range(n_classes):
+                err_k = (
+                    F.when(F.col("__y") == k, 1.0).otherwise(0.0) - F.col(f"__p{k}")
+                )
+                for i in range(1, dim + 1):
+                    contrib = F.element_at(F.col("__x"), i) * err_k
+                    if exact_decimal:
+                        acc = dec_sum(round_half_up(contrib, 6)).cast("double")
+                    else:
+                        acc = F.sum(
+                            F.floor(contrib * F.lit(1000000.0) + F.lit(0.5)).cast(
+                                "bigint"
+                            )
+                        ).cast("double") / F.lit(1000000.0)
+                    aggs.append((acc / n).alias(f"g_{k}_{i}"))
+            row = scored.agg(*aggs).collect()[0]
+            W = [
+                [
+                    py_round6(W[k][i - 1] + lr * row[f"g_{k}_{i}"])
+                    for i in range(1, dim + 1)
+                ]
+                for k in range(n_classes)
+            ]
+    finally:
+        feats.unpersist()
+    return W
+
+
+def softmax_score(
+    feats: DataFrame,
+    weights: list[list[float]],
+    id_col: str = "doc_id",
+    x_col: str = "x",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Map-only multiclass scores under fixed weights: (id,
+    [extra_cols...,] p0..p{K-1} rounded 6, pred). pred is the argmax
+    class, FIRST index on exact float ties (array_position semantics —
+    identical to the oracle's list_position)."""
+    ps = _softmax_probs(F.col(x_col), weights)
+    parr = F.array(*ps)
+    pred = (F.array_position(parr, F.array_max(parr)) - 1).cast("int")
+    return feats.select(
+        F.col(id_col),
+        *[F.col(c) for c in (extra_cols or [])],
+        *[round_half_up(p, 6).alias(f"p{k}") for k, p in enumerate(ps)],
+        pred.alias("pred"),
+    )
+
+
 def sql_hashed_tf_features(
     n_buckets: int,
     label_sql: str,
@@ -284,6 +398,57 @@ tokb AS MATERIALIZED (
 feats AS MATERIALIZED (
   SELECT id, y, list_value({comps}, 1.0) AS x FROM tokb
 )"""
+
+
+def sql_softmax_chain(
+    feats_name: str, dim: int, n_classes: int, n_rounds: int, lr: float
+) -> str:
+    """CTE fragment replaying softmax_train_fixed's recurrence.
+    `feats_name` must expose (id, y, x DOUBLE[] of length dim, 6 dp-
+    quantized). Weights live as ONE flattened list of length
+    n_classes*dim — w[k*dim + i] is class k's (0-based) component i
+    (1-based) — so each round stays a single-row CTE like the logreg
+    chain. The per-row softmax mirrors _softmax_probs step for step:
+    exact max stabilizer, one exp per class, left-to-right denominator
+    (list_reduce starts at the first element — the same association as
+    the engine's flat chain)."""
+    zeros = ", ".join("0.0" for _ in range(dim * n_classes))
+    zs = (
+        f"list_transform(range(0, {n_classes}), k -> "
+        f"list_reduce(list_transform(range(1, {dim + 1}),"
+        " i -> b.x[i] * w.w[k * %d + i]), (a, b) -> a + b))" % dim
+    )
+    parts = [
+        f"w0 AS MATERIALIZED (SELECT list_value({zeros}) AS w)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n"
+        f" FROM {feats_name})",
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT id, y, x,"
+            " list_transform(es, e -> e / list_reduce(es, (a, b) -> a + b)) AS ps"
+            " FROM (SELECT id, y, x,"
+            " list_transform(zs, z -> exp(z - list_aggregate(zs, 'max'))) AS es"
+            f" FROM (SELECT b.id, b.y, b.x, {zs} AS zs"
+            f" FROM {feats_name} b CROSS JOIN w{r - 1} w)))"
+        )
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT c.k, r.i,"
+            " CAST(sum(CAST(floor(t.x[r.i] *"
+            " ((CASE WHEN t.y = c.k THEN 1.0 ELSE 0.0 END) - t.ps[c.k + 1])"
+            " * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)"
+            " / nn.n AS g"
+            f" FROM p{r} t CROSS JOIN range(0, {n_classes}) c(k)"
+            f" CROSS JOIN range(1, {dim + 1}) r(i) CROSS JOIN nn"
+            " GROUP BY c.k, r.i, nn.n)"
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT list("
+            f"floor((w.w[g.k * {dim} + g.i] + {lr!r} * g.g) * 1000000.0 + 0.5)"
+            " / 1000000.0 ORDER BY g.k, g.i) AS w"
+            f" FROM g{r} g CROSS JOIN w{r - 1} w)"
+        )
+    return ",\n".join(parts)
 
 
 def sql_logreg_chain(

@@ -529,6 +529,71 @@ LEFT JOIN per_doc_spans sp USING (doc_id)
 """
 
 
+def q191_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of q188: every token inside a covered run is
+    dropped and the survivors rejoin with single spaces — the cleaned
+    TEXT ITSELF is hash-checked against the oracle's string_agg
+    reconstruction, so the higher-order token filter (1-based span
+    arithmetic, left-exclusive end) is pinned end to end."""
+    return D.exact_substring_dedup(
+        read_testdata(spark, sf_dir, "documents"), l_tokens=SUBSTR_L
+    )
+
+
+def _q191_sql() -> str:
+    h = sql_md5_long(f"array_to_string(list_slice(t, i, i + {SUBSTR_L - 1}), ' ')")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE {_TOKS} END AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {SUBSTR_L - 1})) AS i
+  FROM toks WHERE len(t) >= {SUBSTR_L}
+),
+wins AS (SELECT doc_id, i, {h} AS h FROM pos),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT w.doc_id, w.i FROM wins w JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i, 1, -1099511627776) OVER (
+           PARTITION BY doc_id ORDER BY i) > {SUBSTR_L} THEN 1 ELSE 0 END AS nw
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, i, sum(nw) OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, g, min(i) AS s, max(i) + {SUBSTR_L} AS e
+  FROM isl2 GROUP BY 1, 2
+),
+tokpos AS (
+  SELECT doc_id, t[i] AS tok, i
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        FROM toks WHERE len(t) > 0)
+),
+kept AS (
+  SELECT tp.doc_id, tp.tok, tp.i
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tp.doc_id AND tp.i >= s.s AND tp.i < s.e
+  )
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_dedup,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT tk.doc_id,
+       coalesce(r.text_dedup, '') AS text_dedup,
+       CAST(len(tk.t) - coalesce(r.n_kept, 0) AS BIGINT) AS removed_tokens
+FROM toks tk LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q48_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-corpus dedup: docs with id >= 250 are the arriving
     batch, id < 250 the loaded corpus; survivors are batch docs whose
@@ -1119,6 +1184,8 @@ SPECS = [
               "passage-level exact dup detection (k-token window hashes)"),
     QuerySpec("q188_substring_dedup", q188_substring_dedup, _q188_sql(),
               "exact substring dedup: merged covered spans, SA semantics"),
+    QuerySpec("q191_substring_removal", q191_substring_removal, _q191_sql(),
+              "substring-dedup removal: cleaned text hash-checked"),
     QuerySpec("q127_incremental_neardup", q127_incremental_neardup, _q127_sql(),
               "batch-vs-corpus MinHash near-dup dedup (band-index join)"),
     QuerySpec("q176_maintained_neardup", q176_maintained_neardup,

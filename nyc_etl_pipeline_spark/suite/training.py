@@ -1305,3 +1305,95 @@ SPECS.append(
     QuerySpec("q171_quality_logreg", q171_quality_logreg, _q171_sql(),
               "fixed-round logistic-regression quality classifier (GD)")
 )
+
+
+# -- q190: fixed-round softmax multiclass language classifier ----------
+# The multiclass head on q171's scaffolding (VERDICT r8/r9 stretch):
+# 5-way language id trained as SOFTMAX_ROUNDS full-batch softmax
+# cross-entropy GD rounds over the same hashed-TF features, every
+# round replayed as chained CTEs (sql_softmax_chain) — weights live as
+# one flattened K*dim list on the SQL side. Labels are the lang
+# column mapped to fixed class ids (a literal CASE on both engines).
+# The gate output is the per-doc probability row + argmax class for
+# EVERY doc, so the softmax (max stabilizer, per-class exp,
+# left-to-right denominator) is hash-checked at full width.
+
+SOFTMAX_BUCKETS = 16
+SOFTMAX_DIM = SOFTMAX_BUCKETS + 1  # + bias
+SOFTMAX_CLASSES = 5
+SOFTMAX_ROUNDS = 2
+SOFTMAX_LR = 2.0
+_SOFTMAX_LANGS = ["en", "de", "es", "fr", "zh"]
+
+
+def q190_softmax_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_etl_pipeline_spark.operators import classify as C
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    cls = F.lit(None)
+    label = None
+    for k, lang in enumerate(_SOFTMAX_LANGS[:-1]):
+        step = F.when(F.col("lang") == lang, k)
+        label = step if label is None else label.when(F.col("lang") == lang, k)
+    label = label.otherwise(SOFTMAX_CLASSES - 1)
+    del cls
+    feats = C.hashed_tf_features(docs, n_buckets=SOFTMAX_BUCKETS, label=label)
+    w = C.softmax_train_fixed(
+        feats, dim=SOFTMAX_DIM, n_classes=SOFTMAX_CLASSES,
+        n_rounds=SOFTMAX_ROUNDS, lr=SOFTMAX_LR,
+    )
+    scored = C.softmax_score(feats, w, extra_cols=["y"])
+    return scored.select(
+        "doc_id",
+        F.col("y").cast("int").alias("y_class"),
+        *[f"p{k}" for k in range(SOFTMAX_CLASSES)],
+        "pred",
+    )
+
+
+def _q190_sql() -> str:
+    from nyc_etl_pipeline_spark.operators.classify import (
+        sql_hashed_tf_features,
+        sql_softmax_chain,
+    )
+
+    label_sql = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {k}"
+        for k, lang in enumerate(_SOFTMAX_LANGS[:-1])
+    ) + f" ELSE {SOFTMAX_CLASSES - 1} END"
+    feats = sql_hashed_tf_features(SOFTMAX_BUCKETS, label_sql)
+    chain = sql_softmax_chain(
+        "feats", SOFTMAX_DIM, SOFTMAX_CLASSES, SOFTMAX_ROUNDS, SOFTMAX_LR
+    )
+    zs = (
+        f"list_transform(range(0, {SOFTMAX_CLASSES}), k -> "
+        f"list_reduce(list_transform(range(1, {SOFTMAX_DIM + 1}),"
+        f" i -> b.x[i] * w.w[k * {SOFTMAX_DIM} + i]), (a, b) -> a + b))"
+    )
+    p_cols = ", ".join(
+        f"floor(ps[{k + 1}] * 1000000.0 + 0.5) / 1000000.0 AS p{k}"
+        for k in range(SOFTMAX_CLASSES)
+    )
+    return f"""
+WITH {feats},
+{chain}
+SELECT id AS doc_id, CAST(y AS INTEGER) AS y_class, {p_cols},
+       CAST(list_position(ps, list_aggregate(ps, 'max')) - 1 AS INTEGER) AS pred
+FROM (
+  SELECT id, y,
+         list_transform(es, e -> e / list_reduce(es, (a, b) -> a + b)) AS ps
+  FROM (
+    SELECT id, y, list_transform(zs, z -> exp(z - list_aggregate(zs, 'max'))) AS es
+    FROM (
+      SELECT b.id, b.y, b.x, {zs} AS zs
+      FROM feats b CROSS JOIN w{SOFTMAX_ROUNDS} w
+    )
+  )
+)
+"""
+
+
+SPECS.append(
+    QuerySpec("q190_softmax_langid", q190_softmax_langid, _q190_sql(),
+              "fixed-round softmax multiclass language classifier (GD)")
+)

@@ -134,3 +134,86 @@ def test_logreg_accumulation_paths_identical(spark, sf_dir):
     fast = C.logreg_train_fixed(feats, dim=9, n_rounds=3, lr=4.0)
     exact = C.logreg_train_fixed(feats, dim=9, n_rounds=3, lr=4.0, exact_decimal=True)
     assert fast == exact
+
+
+# ---- softmax multiclass (q190 scaffolding) ---------------------------------
+
+def _planted_3class(spark, n_per_class=40):
+    """Three disjoint vocabularies -> separable 3-way problem."""
+    rows = []
+    vocab = {0: "alpha beta gamma", 1: "delta epsilon zeta", 2: "eta theta iota"}
+    for k, words in vocab.items():
+        for i in range(n_per_class):
+            rows.append((k * n_per_class + i, f"{words} {words.split()[i % 3]}", k))
+    return spark.createDataFrame(rows, "doc_id long, text string, y_true int")
+
+
+def test_softmax_learns_planted_three_classes(spark):
+    docs = _planted_3class(spark)
+    feats = C.hashed_tf_features(
+        docs, n_buckets=32, label=F.col("y_true"), binary=True
+    )
+    w = C.softmax_train_fixed(feats, dim=33, n_classes=3, n_rounds=8, lr=4.0)
+    scored = C.softmax_score(feats, w, extra_cols=["y"]).collect()
+    acc = sum(r["pred"] == int(r["y"]) for r in scored) / len(scored)
+    assert acc == 1.0
+    # probabilities are a distribution and confidently peaked
+    for r in scored:
+        ps = [r[f"p{k}"] for k in range(3)]
+        assert abs(sum(ps) - 1.0) < 2e-6
+        assert max(ps) > 0.5
+
+
+def test_softmax_matches_pure_python_replay(spark):
+    """The distributed recurrence must equal a sequential NumPy-free
+    replay bit-for-bit (same quantization, same association order)."""
+    import math
+
+    docs = _planted_3class(spark, n_per_class=10)
+    feats = C.hashed_tf_features(docs, n_buckets=8, label=F.col("y_true"))
+    dim, K, rounds, lr = 9, 3, 3, 2.0
+    w_engine = C.softmax_train_fixed(feats, dim=dim, n_classes=K,
+                                     n_rounds=rounds, lr=lr)
+
+    rows = feats.select("y", "x").collect()
+    data = [(float(r["y"]), list(r["x"])) for r in rows]
+    W = [[0.0] * dim for _ in range(K)]
+    for _ in range(rounds):
+        sums = [[0 for _ in range(dim)] for _ in range(K)]
+        for y, x in data:
+            zs = []
+            for k in range(K):
+                z = None
+                for i in range(dim):
+                    t = x[i] * W[k][i]
+                    z = t if z is None else z + t
+                zs.append(z)
+            m = max(zs)
+            es = [math.exp(z - m) for z in zs]
+            denom = None
+            for e in es:
+                denom = e if denom is None else denom + e
+            for k in range(K):
+                err = (1.0 if y == k else 0.0) - es[k] / denom
+                for i in range(dim):
+                    sums[k][i] += math.floor(x[i] * err * 1000000.0 + 0.5)
+            n = float(len(data))
+        W = [
+            [
+                C.py_round6(W[k][i] + lr * ((sums[k][i] / 1000000.0) / n))
+                for i in range(dim)
+            ]
+            for k in range(K)
+        ]
+    assert w_engine == W
+
+
+def test_softmax_validates(spark):
+    docs = _planted_3class(spark, n_per_class=5)
+    feats = C.hashed_tf_features(docs, n_buckets=8, label=F.col("y_true"))
+    with pytest.raises(ValueError):
+        C.softmax_train_fixed(feats, dim=0, n_classes=3)
+    with pytest.raises(ValueError):
+        C.softmax_train_fixed(feats, dim=9, n_classes=1)
+    with pytest.raises(ValueError):
+        C.softmax_train_fixed(feats, dim=9, n_classes=3, n_rounds=0)
