@@ -938,3 +938,178 @@ SPECS.append(
     QuerySpec("q169_boilerplate_strip", q169_boilerplate_strip, _q169_sql(),
               "cross-doc line-level boilerplate removal (CCNet-style)")
 )
+
+
+# --------------------------------------------------------------------------
+# q192 — maintained (streaming) Misra-Gries heavy-hitter summary:
+# certificate contract + exact batch equality
+# --------------------------------------------------------------------------
+# The q187 pattern applied to the last streaming maintainer whose
+# evidence was pytest-only (VERDICT r9): the oracle pins the EXACT
+# corpus bigram count plus five booleans that must all be TRUE —
+# (a) the merged sentinel carries the exact stream length,
+# (b) every summary weight is <= its exact count (MG only undercounts),
+# (c) every summary weight is >= exact - 2n/(k+1) (the merged error
+#     bound of Agarwal et al. 2013 — per-partition bounds sum to
+#     n/(k+1) across disjoint batches, the final merge reduction adds
+#     at most another n/(k+1)),
+# (d) every token with exact count > 2n/(k+1) holds a counter (the
+#     presence certificate that makes the summary a certified
+#     heavy-hitter candidate superset), and
+# (e) the summary grown by the streaming maintainer across
+#     micro-batches (one replayed, through parquet) EXACTLY equals a
+#     from-scratch batch merge of identically-sliced partials —
+#     replay, storage round-trip, and associative merge are lossless.
+# k_summary=64 over ~916 distinct bigrams, so merge-time evictions
+# genuinely fire and (b)/(c) are non-trivial strict inequalities.
+
+MG_MAINT_BATCHES = 3
+MG_MAINT_K = 64
+
+# sf_dir -> temp warehouse root (same memoization contract as q187:
+# the maintainer machinery — 3 batches + 1 replay — runs on the first
+# invocation per process; bench best-of-2 then times the serving merge).
+_MAINT_MG_INDEX: dict[str, str] = {}
+
+
+def _q192_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"), TX.tokens(F.col("text")).alias("toks")
+    )
+    return toks.select(
+        F.col("doc_id"),
+        F.explode(TX.ngrams_from_tokens(F.col("toks"), 2)).alias("bigram"),
+    )
+
+
+def q192_maintained_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-wide bigram heavy-hitter summary from the streaming
+    `mg_maintainer`'s stored per-batch partials, checked against the
+    exact counts via the MG theory bounds AND for exact equality with
+    a from-scratch batch merge of identically-sliced partials — the
+    replay-safety + storage-round-trip + associative-merge invariant
+    a cross-day 100 TB heavy-hitter rollup depends on."""
+    import tempfile
+
+    from nyc_etl_pipeline_spark.io import Warehouse
+    from nyc_etl_pipeline_spark.operators import sketches as SKC
+    from nyc_etl_pipeline_spark.streaming.sinks import (
+        merged_mg_summary,
+        mg_maintainer,
+    )
+
+    big = _q192_bigrams(spark, sf_dir)
+    slices = [
+        big.filter(F.pmod(F.col("doc_id"), F.lit(MG_MAINT_BATCHES)) == b)
+        for b in range(MG_MAINT_BATCHES)
+    ]
+    if sf_dir not in _MAINT_MG_INDEX:
+        root = tempfile.mkdtemp(prefix="maintained_mg_")
+        wh = Warehouse(spark, root)
+        write_batch = mg_maintainer(
+            wh, "mg", token_col="bigram", k_summary=MG_MAINT_K
+        )
+        for b in range(MG_MAINT_BATCHES):
+            write_batch(slices[b], b)
+        write_batch(slices[0], 0)  # retry replay: idempotent overwrite
+        _MAINT_MG_INDEX[sf_dir] = root
+    wh = Warehouse(spark, _MAINT_MG_INDEX[sf_dir])
+
+    maintained = merged_mg_summary(
+        wh, "mg", token_col="bigram", k_summary=MG_MAINT_K
+    )
+    batch_built = SKC.mg_merge(
+        SKC.mg_partial_summaries(slices[0], "bigram", MG_MAINT_K)
+        .unionByName(SKC.mg_partial_summaries(slices[1], "bigram", MG_MAINT_K))
+        .unionByName(SKC.mg_partial_summaries(slices[2], "bigram", MG_MAINT_K)),
+        col="bigram",
+        k_summary=MG_MAINT_K,
+    )
+
+    exact = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    n_row = big.agg(F.count(F.lit(1)).alias("n_bigrams"))
+
+    cand = maintained.filter(F.col("bigram").isNotNull())
+    sentinel = maintained.filter(F.col("bigram").isNull()).agg(
+        F.coalesce(F.sum("weight"), F.lit(0)).alias("__sent")
+    )
+    kp1 = F.lit(MG_MAINT_K + 1)
+
+    bounds = (
+        cand.join(exact, on="bigram", how="left")
+        .crossJoin(F.broadcast(n_row.select(F.col("n_bigrams").alias("__n"))))
+        .agg(
+            F.coalesce(
+                F.bool_and(F.col("weight") <= F.col("cnt")), F.lit(True)
+            ).alias("weights_le_exact"),
+            F.coalesce(
+                F.bool_and(
+                    (F.col("cnt") - F.col("weight")) * kp1
+                    <= F.lit(2) * F.col("__n")
+                ),
+                F.lit(True),
+            ).alias("weights_ge_lower"),
+        )
+    )
+    missing_heavy = (
+        exact.crossJoin(
+            F.broadcast(n_row.select(F.col("n_bigrams").alias("__n")))
+        )
+        .filter(F.col("cnt") * kp1 > F.lit(2) * F.col("__n"))
+        .join(cand.select("bigram"), on="bigram", how="left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("presence_certified"))
+    )
+    key = F.coalesce(F.col("bigram"), F.lit("\x00__sentinel__"))
+    m_kv = maintained.select(key.alias("__k"), F.col("weight").alias("__wm"))
+    b_kv = batch_built.select(key.alias("__k"), F.col("weight").alias("__wb"))
+    equality = (
+        m_kv.join(b_kv, on="__k", how="full_outer")
+        .agg(
+            F.coalesce(
+                F.bool_and(F.col("__wm") == F.col("__wb")), F.lit(True)
+            ).alias("maintained_equals_batch")
+        )
+    )
+    sentinel_ok = sentinel.crossJoin(
+        F.broadcast(n_row.select(F.col("n_bigrams").alias("__n")))
+    ).select((F.col("__sent") == F.col("__n")).alias("sentinel_exact"))
+
+    return (
+        n_row.crossJoin(F.broadcast(sentinel_ok))
+        .crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(missing_heavy))
+        .crossJoin(F.broadcast(equality))
+        .select(
+            "n_bigrams",
+            "sentinel_exact",
+            "weights_le_exact",
+            "weights_ge_lower",
+            "presence_certified",
+            "maintained_equals_batch",
+        )
+    )
+
+
+_Q192_SQL = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+big AS (
+  SELECT unnest(list_transform(range(greatest(len(t) - 1, 0)),
+                i -> t[i+1] || ' ' || t[i+2])) AS bigram
+  FROM toks
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bigrams,
+       TRUE AS sentinel_exact,
+       TRUE AS weights_le_exact,
+       TRUE AS weights_ge_lower,
+       TRUE AS presence_certified,
+       TRUE AS maintained_equals_batch
+FROM big
+"""
+
+
+SPECS.append(
+    QuerySpec("q192_maintained_mg", q192_maintained_mg, _Q192_SQL,
+              "streaming-maintained MG heavy-hitter summary: certificate "
+              "bounds + exact batch-merge equality")
+)
