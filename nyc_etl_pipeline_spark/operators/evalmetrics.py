@@ -150,6 +150,89 @@ def roc_auc(
     )
 
 
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group average precision — the area under the step-
+    interpolated precision-recall curve, the imbalanced-class
+    companion of `roc_auc` (AUC is prevalence-invariant; AP is the
+    metric that moves when positives are rare):
+
+        AP = Σ_i (R_i - R_{i-1}) · P_i
+           = (1/n⁺) Σ_{distinct scores s, desc} pos(s) · cumTP(s) / cumN(s)
+
+    where ties form ONE curve step (all rows at an equal score enter
+    together — the precision_recall_curve convention, so the value is
+    well-defined for any tie structure rather than depending on a
+    within-tie order).
+
+    Exactness: rows collapse to (group, score) → (tie, pos) first;
+    cumTP/cumN come from one cumulative window over DISTINCT scores;
+    each term pos·cumTP/cumN is one bigint product and one double
+    division (both order-free), and the term sum is a score-DESC
+    ordered fold (the q113 discipline) so merge order cannot move a
+    last ulp. Groups with no positives get NULL (AP undefined).
+
+    Scale shape / skew bound: the cumulative window AND the ordered
+    fold serialize |distinct scores in the group| through one task —
+    same contract as grouped `roc_auc` (module docstring). The
+    pre-aggregation caps that at the score's resolution (a 6-dp score
+    bounds it at ~10⁶ rows regardless of corpus size); feed
+    near-continuous scores through a rounding first if a group's
+    distinct count is unbounded.
+
+    Returns (group..., n_pos, n_neg, ap rounded 6).
+    """
+    gcols = group_cols or []
+    lab = F.col(label_col).cast("bigint")
+    per_score = df.groupBy(*gcols, F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__tie"),
+        F.sum(lab).cast("bigint").alias("__pos"),
+    )
+    w_cum = (
+        W.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy(F.col("__s").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = per_score.select(
+        *gcols,
+        "__s",
+        "__tie",
+        "__pos",
+        F.sum("__tie").over(w_cum).alias("__cn"),
+        F.sum("__pos").over(w_cum).alias("__cp"),
+    )
+    term = (F.col("__pos") * F.col("__cp")).cast("double") / F.col(
+        "__cn"
+    ).cast("double")
+    agg = cum.groupBy(*gcols).agg(
+        F.sum("__pos").cast("bigint").alias("n_pos"),
+        (F.sum("__tie") - F.sum("__pos")).cast("bigint").alias("n_neg"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__pos") > 0, F.struct(F.col("__s"), term.alias("__t")))
+                ),
+                asc=False,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x.getField("__t"),
+        ).alias("__apsum"),
+    )
+    return agg.select(
+        *gcols,
+        "n_pos",
+        "n_neg",
+        F.when(
+            F.col("n_pos") > 0,
+            round_half_up(F.col("__apsum") / F.col("n_pos"), 6),
+        ).alias("ap"),
+    )
+
+
 def calibration_report(
     df: DataFrame,
     score_col: str,

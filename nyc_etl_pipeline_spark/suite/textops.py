@@ -1080,6 +1080,69 @@ FROM fin f JOIN totals t USING (source)
 """
 
 
+# --------------------------------------------------------------------------
+# q193 — average precision (step-interpolated PR-AUC) per source
+# --------------------------------------------------------------------------
+# The imbalanced-class companion of q184: same (stopword-ratio score,
+# is-English label, per-source) base, but the metric that moves when
+# positives are rare. The 4-dp-rounded score guarantees tie GROUPS,
+# so the one-step-per-distinct-score convention (not a within-tie
+# order) is what the oracle replicates; the term sum is a score-DESC
+# ordered fold mirrored by list_reduce on both sides.
+
+
+def q193_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source average precision of the stopword-ratio score
+    against the 'is English' label — Σ pos(s)·cumTP(s)/cumN(s) over
+    distinct scores descending, normalized by n_pos (see
+    operators/evalmetrics.average_precision)."""
+    from nyc_etl_pipeline_spark.operators.evalmetrics import average_precision
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    scored = q19_text_quality(spark, sf_dir).select("doc_id", "stopword_ratio")
+    base = docs.select(
+        "doc_id", "source", (F.col("lang") == "en").cast("int").alias("y")
+    ).join(scored, "doc_id")
+    return average_precision(base, "stopword_ratio", "y", ["source"])
+
+
+_Q193_SQL = f"""
+WITH q19 AS ({_Q19_SQL}),
+s AS (
+  SELECT d.source, q.stopword_ratio AS sc,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM q19 q JOIN documents d USING (doc_id)
+),
+per AS (
+  SELECT source, sc, count(*) AS t, sum(y) AS p
+  FROM s GROUP BY 1, 2
+),
+c AS (
+  SELECT source, sc, t, p,
+         sum(t) OVER (PARTITION BY source ORDER BY sc DESC) AS cn,
+         sum(p) OVER (PARTITION BY source ORDER BY sc DESC) AS cp
+  FROM per
+),
+folds AS (
+  SELECT source,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(p * cp AS DOUBLE) / CAST(cn AS DOUBLE) ORDER BY sc DESC)),
+           (acc, x) -> acc + x) AS apsum
+  FROM c WHERE p > 0 GROUP BY 1
+),
+totals AS (
+  SELECT source, CAST(sum(p) AS BIGINT) AS n_pos,
+         CAST(sum(t) - sum(p) AS BIGINT) AS n_neg
+  FROM per GROUP BY 1
+)
+SELECT t.source, t.n_pos, t.n_neg,
+       CASE WHEN t.n_pos > 0 THEN
+         {sql_round_half_up('f.apsum / t.n_pos', 6)}
+       ELSE NULL END AS ap
+FROM totals t LEFT JOIN folds f USING (source)
+"""
+
+
 RETR_EVAL_K = 10
 
 
@@ -1207,6 +1270,9 @@ SPECS = [
               "per-source rank-statistic ROC-AUC (exact average-rank ties)"),
     QuerySpec("q185_calibration", q185_calibration, _Q185_SQL,
               "reliability bins + ECE (integer counts, decimal confidences)"),
+    QuerySpec("q193_avg_precision", q193_avg_precision, _Q193_SQL,
+              "per-source average precision (tie-grouped PR curve, "
+              "ordered-fold term sum)"),
     QuerySpec("q186_retrieval_eval", q186_retrieval_eval, _q186_sql(),
               "MRR / recall@k / nDCG@k per query (rank-ordered log2 folds)"),
     QuerySpec("q189_grouped_calibration", q189_grouped_calibration, _Q189_SQL,

@@ -155,3 +155,75 @@ def test_retrieval_eval_duplicate_tolerance(spark):
     assert want["recall_at_k"] == 1.0 and want["ndcg_at_k"] == 1.0
     for c in ("n_rel", "hits_at_k", "mrr", "recall_at_k", "ndcg_at_k"):
         assert got[c] == want[c], c
+
+
+# --------------------------------------------------------------------------
+# average_precision
+# --------------------------------------------------------------------------
+
+def _ap_ref(rows):
+    """Brute-force tie-grouped step AP: one curve step per distinct
+    score descending; AP = (1/n_pos) sum pos(s) * cumTP(s)/cumN(s)."""
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, 0])
+    for s, y in rows:
+        per[s][0] += 1
+        per[s][1] += y
+    cn = cp = 0
+    terms = []
+    for s in sorted(per, reverse=True):
+        t, p = per[s]
+        cn += t
+        cp += p
+        if p > 0:
+            terms.append(p * cp / cn)
+    n_pos = sum(p for _, p in per.values())
+    if n_pos == 0:
+        return None
+    acc = 0.0
+    for x in terms:  # same left-fold order as the operator
+        acc += x
+    import math
+
+    return math.floor(acc / n_pos * 1e6 + 0.5) / 1e6
+
+
+def _ap(spark, rows):
+    from nyc_etl_pipeline_spark.operators.evalmetrics import average_precision
+
+    df = spark.createDataFrame(rows, "s double, y int")
+    return average_precision(df, "s", "y").collect()[0]
+
+
+def test_ap_closed_forms(spark):
+    # perfect ranking: AP = 1
+    assert _ap(spark, [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)])["ap"] == 1.0
+    # all positives ranked last: AP = mean of k/(n_neg+k)
+    got = _ap(spark, [(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)])
+    assert got["ap"] == round((1 / 3 + 2 / 4) / 2, 6)
+    # all scores tied -> one step, AP = prevalence
+    assert _ap(spark, [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)])["ap"] == 0.5
+    # no positives -> NULL
+    assert _ap(spark, [(0.3, 0), (0.7, 0)])["ap"] is None
+
+
+def test_ap_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(round(rng.random(), 1), rng.randint(0, 1)) for _ in range(300)]
+    rows.append((rows[0][0], 1))  # guarantee a positive
+    got = _ap(spark, rows)
+    assert got["ap"] == _ap_ref(rows)
+    assert got["n_pos"] == sum(y for _, y in rows)
+    assert got["n_neg"] == len(rows) - got["n_pos"]
+
+
+def test_ap_per_group_independence(spark):
+    from nyc_etl_pipeline_spark.operators.evalmetrics import average_precision
+
+    rows = [("a", 0.9, 1), ("a", 0.1, 0), ("b", 0.1, 1), ("b", 0.9, 0)]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    got = {r["g"]: r["ap"] for r in average_precision(df, "s", "y", ["g"]).collect()}
+    assert got == {"a": 1.0, "b": 0.5}
