@@ -303,6 +303,84 @@ def calibration_report(
     )
 
 
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group Spearman rank correlation between two score columns
+    (do two quality signals agree on the ORDER of documents?) —
+    Pearson's formula applied to average ranks, with exact tie
+    handling via the roc_auc doubling trick (2·avgrank = 2·cum − tie
+    + 1 stays integer for any tie structure).
+
+    Exactness: every moment is an integer accumulated exactly —
+    rows collapse to distinct (x, y) pairs with counts, marginal
+    ranks come from one cumulative window per variable over DISTINCT
+    values, and Σ cnt·2rx·2ry / Σ cnt·(2rx)² / … are DECIMAL(38,0)
+    sums (exact past the int64 bound — cnt·(2r)² reaches 4n³, which
+    overflows bigint at ~1.3M rows/group; decimal holds to ~10⁹).
+    The final Pearson combination is the only float arithmetic, a
+    fixed expression over exact integers — deterministic and
+    oracle-replicable (DuckDB sums the same integers in HUGEINT).
+    The constant factor 2 cancels in the ratio.
+
+    Scale shape / skew bound: two distinct-value windows + three hash
+    aggregates per group; each window serializes |distinct values of
+    one variable in the group| through one task (same contract as
+    grouped roc_auc — bounded by score resolution, not corpus size).
+    Groups where either variable is constant get NULL (undefined).
+
+    Returns (group..., n, rho rounded 6).
+    """
+    gcols = group_cols or []
+
+    def _marg(col: str, alias: str) -> DataFrame:
+        per = df.groupBy(*gcols, F.col(col).alias(f"__v_{alias}")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__t")
+        )
+        w = (
+            W.partitionBy(*[F.col(c) for c in gcols])
+            .orderBy(F.col(f"__v_{alias}").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return per.select(
+            *gcols,
+            f"__v_{alias}",
+            (2 * F.sum("__t").over(w) - F.col("__t") + 1).alias(f"__2r_{alias}"),
+        )
+
+    joint = df.groupBy(
+        *gcols, F.col(x_col).alias("__v_x"), F.col(y_col).alias("__v_y")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    ranked = joint.join(_marg(x_col, "x"), on=[*gcols, "__v_x"]).join(
+        _marg(y_col, "y"), on=[*gcols, "__v_y"]
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sums = ranked.groupBy(*gcols).agg(
+        F.sum("__c").cast("bigint").alias("n"),
+        F.sum(d(F.col("__c") * F.col("__2r_x"))).alias("__sx"),
+        F.sum(d(F.col("__c") * F.col("__2r_y"))).alias("__sy"),
+        F.sum(d(F.col("__c") * F.col("__2r_x") * F.col("__2r_x"))).alias("__sxx"),
+        F.sum(d(F.col("__c") * F.col("__2r_y") * F.col("__2r_y"))).alias("__syy"),
+        F.sum(d(F.col("__c") * F.col("__2r_x") * F.col("__2r_y"))).alias("__sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    var_x = nd * F.col("__sxx").cast("double") - sx * sx
+    var_y = nd * F.col("__syy").cast("double") - sy * sy
+    cov = nd * F.col("__sxy").cast("double") - sx * sy
+    return sums.select(
+        *gcols,
+        "n",
+        F.when(
+            (var_x > 0) & (var_y > 0),
+            round_half_up(cov / (F.sqrt(var_x) * F.sqrt(var_y)), 6),
+        ).alias("rho"),
+    )
+
+
 def retrieval_eval(
     ranked: DataFrame,
     relevant: DataFrame,

@@ -1143,6 +1143,74 @@ FROM totals t LEFT JOIN folds f USING (source)
 """
 
 
+# --------------------------------------------------------------------------
+# q194 — Spearman rank agreement between two quality signals, per source
+# --------------------------------------------------------------------------
+# The "do my quality scorers agree on the ORDER" question a curation
+# pipeline asks before swapping one signal for a cheaper one. Both
+# scores are 4-dp-rounded, so ties are guaranteed and the
+# average-rank doubling path is under the gate.
+
+
+def q194_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Spearman rho between the composite quality score
+    and the raw stopword ratio (evalmetrics.spearman_corr: exact
+    integer rank moments, one float combination at the end)."""
+    from nyc_etl_pipeline_spark.operators.evalmetrics import spearman_corr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    scored = q19_text_quality(spark, sf_dir).select(
+        "doc_id", "quality_score", "stopword_ratio"
+    )
+    base = docs.select("doc_id", "source").join(scored, "doc_id")
+    return spearman_corr(base, "quality_score", "stopword_ratio", ["source"])
+
+
+_Q194_SQL = f"""
+WITH q19 AS ({_Q19_SQL}),
+s AS (
+  SELECT d.source, q.quality_score AS x, q.stopword_ratio AS y
+  FROM q19 q JOIN documents d USING (doc_id)
+),
+mx AS (SELECT source, x, count(*) AS t FROM s GROUP BY 1, 2),
+rx AS (
+  SELECT source, x,
+         2 * sum(t) OVER (PARTITION BY source ORDER BY x) - t + 1 AS r2x
+  FROM mx
+),
+my AS (SELECT source, y, count(*) AS t FROM s GROUP BY 1, 2),
+ry AS (
+  SELECT source, y,
+         2 * sum(t) OVER (PARTITION BY source ORDER BY y) - t + 1 AS r2y
+  FROM my
+),
+j AS (SELECT source, x, y, count(*) AS c FROM s GROUP BY 1, 2, 3),
+k AS (
+  SELECT j.source, j.c, rx.r2x, ry.r2y
+  FROM j JOIN rx USING (source, x) JOIN ry USING (source, y)
+),
+a AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * r2x) AS DOUBLE) AS sx,
+         CAST(sum(c * r2y) AS DOUBLE) AS sy,
+         CAST(sum(c * r2x * r2x) AS DOUBLE) AS sxx,
+         CAST(sum(c * r2y * r2y) AS DOUBLE) AS syy,
+         CAST(sum(c * r2x * r2y) AS DOUBLE) AS sxy
+  FROM k GROUP BY 1
+)
+SELECT source, n,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+             AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0 THEN
+         {sql_round_half_up(
+             '(CAST(n AS DOUBLE) * sxy - sx * sy) / '
+             '(sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * '
+             'sqrt(CAST(n AS DOUBLE) * syy - sy * sy))', 6)}
+       ELSE NULL END AS rho
+FROM a
+"""
+
+
 RETR_EVAL_K = 10
 
 
@@ -1273,6 +1341,9 @@ SPECS = [
     QuerySpec("q193_avg_precision", q193_avg_precision, _Q193_SQL,
               "per-source average precision (tie-grouped PR curve, "
               "ordered-fold term sum)"),
+    QuerySpec("q194_spearman", q194_spearman, _Q194_SQL,
+              "per-source Spearman rank agreement (exact integer rank "
+              "moments, average-rank ties)"),
     QuerySpec("q186_retrieval_eval", q186_retrieval_eval, _q186_sql(),
               "MRR / recall@k / nDCG@k per query (rank-ordered log2 folds)"),
     QuerySpec("q189_grouped_calibration", q189_grouped_calibration, _Q189_SQL,

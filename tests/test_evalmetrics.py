@@ -227,3 +227,76 @@ def test_ap_per_group_independence(spark):
     df = spark.createDataFrame(rows, "g string, s double, y int")
     got = {r["g"]: r["ap"] for r in average_precision(df, "s", "y", ["g"]).collect()}
     assert got == {"a": 1.0, "b": 0.5}
+
+
+# --------------------------------------------------------------------------
+# spearman_corr
+# --------------------------------------------------------------------------
+
+def _rho_ref(rows):
+    """Brute-force Spearman: Pearson on average ranks."""
+    import math
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    xs, ys = [r[0] for r in rows], [r[1] for r in rows]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(rows)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        return None
+    rho = (n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))
+    return math.floor(rho * 1e6 + 0.5) / 1e6
+
+
+def _rho(spark, rows):
+    from nyc_etl_pipeline_spark.operators.evalmetrics import spearman_corr
+
+    df = spark.createDataFrame(rows, "x double, y double")
+    return spearman_corr(df, "x", "y").collect()[0]
+
+
+def test_spearman_closed_forms(spark):
+    # any monotone relationship -> exactly 1 (rank metric, not linear)
+    assert _rho(spark, [(1.0, 10.0), (2.0, 100.0), (3.0, 100000.0)])["rho"] == 1.0
+    # reversed -> exactly -1
+    assert _rho(spark, [(1.0, 3.0), (2.0, 2.0), (3.0, 1.0)])["rho"] == -1.0
+    # constant variable -> NULL (undefined)
+    assert _rho(spark, [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)])["rho"] is None
+
+
+def test_spearman_matches_bruteforce_with_ties(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (round(rng.random(), 1), round(rng.random(), 1)) for _ in range(400)
+    ]
+    got = _rho(spark, rows)
+    assert got["rho"] == _rho_ref(rows)
+    assert got["n"] == 400
+
+
+def test_spearman_per_group_independence(spark):
+    from nyc_etl_pipeline_spark.operators.evalmetrics import spearman_corr
+
+    rows = [("a", 1.0, 1.0), ("a", 2.0, 2.0), ("b", 1.0, 2.0), ("b", 2.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r["rho"] for r in spearman_corr(df, "x", "y", ["g"]).collect()}
+    assert got == {"a": 1.0, "b": -1.0}
