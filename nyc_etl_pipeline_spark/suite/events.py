@@ -1737,3 +1737,68 @@ SPECS = [
     QuerySpec("q92_ratio_to_report", q92_ratio_to_report, _Q92_SQL,
               "ratio-to-report shares (per-user window + broadcast grand total)"),
 ]
+
+
+# --------------------------------------------------------------------------
+# q195 — maintained (streaming) incremental mart: full value parity
+# --------------------------------------------------------------------------
+# Unlike the sketch maintainers (q187 HLL, q192 MG), the mart's merged
+# output is fully deterministic, so this gate asserts COMPLETE value
+# parity: the per-event-type mart grown by the streaming
+# `mart_maintainer` across micro-batches (one replayed, through
+# parquet) must equal the oracle's direct aggregate of the whole
+# table — merge(partials) == recompute, through storage and replay.
+# DECIMAL(28,6) partial sums make the identity exact, not merely
+# round-stable (operators/incremental.py).
+
+MART_MAINT_BATCHES = 3
+
+# sf_dir -> temp warehouse root (q187 memoization contract).
+_MAINT_MART_INDEX: dict[str, str] = {}
+
+
+def q195_maintained_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type (sum/cnt/min/max/avg of value, n_rows) from the
+    streaming mart maintainer's stored batch partials — one merge
+    aggregation over O(keys x batches) rows, never the event stream."""
+    import tempfile
+
+    from nyc_etl_pipeline_spark.io import Warehouse
+    from nyc_etl_pipeline_spark.streaming.sinks import mart_maintainer, merged_mart
+
+    keys, measures = ["event_type"], ["value"]
+    e = read_testdata(spark, sf_dir, "events")
+    if sf_dir not in _MAINT_MART_INDEX:
+        root = tempfile.mkdtemp(prefix="maintained_mart_")
+        wh = Warehouse(spark, root)
+        write_batch = mart_maintainer(wh, "mart", keys, measures)
+        for b in range(MART_MAINT_BATCHES):
+            write_batch(
+                e.filter(F.pmod(F.col("user_id"), F.lit(MART_MAINT_BATCHES)) == b), b
+            )
+        write_batch(
+            e.filter(F.pmod(F.col("user_id"), F.lit(MART_MAINT_BATCHES)) == 0), 0
+        )  # retry replay: idempotent partition overwrite
+        _MAINT_MART_INDEX[sf_dir] = root
+    wh = Warehouse(spark, _MAINT_MART_INDEX[sf_dir])
+    return merged_mart(wh, "mart", keys, measures)
+
+
+_Q195_SQL = f"""
+SELECT event_type,
+       count(*) AS n_rows,
+       {sql_round_half_up("CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)")} AS sum_value,
+       CAST(count(value) AS BIGINT) AS cnt_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       {sql_round_half_up("CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(value)")} AS avg_value
+FROM events
+GROUP BY 1
+"""
+
+
+SPECS.append(
+    QuerySpec("q195_maintained_mart", q195_maintained_mart, _Q195_SQL,
+              "streaming-maintained incremental mart: merge(partials) == "
+              "direct recompute, full value parity")
+)
