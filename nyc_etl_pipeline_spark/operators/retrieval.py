@@ -396,18 +396,70 @@ def sparse_cosine_pairs(
     100 TB corpus (high-df terms carry near-zero idf anyway). None
     keeps it exact.
 
+    Term frequencies are computed IN-ROW (sort the token array, keep
+    run heads, count the run with a filter fold): a doc's duplicate
+    tokens live in one row, so the groupBy(id, term) hash aggregate a
+    naive plan ships 600M exploded rows through is pure waste — the
+    r10 10M-doc probe measured the in-row form at 12.3 s vs 53.9 s
+    for the hash-aggregate (whose per-task partial-agg state crossed
+    the memory wall between 1M and 10M docs: 3.6 s -> 53.9 s, a 15x
+    step for 10x data). The sorted array is staged as a projection
+    before posexplode (the _shingle_table lesson).
+
+    The in-row tf is PERSISTED (MEMORY_AND_DISK): the tf subtree
+    appears ~8x in the optimized plan (dfreq nests it, norms and both
+    dots sides consume w), and the lambda expressions in the run-fold
+    defeat exchange-reuse canonicalization, so without the cache
+    every instance recomputes the 600M-row explode — the uncached
+    first cut regressed the full 10M operator past the hash-aggregate
+    form it replaced. The cached rows are narrow (id, term, tf — the
+    token arrays are never stored or shuffled). The persist lives
+    until LRU eviction (the ivf-quantizer-cache precedent); callers
+    looping over many corpora can spark.catalog.clearCache().
+
     Returns (a_id, b_id, cosine rounded 4), a_id < b_id.
     """
     from nyc_etl_pipeline_spark.functions import dec_sum
 
-    toks = df.select(F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("term"))
-    tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    sorted_toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.sort_array(tokens(F.col(text_col))).alias("__t"),
+    )
+    tf = (
+        sorted_toks.select(
+            "__id",
+            F.posexplode(F.col("__t")).alias("__p", "term"),
+            F.col("__t").alias("__tt"),
+        )
+        .filter(
+            (F.col("__p") == 0)
+            | (F.col("term") != F.col("__tt")[F.col("__p") - 1])
+        )
+        .select(
+            "__id",
+            "term",
+            F.size(
+                F.filter(F.col("__tt"), lambda x: x == F.col("term"))
+            ).cast("bigint").alias("tf"),
+        )
+        .persist()
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df") <= max_df)
     n = df.agg(F.count(F.lit(1)).alias("__n"))
+    # dfreq (the retained-vocabulary table: term, df) is broadcast by
+    # HINT, not left to AQE: its static size estimate derives from the
+    # token stream, so the planner schedules a shuffle join — and AQE
+    # materializes the 600M-row term-exchange of the tf side IN
+    # PARALLEL with the (tiny) dfreq stage, so by the time runtime
+    # stats justify a broadcast the big shuffle is already paid (the
+    # r10 10M probe measured the norms branch at 214 s from exactly
+    # this). The broadcast is bounded by |retained vocabulary| rows of
+    # (string, long); a corpus whose post-cap vocabulary exceeds
+    # broadcast limits should pre-prune terms (min_df) first.
     w = (
-        tf.join(dfreq, "term")  # inner join: capped terms drop here
+        tf.join(F.broadcast(dfreq), "term")  # inner: capped terms drop here
         .crossJoin(F.broadcast(n))
         .select(
             "__id",
