@@ -60,17 +60,29 @@ def main() -> None:
         out = fn()
         print(f"{label}: {out} in {time.perf_counter() - t:.1f}s", flush=True)
 
+    # Parameters that are PROPORTIONS of the data must scale with it,
+    # or the 10x run measures parameter saturation instead of the
+    # operator (both found by the first fixed-parameter 10M run):
+    #   * bloom m_bits sized to the benchmark slice (0.1% of docs,
+    #     ~25 shingles/doc): a fixed 2^20 at 10M docs is ~4 bits per
+    #     inserted key -> FP ~0.16/probe -> 98% of the corpus flagged;
+    #   * sparse-cosine max_df is a document-frequency cap — a fixed
+    #     1000 at 10M docs drops EVERY term (df grows with the corpus)
+    #     and times an empty join.
+    bench_keys = (n_docs // 1000) * 25
+    m_bits = 1 << max(20, (bench_keys * 32).bit_length())
+    max_df = max(1000, n_docs // 1000)
     timed(
-        "bloom_contamination",
+        f"bloom_contamination (m_bits=2^{m_bits.bit_length() - 1})",
         lambda: "%s contaminated" % f"""{D.bloom_contamination_scores(
             docs.filter(F.col('doc_id') % 1000 != 0),
             docs.filter(F.col('doc_id') % 1000 == 0),
-            m_bits=1 << 20, k_hashes=4,
+            m_bits=m_bits, k_hashes=4,
         ).filter('is_contaminated').count():,}""",
     )
     timed(
-        "sparse_cosine_pairs (max_df=1000)",
-        lambda: f"{sparse_cosine_pairs(docs, max_df=1000, threshold=0.6).count():,} pairs",
+        f"sparse_cosine_pairs (max_df={max_df})",
+        lambda: f"{sparse_cosine_pairs(docs, max_df=max_df, threshold=0.6).count():,} pairs",
     )
     timed(
         "substring_dedup_report (l=8)",
