@@ -764,3 +764,22 @@ def test_sparse_cosine_caps_df_before_self_join(spark, sf_dir):
     assert "CartesianProduct" not in plan.split("== Physical Plan ==")[-1]
     # the cap appears as a Filter on the df count, not on pair rows
     assert "50" in plan and "Filter" in plan
+
+
+def test_sparse_cosine_broadcasts_vocab_and_caches_tf(spark, sf_dir):
+    """The r10 scale contract: the retained-vocabulary (dfreq) join
+    must be a BroadcastHashJoin BY HINT (an un-hinted plan lets AQE
+    materialize the corpus-sized term exchange in parallel with the
+    tiny vocab stage — 214 s on the 10M probe's norms branch), and
+    the in-row tf profile must be served from ONE cache
+    (InMemoryTableScan) rather than recomputed per plan instance
+    (lambda exprs defeat exchange-reuse canonicalization)."""
+    from nyc_etl_pipeline_spark.suite.retrieval import q178_sparse_cosine
+
+    df = q178_sparse_cosine(spark, sf_dir)
+    plan = P.explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    # the 600M-row hazard: no exchange may sit between the tf scan and
+    # the vocab join's stream side other than the postings self-join's
+    assert "SortMergeJoin" not in plan, plan
