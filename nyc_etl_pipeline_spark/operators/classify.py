@@ -247,7 +247,14 @@ def _softmax_probs(x_col: Column, weights: list[list[float]]) -> list[Column]:
     flat index-ordered folds of `_margin`; the max-subtraction
     stabilizer is exact (max of doubles); each exp() is the bounded
     1-ulp libm class; the denominator is the LEFT-TO-RIGHT sum of the
-    class exps (== DuckDB list_reduce association)."""
+    class exps (== DuckDB list_reduce association).
+
+    NOTE: as single expressions these trees re-inline every margin
+    fold inside the stabilizer and the denominator (~K² dim nodes per
+    probability) — fine for a one-off column, but plan-building cost
+    dominates when K·dim is wide. The train/score paths use
+    `_stage_softmax_probs`, which computes the IDENTICAL float ops in
+    layered projections (linear tree size)."""
     zs = [_margin(x_col, w) for w in weights]
     m = F.greatest(*zs) if len(zs) > 1 else zs[0]
     es = [F.exp(z - m) for z in zs]
@@ -255,6 +262,40 @@ def _softmax_probs(x_col: Column, weights: list[list[float]]) -> list[Column]:
     for e in es:
         denom = e if denom is None else denom + e
     return [e / denom for e in es]
+
+
+def _stage_softmax_probs(
+    df: DataFrame, x_col: str, weights: list[list[float]]
+) -> DataFrame:
+    """`_softmax_probs` as LAYERED projections — margins __z{k}, the
+    max stabilizer __m, exps __e{k}, the left-to-right denominator
+    __d, then probabilities __p{k} — each layer referencing the
+    previous layer's COLUMNS, so the plan tree stays linear in K·dim
+    instead of ~K²·dim per probability (the r10 q190 audit measured
+    ~6.7 s of pure driver-side plan cost at 5000 docs from the
+    re-inlined form). Every alias is referenced more than once by
+    non-cheap expressions, so CollapseProject keeps the staging.
+    Float op order is bit-identical to `_softmax_probs`."""
+    ks = range(len(weights))
+    out = df.select(
+        "*", *[_margin(F.col(x_col), w).alias(f"__z{k}") for k, w in enumerate(weights)]
+    )
+    zcols = [F.col(f"__z{k}") for k in ks]
+    out = out.select(
+        "*", (F.greatest(*zcols) if len(weights) > 1 else zcols[0]).alias("__m")
+    )
+    out = out.select(
+        "*",
+        *[F.exp(F.col(f"__z{k}") - F.col("__m")).alias(f"__e{k}") for k in ks],
+    )
+    denom = None
+    for k in ks:
+        e = F.col(f"__e{k}")
+        denom = e if denom is None else denom + e
+    out = out.select("*", denom.alias("__d"))
+    return out.select(
+        "*", *[(F.col(f"__e{k}") / F.col("__d")).alias(f"__p{k}") for k in ks]
+    )
 
 
 def softmax_train_fixed(
@@ -297,11 +338,12 @@ def softmax_train_fixed(
     feats = feats.persist()
     try:
         for _ in range(n_rounds):
-            ps = _softmax_probs(F.col(x_col), W)
-            scored = feats.select(
-                F.col(x_col).alias("__x"),
-                F.col(label_col).alias("__y"),
-                *[p.alias(f"__p{k}") for k, p in enumerate(ps)],
+            scored = _stage_softmax_probs(
+                feats.select(
+                    F.col(x_col).alias("__x"), F.col(label_col).alias("__y")
+                ),
+                "__x",
+                W,
             )
             n = F.count(F.lit(1)).cast("double")
             aggs = []
@@ -344,10 +386,11 @@ def softmax_score(
     [extra_cols...,] p0..p{K-1} rounded 6, pred). pred is the argmax
     class, FIRST index on exact float ties (array_position semantics —
     identical to the oracle's list_position)."""
-    ps = _softmax_probs(F.col(x_col), weights)
+    staged = _stage_softmax_probs(feats, x_col, weights)
+    ps = [F.col(f"__p{k}") for k in range(len(weights))]
     parr = F.array(*ps)
     pred = (F.array_position(parr, F.array_max(parr)) - 1).cast("int")
-    return feats.select(
+    return staged.select(
         F.col(id_col),
         *[F.col(c) for c in (extra_cols or [])],
         *[round_half_up(p, 6).alias(f"p{k}") for k, p in enumerate(ps)],
