@@ -95,10 +95,18 @@ def roc_auc(
         qs = [i / p for i in range(1, p)]
         bounds = sorted(set(probe.approxQuantile("__sd", qs, 0.001))) if qs else []
         if bounds:
-            barr = F.array(*[F.lit(float(b)) for b in bounds])
-            bucket = F.size(
-                F.filter(barr, lambda b: F.col("__s").cast("double") > b)
-            )
+            # flat sum of literal comparisons, NOT a lambda over an
+            # array literal: the higher-order-function form mis-binds
+            # when the input is a persisted relation (r10 probe:
+            # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND inside the offsets
+            # window, cached input only). bounds is <= num_buckets-1
+            # driver-side floats, so the expression stays narrow.
+            bucket = None
+            for b in bounds:
+                term = F.when(
+                    F.col("__s").cast("double") > F.lit(float(b)), 1
+                ).otherwise(0)
+                bucket = term if bucket is None else bucket + term
         else:
             bucket = F.lit(0)
         bucketed = per_score.withColumn("__b", bucket)

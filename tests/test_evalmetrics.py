@@ -300,3 +300,36 @@ def test_spearman_per_group_independence(spark):
     df = spark.createDataFrame(rows, "g string, x double, y double")
     got = {r["g"]: r["rho"] for r in spearman_corr(df, "x", "y", ["g"]).collect()}
     assert got == {"a": 1.0, "b": -1.0}
+
+
+def test_auc_ungrouped_two_pass_on_persisted_input(spark):
+    """Regression: the two-pass bucketed rank must work when the input
+    is a PERSISTED relation — the original higher-order-function
+    bucket expression mis-bound through the cache
+    (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in the offsets window; found
+    by the r10 10M evalmetrics probe), and the pytest inputs happened
+    to be uncached. Values must be bit-equal cached vs uncached."""
+    from pyspark.sql import functions as F
+
+    from nyc_etl_pipeline_spark.operators.evalmetrics import roc_auc
+
+    base = spark.range(20_000).select(
+        F.round(
+            (F.pmod(F.xxhash64("id", F.lit(23)), F.lit(1000)) / 1000.0).cast(
+                "double"
+            ),
+            3,
+        ).alias("score"),
+        (F.pmod(F.xxhash64("id", F.lit(17)), F.lit(100)) < 40)
+        .cast("int")
+        .alias("y"),
+    )
+    cached = base.persist()
+    try:
+        cached.count()
+        got_cached = roc_auc(cached, "score", "y").collect()
+        got_plain = roc_auc(base, "score", "y").collect()
+        assert got_cached == got_plain
+        assert got_cached[0]["auc"] is not None
+    finally:
+        cached.unpersist()
