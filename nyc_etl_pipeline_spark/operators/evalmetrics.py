@@ -35,6 +35,70 @@ from pyspark.sql import functions as F
 from nyc_etl_pipeline_spark.functions import dec_sum, round_half_up
 
 
+def _quantile_bounds(
+    df: DataFrame, col: str, num_buckets: int | None
+) -> list[float]:
+    """approxQuantile bucket boundaries for the two-pass global rank —
+    a bounded driver-side list (<= num_buckets-1 floats; default:
+    session shuffle partitions). Exact for ANY boundary choice —
+    boundaries only affect balance."""
+    spark = df.sparkSession
+    p = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    probe = df.select(F.col(col).cast("double").alias("__sd"))
+    qs = [i / p for i in range(1, p)]
+    return sorted(set(probe.approxQuantile("__sd", qs, 0.001))) if qs else []
+
+
+def _bucketed_global_cum(
+    per_value: DataFrame, value_col: str, tie_col: str, bounds: list[float]
+) -> DataFrame:
+    """TWO-PASS range-bucketed GLOBAL cumulative count over distinct
+    values — never a single-partition window: each distinct value maps
+    to a bucket via a pure literal expression (deterministic, so
+    independent recomputes of the two subtrees cannot disagree), local
+    prefix sums run per bucket in parallel, and the <= |buckets|-row
+    prefix-offset table broadcasts back. Adds `__cum` = running count
+    of `tie_col` in ascending `value_col` order, inclusive.
+
+    The bucket expression is a flat sum of literal comparisons, NOT a
+    lambda over an array literal: the higher-order-function form
+    mis-binds when the input is a persisted relation (r10 probe:
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND inside the offsets window,
+    cached input only)."""
+    if bounds:
+        bucket = None
+        for b in bounds:
+            term = F.when(
+                F.col(value_col).cast("double") > F.lit(float(b)), 1
+            ).otherwise(0)
+            bucket = term if bucket is None else bucket + term
+    else:
+        bucket = F.lit(0)
+    bucketed = per_value.withColumn("__b", bucket)
+    w_loc = (
+        W.partitionBy("__b")
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = bucketed.withColumn("__loc", F.sum(tie_col).over(w_loc))
+    # bucket-count prefix offsets: <= |buckets| rows, so the
+    # no-partition window here is bounded by construction
+    w_off = W.orderBy(F.col("__b").asc()).rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("__b")
+        .agg(F.sum(tie_col).alias("__bt"))
+        .select(
+            "__b",
+            F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "__b")
+        .withColumn("__cum", F.col("__loc") + F.col("__off"))
+        .drop("__b", "__loc", "__off")
+    )
+
+
 def roc_auc(
     df: DataFrame,
     score_col: str,
@@ -89,49 +153,8 @@ def roc_auc(
         )
         cum = per_score.withColumn("__cum", F.sum("__tie").over(w_cum))
     else:
-        spark = df.sparkSession
-        p = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
-        probe = df.select(F.col(score_col).cast("double").alias("__sd"))
-        qs = [i / p for i in range(1, p)]
-        bounds = sorted(set(probe.approxQuantile("__sd", qs, 0.001))) if qs else []
-        if bounds:
-            # flat sum of literal comparisons, NOT a lambda over an
-            # array literal: the higher-order-function form mis-binds
-            # when the input is a persisted relation (r10 probe:
-            # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND inside the offsets
-            # window, cached input only). bounds is <= num_buckets-1
-            # driver-side floats, so the expression stays narrow.
-            bucket = None
-            for b in bounds:
-                term = F.when(
-                    F.col("__s").cast("double") > F.lit(float(b)), 1
-                ).otherwise(0)
-                bucket = term if bucket is None else bucket + term
-        else:
-            bucket = F.lit(0)
-        bucketed = per_score.withColumn("__b", bucket)
-        w_loc = (
-            W.partitionBy("__b")
-            .orderBy(F.col("__s").asc())
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        local = bucketed.withColumn("__loc", F.sum("__tie").over(w_loc))
-        # bucket-count prefix offsets: ≤ num_buckets rows, so the
-        # no-partition window here is bounded by construction
-        w_off = W.orderBy(F.col("__b").asc()).rowsBetween(
-            W.unboundedPreceding, -1
-        )
-        offsets = (
-            bucketed.groupBy("__b")
-            .agg(F.sum("__tie").alias("__bt"))
-            .select(
-                "__b",
-                F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off"),
-            )
-        )
-        cum = local.join(F.broadcast(offsets), "__b").withColumn(
-            "__cum", F.col("__loc") + F.col("__off")
-        )
+        bounds = _quantile_bounds(df, score_col, num_buckets)
+        cum = _bucketed_global_cum(per_score, "__s", "__tie", bounds)
     stats = cum.select(
         *gcols,
         "__tie",
@@ -334,11 +357,14 @@ def spearman_corr(
     oracle-replicable (DuckDB sums the same integers in HUGEINT).
     The constant factor 2 cancels in the ratio.
 
-    Scale shape / skew bound: two distinct-value windows + three hash
-    aggregates per group; each window serializes |distinct values of
-    one variable in the group| through one task (same contract as
-    grouped roc_auc — bounded by score resolution, not corpus size).
-    Groups where either variable is constant get NULL (undefined).
+    Scale shape / skew bound: two distinct-value rank passes + three
+    hash aggregates per group. Grouped, each rank window serializes
+    |distinct values of one variable in the group| through one task
+    (same contract as grouped roc_auc — bounded by score resolution,
+    not corpus size); UNGROUPED, both marginals use the two-pass
+    range-bucketed global rank (`_bucketed_global_cum`, shared with
+    ungrouped roc_auc) — never a single-partition window. Groups
+    where either variable is constant get NULL (undefined).
 
     Returns (group..., n, rho rounded 6).
     """
@@ -348,15 +374,26 @@ def spearman_corr(
         per = df.groupBy(*gcols, F.col(col).alias(f"__v_{alias}")).agg(
             F.count(F.lit(1)).cast("bigint").alias("__t")
         )
-        w = (
-            W.partitionBy(*[F.col(c) for c in gcols])
-            .orderBy(F.col(f"__v_{alias}").asc())
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        return per.select(
-            *gcols,
+        if gcols:
+            w = (
+                W.partitionBy(*[F.col(c) for c in gcols])
+                .orderBy(F.col(f"__v_{alias}").asc())
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            return per.select(
+                *gcols,
+                f"__v_{alias}",
+                (2 * F.sum("__t").over(w) - F.col("__t") + 1).alias(
+                    f"__2r_{alias}"
+                ),
+            )
+        # ungrouped: the two-pass range-bucketed global rank — the
+        # roc_auc escape hatch, shared helper; never a
+        # single-partition window over the distinct values
+        cum = _bucketed_global_cum(per, f"__v_{alias}", "__t", _quantile_bounds(df, col, None))
+        return cum.select(
             f"__v_{alias}",
-            (2 * F.sum("__t").over(w) - F.col("__t") + 1).alias(f"__2r_{alias}"),
+            (2 * F.col("__cum") - F.col("__t") + 1).alias(f"__2r_{alias}"),
         )
 
     joint = df.groupBy(

@@ -333,3 +333,33 @@ def test_auc_ungrouped_two_pass_on_persisted_input(spark):
         assert got_cached[0]["auc"] is not None
     finally:
         cached.unpersist()
+
+
+def test_spearman_ungrouped_two_pass_equals_grouped_constant_key(spark):
+    """The ungrouped path (two-pass bucketed global rank) must agree
+    BIT-EXACTLY with the grouped path under a constant key — same
+    integer rank moments, same final float combination."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nyc_etl_pipeline_spark.operators.evalmetrics import spearman_corr
+
+    rng = random.Random(19)
+    rows = [
+        (round(rng.random(), 1), round(rng.random(), 1)) for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    ung = spearman_corr(df, "x", "y").collect()[0]
+    grp = spearman_corr(
+        df.withColumn("g", F.lit("k")), "x", "y", ["g"]
+    ).collect()[0]
+    assert (ung["n"], ung["rho"]) == (grp["n"], grp["rho"])
+    # persisted input (the roc_auc regression trigger) must also work
+    cached = df.persist()
+    try:
+        cached.count()
+        got = spearman_corr(cached, "x", "y").collect()[0]
+        assert (got["n"], got["rho"]) == (ung["n"], ung["rho"])
+    finally:
+        cached.unpersist()
