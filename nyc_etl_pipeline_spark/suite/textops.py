@@ -1211,6 +1211,59 @@ FROM a
 """
 
 
+# --------------------------------------------------------------------------
+# q196 — GLOBAL ROC-AUC through the two-pass range-bucketed rank
+# --------------------------------------------------------------------------
+# q184 gates the grouped windows; this gates the UNGROUPED path — the
+# approxQuantile-bucketed two-pass global rank (the 100 TB-exact form,
+# and the code path the r10 probe found mis-binding on cached inputs).
+# The rank identity is partitioning-invariant, so the oracle is the
+# plain global Mann-Whitney SQL: any bucket-boundary choice must
+# produce the identical bigint rank sums.
+
+
+def q196_global_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide ROC-AUC of the stopword-ratio score against the
+    'is English' label via evalmetrics.roc_auc's two-pass bucketed
+    global rank (group_cols=None) — exact average-rank tie handling,
+    never a single-partition window."""
+    from nyc_etl_pipeline_spark.operators.evalmetrics import roc_auc
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    scored = q19_text_quality(spark, sf_dir).select("doc_id", "stopword_ratio")
+    base = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+    ).join(scored, "doc_id")
+    return roc_auc(base, "stopword_ratio", "y")
+
+
+_Q196_SQL = f"""
+WITH q19 AS ({_Q19_SQL}),
+s AS (
+  SELECT q.stopword_ratio AS sc,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM q19 q JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT y,
+         rank() OVER (ORDER BY sc ASC) AS rmin,
+         count(*) OVER (PARTITION BY sc) AS tie
+  FROM s
+),
+agg AS (
+  SELECT sum(y) AS n_pos, count(*) - sum(y) AS n_neg,
+         sum(CASE WHEN y = 1 THEN 2 * rmin + tie - 1 ELSE 0 END) AS s2
+  FROM r
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         {sql_round_half_up('(s2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg)', 6)}
+       ELSE NULL END AS auc
+FROM agg
+"""
+
+
 RETR_EVAL_K = 10
 
 
@@ -1344,6 +1397,9 @@ SPECS = [
     QuerySpec("q194_spearman", q194_spearman, _Q194_SQL,
               "per-source Spearman rank agreement (exact integer rank "
               "moments, average-rank ties)"),
+    QuerySpec("q196_global_auc", q196_global_auc, _Q196_SQL,
+              "global ROC-AUC via the two-pass range-bucketed rank "
+              "(ungrouped path)"),
     QuerySpec("q186_retrieval_eval", q186_retrieval_eval, _q186_sql(),
               "MRR / recall@k / nDCG@k per query (rank-ordered log2 folds)"),
     QuerySpec("q189_grouped_calibration", q189_grouped_calibration, _Q189_SQL,
