@@ -241,60 +241,92 @@ def logreg_score(
     )
 
 
-def _softmax_probs(x_col: Column, weights: list[list[float]]) -> list[Column]:
-    """Per-class softmax probabilities under fixed weights, every step
-    deterministic and oracle-replicable: per-class margins are the
-    flat index-ordered folds of `_margin`; the max-subtraction
-    stabilizer is exact (max of doubles); each exp() is the bounded
-    1-ulp libm class; the denominator is the LEFT-TO-RIGHT sum of the
-    class exps (== DuckDB list_reduce association).
-
-    NOTE: as single expressions these trees re-inline every margin
-    fold inside the stabilizer and the denominator (~K² dim nodes per
-    probability) — fine for a one-off column, but plan-building cost
-    dominates when K·dim is wide. The train/score paths use
-    `_stage_softmax_probs`, which computes the IDENTICAL float ops in
-    layered projections (linear tree size)."""
-    zs = [_margin(x_col, w) for w in weights]
-    m = F.greatest(*zs) if len(zs) > 1 else zs[0]
-    es = [F.exp(z - m) for z in zs]
-    denom = None
-    for e in es:
-        denom = e if denom is None else denom + e
-    return [e / denom for e in es]
+def _reserved_softmax_names(n_classes: int) -> set[str]:
+    ks = range(n_classes)
+    return (
+        {f"__z{k}" for k in ks} | {f"__e{k}" for k in ks}
+        | {f"__p{k}" for k in ks} | {"__m", "__d"}
+    )
 
 
-def _stage_softmax_probs(
-    df: DataFrame, x_col: str, weights: list[list[float]]
+def _sql_stage_softmax(
+    df: DataFrame, x_name: str, wt_names: list[str], dim: int
 ) -> DataFrame:
-    """`_softmax_probs` as LAYERED projections — margins __z{k}, the
-    max stabilizer __m, exps __e{k}, the left-to-right denominator
-    __d, then probabilities __p{k} — each layer referencing the
-    previous layer's COLUMNS, so the plan tree stays linear in K·dim
-    instead of ~K²·dim per probability (the r10 q190 audit measured
-    ~6.7 s of pure driver-side plan cost at 5000 docs from the
-    re-inlined form). Every alias is referenced more than once by
-    non-cheap expressions, so CollapseProject keeps the staging.
-    Float op order is bit-identical to `_softmax_probs`."""
-    ks = range(len(weights))
-    out = df.select(
-        "*", *[_margin(F.col(x_col), w).alias(f"__z{k}") for k, w in enumerate(weights)]
+    """Softmax probabilities as LAYERED projections — margins __z{k},
+    the max stabilizer __m (exact max of doubles), per-class exps
+    __e{k} (the bounded 1-ulp libm class), the LEFT-TO-RIGHT
+    denominator __d (== DuckDB list_reduce association), then
+    probabilities __p{k}. Each layer references the previous layer's
+    COLUMNS, so the plan tree stays linear in K·dim instead of
+    ~K²·dim per probability (the r10 q190 audit measured ~6.7 s of
+    pure driver-side plan cost at 5000 docs from a re-inlined
+    single-expression form). Two further cost decisions: (a) weights
+    arrive as array COLUMNS (`wt_names`, one per class — a one-row
+    broadcast relation) instead of baked-in literals, and (b) every
+    layer is built as ONE selectExpr of SQL strings instead of ~K·dim
+    py4j Column objects.
+
+    (a) is round-invariant CODEGEN: literals are inlined into the
+    generated Java source, so each GD round's new weights forced a
+    fresh Janino compile of the staging + gradient aggregate —
+    measured as q190's entire per-round residual (~3 s/round at ANY
+    data size, VERDICT r10 item 3). As attributes the weights are
+    DATA: the source is identical across rounds and the codegen cache
+    serves rounds 2..n. (A foldable array literal would NOT work:
+    ConstantFolding collapses element_at(literal_array, i) straight
+    back to a scalar literal.)
+
+    (b) is driver-side cost: building the ~K·dim expression trees
+    through py4j Column calls measured 1.9 s/round at dim 17 x K=5 —
+    ~1 ms per JVM round-trip, thousands of them, ALL constant
+    overhead independent of data. String expressions parse JVM-side
+    in one call.
+
+    Float-literal discipline: `1.0D`/`0.0D` double literals — a bare
+    `1.0` parses as DECIMAL and would change the arithmetic type
+    chain. `+` chains are left-associative in margin/denominator
+    order — the same association as `_margin`'s Column fold (above
+    _MARGIN_FLAT_MAX_TERMS components the margin is the same
+    aggregate() higher-order fold, identical association).
+
+    Caller columns that collide with the staging's internal names
+    (__z{k}, __m, __e{k}, __d, __p{k}) are DROPPED at entry — with
+    them present, the layered select('*', alias) would produce
+    duplicate attributes and an ambiguous-reference
+    AnalysisException (ADVICE r10)."""
+    K = len(wt_names)
+    clash = [c for c in df.columns if c in _reserved_softmax_names(K)]
+    if clash:
+        df = df.drop(*clash)
+    x = f"`{x_name}`"
+    if dim <= _MARGIN_FLAT_MAX_TERMS:
+        margins = [
+            " + ".join(
+                f"element_at({x}, {i}) * element_at({w}, {i})"
+                for i in range(1, dim + 1)
+            )
+            for w in wt_names
+        ]
+    else:
+        margins = [
+            f"aggregate(sequence(1, {dim}), 0.0D, (acc, i) -> "
+            f"acc + element_at({x}, i) * element_at({w}, i))"
+            for w in wt_names
+        ]
+    out = df.selectExpr(
+        "*", *[f"({m}) AS __z{k}" for k, m in enumerate(margins)]
     )
-    zcols = [F.col(f"__z{k}") for k in ks]
-    out = out.select(
-        "*", (F.greatest(*zcols) if len(weights) > 1 else zcols[0]).alias("__m")
+    zlist = ", ".join(f"__z{k}" for k in range(K))
+    out = out.selectExpr(
+        "*", (f"greatest({zlist})" if K > 1 else "__z0") + " AS __m"
     )
-    out = out.select(
-        "*",
-        *[F.exp(F.col(f"__z{k}") - F.col("__m")).alias(f"__e{k}") for k in ks],
+    out = out.selectExpr(
+        "*", *[f"exp(__z{k} - __m) AS __e{k}" for k in range(K)]
     )
-    denom = None
-    for k in ks:
-        e = F.col(f"__e{k}")
-        denom = e if denom is None else denom + e
-    out = out.select("*", denom.alias("__d"))
-    return out.select(
-        "*", *[(F.col(f"__e{k}") / F.col("__d")).alias(f"__p{k}") for k in ks]
+    den = " + ".join(f"__e{k}" for k in range(K))
+    out = out.selectExpr("*", f"({den}) AS __d")
+    return out.selectExpr(
+        "*", *[f"__e{k} / __d AS __p{k}" for k in range(K)]
     )
 
 
@@ -323,6 +355,19 @@ def softmax_train_fixed(
     expressions stays a two-term product (not a re-inlined K-margin
     softmax — the codegen width lesson of _MARGIN_FLAT_MAX_TERMS).
 
+    Round-invariant codegen: the current weights enter the plan as a
+    ONE-ROW broadcast relation of K array<double> columns, not as
+    ~K·dim scalar literals — literals are inlined into the generated
+    Java source, so every round's new weights forced a fresh Janino
+    compile of the staging + 85-expression gradient aggregate
+    (measured as q190's entire per-round residual, ~3 s/round at ANY
+    data size; VERDICT r10 item 3). As attributes the weights are
+    DATA: the generated source is identical across rounds and the
+    codegen cache serves rounds 2..n. The one-row broadcast
+    nested-loop join is O(1) per task and adds no shuffle. (A
+    foldable array literal would NOT work: ConstantFolding collapses
+    element_at(literal_array, i) straight back to a scalar literal.)
+
     Scale shape: per round one corpus aggregate of n_classes·dim
     mergeable sums (map-side combine; only K·dim doubles reach the
     driver per round) over a map-only probability projection — the
@@ -335,34 +380,52 @@ def softmax_train_fixed(
         raise ValueError("n_rounds must be >= 1")
 
     W = [[0.0] * dim for _ in range(n_classes)]
+    spark = feats.sparkSession
     feats = feats.persist()
+    base = feats.select(
+        F.col(x_col).alias("__x"), F.col(label_col).alias("__y")
+    )
+    # gradient aggregate as SQL strings — one selectExpr, JVM-side
+    # parse (the py4j note in _sql_stage_softmax); float ops identical
+    # to the former Column form: double literals (D suffix), same
+    # parenthesization, same cast chain.
+    if exact_decimal:
+        def _acc(c: str) -> str:
+            return (
+                "cast(sum(cast(floor((" + c + ") * 1000000.0D + 0.5D)"
+                " / 1000000.0D as decimal(28,6))) as double)"
+            )
+    else:
+        def _acc(c: str) -> str:
+            return (
+                "cast(sum(cast(floor((" + c + ") * 1000000.0D + 0.5D)"
+                " as bigint)) as double) / 1000000.0D"
+            )
+    g_strs = []
+    for k in range(n_classes):
+        err_k = f"((case when __y = {k} then 1.0D else 0.0D end) - __p{k})"
+        for i in range(1, dim + 1):
+            contrib = f"element_at(__x, {i}) * {err_k}"
+            g_strs.append(
+                f"{_acc(contrib)} / cast(count(1) as double) AS g_{k}_{i}"
+            )
     try:
         for _ in range(n_rounds):
-            scored = _stage_softmax_probs(
-                feats.select(
-                    F.col(x_col).alias("__x"), F.col(label_col).alias("__y")
+            # one-row weight relation: K array columns, broadcast —
+            # round-invariant codegen (see _sql_stage_softmax).
+            wdf = spark.createDataFrame(
+                [tuple([float(v) for v in W[k]] for k in range(n_classes))],
+                schema=", ".join(
+                    f"__wt{k} array<double>" for k in range(n_classes)
                 ),
-                "__x",
-                W,
             )
-            n = F.count(F.lit(1)).cast("double")
-            aggs = []
-            for k in range(n_classes):
-                err_k = (
-                    F.when(F.col("__y") == k, 1.0).otherwise(0.0) - F.col(f"__p{k}")
-                )
-                for i in range(1, dim + 1):
-                    contrib = F.element_at(F.col("__x"), i) * err_k
-                    if exact_decimal:
-                        acc = dec_sum(round_half_up(contrib, 6)).cast("double")
-                    else:
-                        acc = F.sum(
-                            F.floor(contrib * F.lit(1000000.0) + F.lit(0.5)).cast(
-                                "bigint"
-                            )
-                        ).cast("double") / F.lit(1000000.0)
-                    aggs.append((acc / n).alias(f"g_{k}_{i}"))
-            row = scored.agg(*aggs).collect()[0]
+            scored = _sql_stage_softmax(
+                base.crossJoin(F.broadcast(wdf)),
+                "__x",
+                [f"__wt{k}" for k in range(n_classes)],
+                dim,
+            )
+            row = scored.selectExpr(*g_strs).collect()[0]
             W = [
                 [
                     py_round6(W[k][i - 1] + lr * row[f"g_{k}_{i}"])
@@ -382,11 +445,29 @@ def softmax_score(
     x_col: str = "x",
     extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Map-only multiclass scores under fixed weights: (id,
-    [extra_cols...,] p0..p{K-1} rounded 6, pred). pred is the argmax
-    class, FIRST index on exact float ties (array_position semantics —
-    identical to the oracle's list_position)."""
-    staged = _stage_softmax_probs(feats, x_col, weights)
+    """Multiclass scores under fixed weights: (id, [extra_cols...,]
+    p0..p{K-1} rounded 6, pred). pred is the argmax class, FIRST
+    index on exact float ties (array_position semantics — identical
+    to the oracle's list_position).
+
+    The weights ride the same one-row broadcast relation as training
+    (`_sql_stage_softmax`): no shuffle — each task streams its rows
+    past the single broadcast row — and the generated source is
+    weight-invariant, so rescoring with updated weights never
+    recompiles. Caller columns named __wt{k} are dropped (reserved,
+    same contract as the staging's __-names)."""
+    K = len(weights)
+    wt_names = [f"__wt{k}" for k in range(K)]
+    clash = [c for c in feats.columns if c in set(wt_names)]
+    if clash:
+        feats = feats.drop(*clash)
+    wdf = feats.sparkSession.createDataFrame(
+        [tuple([float(v) for v in weights[k]] for k in range(K))],
+        schema=", ".join(f"{w} array<double>" for w in wt_names),
+    )
+    staged = _sql_stage_softmax(
+        feats.crossJoin(F.broadcast(wdf)), x_col, wt_names, len(weights[0])
+    )
     ps = [F.col(f"__p{k}") for k in range(len(weights))]
     parr = F.array(*ps)
     pred = (F.array_position(parr, F.array_max(parr)) - 1).cast("int")

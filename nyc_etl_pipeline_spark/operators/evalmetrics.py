@@ -50,53 +50,79 @@ def _quantile_bounds(
 
 
 def _bucketed_global_cum(
-    per_value: DataFrame, value_col: str, tie_col: str, bounds: list[float]
+    per_value: DataFrame,
+    value_col: str,
+    tie_cols: str | list[str],
+    bounds: list[float],
+    descending: bool = False,
 ) -> DataFrame:
     """TWO-PASS range-bucketed GLOBAL cumulative count over distinct
     values — never a single-partition window: each distinct value maps
     to a bucket via a pure literal expression (deterministic, so
     independent recomputes of the two subtrees cannot disagree), local
     prefix sums run per bucket in parallel, and the <= |buckets|-row
-    prefix-offset table broadcasts back. Adds `__cum` = running count
-    of `tie_col` in ascending `value_col` order, inclusive.
+    prefix-offset table broadcasts back.
+
+    `tie_cols` as a str adds `__cum` = running count of that column in
+    `value_col` order (ascending by default, descending with
+    `descending=True`), inclusive. As a list, adds one running count
+    per column named `__cum_<col>` — all sharing the single local
+    window (average_precision needs cumN AND cumTP from one pass).
+    The bucket id is retained as `__b` (processing order: bucket 0
+    first) for callers that need bucket-ordered recombination.
 
     The bucket expression is a flat sum of literal comparisons, NOT a
     lambda over an array literal: the higher-order-function form
     mis-binds when the input is a persisted relation (r10 probe:
     INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND inside the offsets window,
-    cached input only)."""
+    cached input only). Descending keeps NaN in bucket 0 (every
+    `value < bound` is false), matching Spark's NaN-greatest desc
+    sort order."""
+    single = isinstance(tie_cols, str)
+    cols = [tie_cols] if single else list(tie_cols)
     if bounds:
         bucket = None
         for b in bounds:
-            term = F.when(
-                F.col(value_col).cast("double") > F.lit(float(b)), 1
-            ).otherwise(0)
+            cmp = (
+                F.col(value_col).cast("double") < F.lit(float(b))
+                if descending
+                else F.col(value_col).cast("double") > F.lit(float(b))
+            )
+            term = F.when(cmp, 1).otherwise(0)
             bucket = term if bucket is None else bucket + term
     else:
         bucket = F.lit(0)
     bucketed = per_value.withColumn("__b", bucket)
+    order = F.col(value_col).desc() if descending else F.col(value_col).asc()
     w_loc = (
         W.partitionBy("__b")
-        .orderBy(F.col(value_col).asc())
+        .orderBy(order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    local = bucketed.withColumn("__loc", F.sum(tie_col).over(w_loc))
+    local = bucketed.select(
+        "*", *[F.sum(c).over(w_loc).alias(f"__loc_{c}") for c in cols]
+    )
     # bucket-count prefix offsets: <= |buckets| rows, so the
     # no-partition window here is bounded by construction
     w_off = W.orderBy(F.col("__b").asc()).rowsBetween(W.unboundedPreceding, -1)
     offsets = (
         bucketed.groupBy("__b")
-        .agg(F.sum(tie_col).alias("__bt"))
+        .agg(*[F.sum(c).alias(f"__bt_{c}") for c in cols])
         .select(
             "__b",
-            F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off"),
+            *[
+                F.coalesce(F.sum(f"__bt_{c}").over(w_off), F.lit(0)).alias(
+                    f"__off_{c}"
+                )
+                for c in cols
+            ],
         )
     )
-    return (
-        local.join(F.broadcast(offsets), "__b")
-        .withColumn("__cum", F.col("__loc") + F.col("__off"))
-        .drop("__b", "__loc", "__off")
-    )
+    out = local.join(F.broadcast(offsets), "__b")
+    for c in cols:
+        name = "__cum" if single else f"__cum_{c}"
+        out = out.withColumn(name, F.col(f"__loc_{c}") + F.col(f"__off_{c}"))
+    return out.drop(*[f"__loc_{c}" for c in cols], *[f"__off_{c}" for c in cols])
 
 
 def roc_auc(
@@ -186,6 +212,7 @@ def average_precision(
     score_col: str,
     label_col: str,
     group_cols: list[str] | None = None,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Per-group average precision — the area under the step-
     interpolated precision-recall curve, the imbalanced-class
@@ -207,13 +234,23 @@ def average_precision(
     ordered fold (the q113 discipline) so merge order cannot move a
     last ulp. Groups with no positives get NULL (AP undefined).
 
-    Scale shape / skew bound: the cumulative window AND the ordered
-    fold serialize |distinct scores in the group| through one task —
-    same contract as grouped `roc_auc` (module docstring). The
+    Scale shape / skew bound: GROUPED, the cumulative window AND the
+    ordered fold serialize |distinct scores in the group| through one
+    task — same contract as grouped `roc_auc` (module docstring). The
     pre-aggregation caps that at the score's resolution (a 6-dp score
     bounds it at ~10⁶ rows regardless of corpus size); feed
     near-continuous scores through a rounding first if a group's
-    distinct count is unbounded.
+    distinct count is unbounded. UNGROUPED (`group_cols=None`), both
+    passes are two-pass range-bucketed (shared with `roc_auc` /
+    `spearman_corr`): cumN and cumTP ride ONE descending
+    `_bucketed_global_cum` (parallel per-bucket prefix sums +
+    broadcast offsets), and the ordered fold becomes per-bucket
+    DESC-sorted term ARRAYS concatenated in bucket order and folded
+    once — the fold sees the identical term sequence as the grouped
+    form (same sort key, same left-to-right association), so
+    ungrouped == grouped-constant-key stays BIT-EQUAL while only the
+    final linear fold (bounded by score resolution) is serialized —
+    never the shuffle, sort, or cumulative pass.
 
     Returns (group..., n_pos, n_neg, ap rounded 6).
     """
@@ -223,38 +260,92 @@ def average_precision(
         F.count(F.lit(1)).cast("bigint").alias("__tie"),
         F.sum(lab).cast("bigint").alias("__pos"),
     )
-    w_cum = (
-        W.partitionBy(*[F.col(c) for c in gcols])
-        .orderBy(F.col("__s").desc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    cum = per_score.select(
-        *gcols,
-        "__s",
-        "__tie",
-        "__pos",
-        F.sum("__tie").over(w_cum).alias("__cn"),
-        F.sum("__pos").over(w_cum).alias("__cp"),
-    )
+    if gcols:
+        w_cum = (
+            W.partitionBy(*[F.col(c) for c in gcols])
+            .orderBy(F.col("__s").desc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cum = per_score.select(
+            *gcols,
+            "__s",
+            "__tie",
+            "__pos",
+            F.sum("__tie").over(w_cum).alias("__cn"),
+            F.sum("__pos").over(w_cum).alias("__cp"),
+        )
+    else:
+        bounds = _quantile_bounds(df, score_col, num_buckets)
+        cum = _bucketed_global_cum(
+            per_score, "__s", ["__tie", "__pos"], bounds, descending=True
+        ).select(
+            "__b",
+            "__s",
+            "__tie",
+            "__pos",
+            F.col("__cum___tie").alias("__cn"),
+            F.col("__cum___pos").alias("__cp"),
+        )
     term = (F.col("__pos") * F.col("__cp")).cast("double") / F.col(
         "__cn"
     ).cast("double")
-    agg = cum.groupBy(*gcols).agg(
+    if gcols:
+        agg = cum.groupBy(*gcols).agg(
+            F.sum("__pos").cast("bigint").alias("n_pos"),
+            (F.sum("__tie") - F.sum("__pos")).cast("bigint").alias("n_neg"),
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("__pos") > 0,
+                            F.struct(F.col("__s"), term.alias("__t")),
+                        )
+                    ),
+                    asc=False,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x.getField("__t"),
+            ).alias("__apsum"),
+        )
+        return agg.select(
+            *gcols,
+            "n_pos",
+            "n_neg",
+            F.when(
+                F.col("n_pos") > 0,
+                round_half_up(F.col("__apsum") / F.col("n_pos"), 6),
+            ).alias("ap"),
+        )
+    # ungrouped: per-bucket DESC-sorted term arrays (parallel), then
+    # ONE bucket-ordered concatenation folded left-to-right — the
+    # exact term sequence of the grouped sort_array fold
+    counts = cum.agg(
         F.sum("__pos").cast("bigint").alias("n_pos"),
         (F.sum("__tie") - F.sum("__pos")).cast("bigint").alias("n_neg"),
-        F.aggregate(
+    )
+    per_bucket = (
+        cum.filter(F.col("__pos") > 0)
+        .groupBy("__b")
+        .agg(
             F.sort_array(
-                F.collect_list(
-                    F.when(F.col("__pos") > 0, F.struct(F.col("__s"), term.alias("__t")))
-                ),
+                F.collect_list(F.struct(F.col("__s"), term.alias("__t"))),
                 asc=False,
+            ).alias("__arr")
+        )
+    )
+    folded = per_bucket.agg(
+        F.aggregate(
+            F.flatten(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__b"), F.col("__arr"))),
+                    asc=True,
+                ).getField("__arr")
             ),
             F.lit(0.0),
             lambda acc, x: acc + x.getField("__t"),
-        ).alias("__apsum"),
+        ).alias("__apsum")
     )
-    return agg.select(
-        *gcols,
+    return counts.crossJoin(F.broadcast(folded)).select(
         "n_pos",
         "n_neg",
         F.when(
@@ -349,13 +440,25 @@ def spearman_corr(
     Exactness: every moment is an integer accumulated exactly —
     rows collapse to distinct (x, y) pairs with counts, marginal
     ranks come from one cumulative window per variable over DISTINCT
-    values, and Σ cnt·2rx·2ry / Σ cnt·(2rx)² / … are DECIMAL(38,0)
-    sums (exact past the int64 bound — cnt·(2r)² reaches 4n³, which
-    overflows bigint at ~1.3M rows/group; decimal holds to ~10⁹).
-    The final Pearson combination is the only float arithmetic, a
-    fixed expression over exact integers — deterministic and
-    oracle-replicable (DuckDB sums the same integers in HUGEINT).
-    The constant factor 2 cancels in the ratio.
+    values, and Σ cnt·2rx·2ry / Σ cnt·(2rx)² / … are DECIMAL
+    products of DECIMAL(19,0)-cast factors (cnt·(2r)² reaches 4n³,
+    which overflows bigint at ~1.3M rows/group — with rounded-score
+    tie groups the per-row bigint PRODUCT would wrap around ~3e7
+    rows/group, so each factor is cast to decimal BEFORE the
+    multiply; the decimal(38,0) product and sum stay exact to
+    ~3e12 rows/group). The final Pearson combination is the only
+    float arithmetic, a fixed expression over exact integers —
+    deterministic and oracle-replicable (DuckDB multiplies and sums
+    the same integers in HUGEINT). The constant factor 2 cancels in
+    the ratio.
+
+    NULL handling: rows where either variable is NULL are dropped
+    up front (a rank for NULL is undefined) — `n` counts only
+    fully-observed pairs. This differs from roc_auc /
+    average_precision, which treat a NULL score as one more
+    distinct value group; for a rank CORRELATION there is no
+    defensible place in the order to put NULL, so exclusion is the
+    contract.
 
     Scale shape / skew bound: two distinct-value rank passes + three
     hash aggregates per group. Grouped, each rank window serializes
@@ -369,6 +472,7 @@ def spearman_corr(
     Returns (group..., n, rho rounded 6).
     """
     gcols = group_cols or []
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
 
     def _marg(col: str, alias: str) -> DataFrame:
         per = df.groupBy(*gcols, F.col(col).alias(f"__v_{alias}")).agg(
@@ -402,14 +506,18 @@ def spearman_corr(
     ranked = joint.join(_marg(x_col, "x"), on=[*gcols, "__v_x"]).join(
         _marg(y_col, "y"), on=[*gcols, "__v_y"]
     )
-    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # Cast each FACTOR to decimal before multiplying: a bigint product
+    # cnt·(2r)² wraps silently (non-ANSI) around ~3e7 rows/group with
+    # tie-heavy scores; decimal(19,0)·decimal(19,0)·decimal(19,0)
+    # stays exact in decimal(38,0) to ~3e12 rows/group.
+    d2 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     sums = ranked.groupBy(*gcols).agg(
         F.sum("__c").cast("bigint").alias("n"),
-        F.sum(d(F.col("__c") * F.col("__2r_x"))).alias("__sx"),
-        F.sum(d(F.col("__c") * F.col("__2r_y"))).alias("__sy"),
-        F.sum(d(F.col("__c") * F.col("__2r_x") * F.col("__2r_x"))).alias("__sxx"),
-        F.sum(d(F.col("__c") * F.col("__2r_y") * F.col("__2r_y"))).alias("__syy"),
-        F.sum(d(F.col("__c") * F.col("__2r_x") * F.col("__2r_y"))).alias("__sxy"),
+        F.sum(d2("__c") * d2("__2r_x")).alias("__sx"),
+        F.sum(d2("__c") * d2("__2r_y")).alias("__sy"),
+        F.sum(d2("__c") * d2("__2r_x") * d2("__2r_x")).alias("__sxx"),
+        F.sum(d2("__c") * d2("__2r_y") * d2("__2r_y")).alias("__syy"),
+        F.sum(d2("__c") * d2("__2r_x") * d2("__2r_y")).alias("__sxy"),
     )
     nd = F.col("n").cast("double")
     sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")

@@ -368,6 +368,12 @@ def hybrid_search(
     )
 
 
+# Single-slot registry for sparse_cosine_pairs' persisted tf: the next
+# call evicts the previous call's cache (ADVICE r10 — unbounded
+# accumulation across a long session otherwise leans on LRU eviction).
+_SPARSE_TF_SLOT: list = []
+
+
 def sparse_cosine_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -413,9 +419,12 @@ def sparse_cosine_pairs(
     every instance recomputes the 600M-row explode — the uncached
     first cut regressed the full 10M operator past the hash-aggregate
     form it replaced. The cached rows are narrow (id, term, tf — the
-    token arrays are never stored or shuffled). The persist lives
-    until LRU eviction (the ivf-quantizer-cache precedent); callers
-    looping over many corpora can spark.catalog.clearCache().
+    token arrays are never stored or shuffled). Each call UNPERSISTS
+    the previous call's tf (module-level single-slot registry — the
+    centroid-cache precedent), so a long-running session looping over
+    corpora holds at most one tf cache at a time instead of relying
+    on LRU eviction; unpersist is lazy-safe (a still-referenced prior
+    result simply recomputes its tf subtree if re-collected).
 
     Returns (a_id, b_id, cosine rounded 4), a_id < b_id.
     """
@@ -442,8 +451,17 @@ def sparse_cosine_pairs(
                 F.filter(F.col("__tt"), lambda x: x == F.col("term"))
             ).cast("bigint").alias("tf"),
         )
-        .persist()
     )
+    # Evict BEFORE persisting the new tf: the cache manager keys on the
+    # canonicalized plan, so a same-corpus repeat call shares the cache
+    # entry — unpersisting the old handle afterwards would drop both.
+    while _SPARSE_TF_SLOT:
+        try:
+            _SPARSE_TF_SLOT.pop().unpersist()
+        except Exception:
+            pass  # a dead SparkSession's cache is already gone
+    tf = tf.persist()
+    _SPARSE_TF_SLOT.append(tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df") <= max_df)

@@ -76,24 +76,24 @@ _DRIVER_EVIDENCE: dict[str, int] = {
     "q118_recursive_bfs": 9, "q119_passage_dedup": 9,
     "q120_incremental_mart": 9, "q121_psi_drift": 9, "q122_zorder_key": 9,
     "q123_semantic_dedup": 9, "q124_cms_heavy_hitters": 9,
-    "q126_mixture_sample": 9, "q127_incremental_neardup": 6,
-    "q128_containment_pairs": 6, "q129_interval_overlap": 6,
-    "q130_trend_fit": 6, "q131_radius_pairs": 6, "q132_session_transitions": 6,
-    "q133_twap": 6, "q134_running_distinct": 6, "q135_hist_quantiles": 6,
-    "q136_salted_join": 6, "q137_bpe_encode": 6, "q138_token_budget": 6,
-    "q139_cdc_apply": 6, "q140_source_quantiles": 6, "q141_jaccard_prefix": 6,
-    "q142_mad_outliers": 6, "q143_skyline": 6, "q144_rolling_median": 6,
-    "q145_jl_project": 6, "q146_weighted_median": 6, "q147_session_lift": 6,
-    "q148_ip_cidr": 6, "q149_table_diff": 6, "q150_capped_sessions": 6,
-    "q151_tfidf_keywords": 6, "q152_winsorize": 6, "q153_benford": 6,
-    "q154_phrase_search": 6, "q155_feature_hashing": 6,
-    "q156_join_maintenance": 6, "q157_ks_drift": 6, "q158_theil_sen": 6,
-    "q159_gini": 6, "q160_source_overlap": 6,
+    "q126_mixture_sample": 9, "q127_incremental_neardup": 10,
+    "q128_containment_pairs": 10, "q129_interval_overlap": 10,
+    "q130_trend_fit": 10, "q131_radius_pairs": 10, "q132_session_transitions": 10,
+    "q133_twap": 10, "q134_running_distinct": 10, "q135_hist_quantiles": 10,
+    "q136_salted_join": 10, "q137_bpe_encode": 10, "q138_token_budget": 10,
+    "q139_cdc_apply": 10, "q140_source_quantiles": 10, "q141_jaccard_prefix": 10,
+    "q142_mad_outliers": 10, "q143_skyline": 10, "q144_rolling_median": 10,
+    "q145_jl_project": 10, "q146_weighted_median": 10, "q147_session_lift": 10,
+    "q148_ip_cidr": 10, "q149_table_diff": 10, "q150_capped_sessions": 10,
+    "q151_tfidf_keywords": 10, "q152_winsorize": 10, "q153_benford": 10,
+    "q154_phrase_search": 10, "q155_feature_hashing": 10,
+    "q156_join_maintenance": 10, "q157_ks_drift": 10, "q158_theil_sen": 10,
+    "q159_gini": 10, "q160_source_overlap": 10,
     # round-7 green rows (CORRECTNESS_r07.json, 50/50 — includes the
     # first driver evidence for q125_bpe_merges and q161_phrase_slop)
-    "q02_weekly_sales_report": 7, "q03_clean_project": 7,
-    "q04_dim_upsert_anti": 7, "q05_watermark_incremental": 7,
-    "q06_date_dim": 7, "q07_fact_datejoin": 7, "q08_top_customers": 7,
+    "q02_weekly_sales_report": 10, "q03_clean_project": 10,
+    "q04_dim_upsert_anti": 10, "q05_watermark_incremental": 10,
+    "q06_date_dim": 10, "q07_fact_datejoin": 10, "q08_top_customers": 7,
     "q09_window_rank": 7, "q10_rollup": 7, "q11_semi_join": 7,
     "q12_pivot_linestatus": 7, "q13_events_tumbling": 7,
     "q14_events_sliding": 7, "q15_sessionize": 7, "q16_json_extract": 7,
@@ -125,6 +125,13 @@ _DRIVER_EVIDENCE: dict[str, int] = {
     "q178_sparse_cosine": 9, "q179_bigram_nll": 9, "q180_cluster_reps": 9,
     "q181_bucketed_join": 9, "q182_adamic_adar": 9, "q183_mixture_plan": 9,
     "q184_roc_auc": 9, "q185_calibration": 9, "q186_retrieval_eval": 9,
+    # round-10 green rows (CORRECTNESS_r10.json, 50/50 — first driver
+    # evidence for the 10 r10 additions q187-q196)
+    "q187_maintained_hll": 10, "q188_substring_dedup": 10,
+    "q189_grouped_calibration": 10, "q190_softmax_langid": 10,
+    "q191_substring_removal": 10, "q192_maintained_mg": 10,
+    "q193_avg_precision": 10, "q194_spearman": 10, "q195_maintained_mart": 10,
+    "q196_global_auc": 10,
 }
 
 # Backwards-compatible view used by the window-invariant test and the

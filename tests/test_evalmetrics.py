@@ -220,6 +220,50 @@ def test_ap_matches_bruteforce(spark):
     assert got["n_neg"] == len(rows) - got["n_pos"]
 
 
+def test_ap_ungrouped_two_pass_equals_grouped_constant_key(spark):
+    """The ungrouped path (descending two-pass bucketed cum + bucket-
+    ordered term fold) must agree BIT-EXACTLY with the grouped path
+    under a constant key — the fold sees the identical desc-sorted
+    term sequence, so not even a last ulp may differ."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nyc_etl_pipeline_spark.operators.evalmetrics import average_precision
+
+    rng = random.Random(29)
+    rows = [(round(rng.random(), 2), rng.randint(0, 1)) for _ in range(800)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    ung = average_precision(df, "s", "y").collect()[0]
+    grp = average_precision(
+        df.withColumn("g", F.lit("k")), "s", "y", ["g"]
+    ).collect()[0]
+    assert (ung["n_pos"], ung["n_neg"], ung["ap"]) == (
+        grp["n_pos"], grp["n_neg"], grp["ap"],
+    )
+    assert ung["ap"] is not None
+    # persisted input (the roc_auc cache mis-bind trigger, r10)
+    cached = df.persist()
+    try:
+        cached.count()
+        got = average_precision(cached, "s", "y").collect()[0]
+        assert (got["n_pos"], got["n_neg"], got["ap"]) == (
+            ung["n_pos"], ung["n_neg"], ung["ap"],
+        )
+    finally:
+        cached.unpersist()
+    # degenerate bucket structure: constant score (single distinct
+    # value, one bucket) and no-positive corpus (empty fold -> NULL)
+    one = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0)], "s double, y int"
+    )
+    assert average_precision(one, "s", "y").collect()[0]["ap"] == 0.5
+    nopos = spark.createDataFrame(
+        [(0.3, 0), (0.7, 0)], "s double, y int"
+    )
+    assert average_precision(nopos, "s", "y").collect()[0]["ap"] is None
+
+
 def test_ap_per_group_independence(spark):
     from nyc_etl_pipeline_spark.operators.evalmetrics import average_precision
 
@@ -363,3 +407,40 @@ def test_spearman_ungrouped_two_pass_equals_grouped_constant_key(spark):
         assert (got["n"], got["rho"]) == (ung["n"], ung["rho"])
     finally:
         cached.unpersist()
+
+
+def test_spearman_null_rows_excluded(spark):
+    """Rows with NULL in either variable are dropped up front: n and
+    rho must equal the computation on the explicitly-filtered subset
+    (documented contract — a rank for NULL is undefined)."""
+    from nyc_etl_pipeline_spark.operators.evalmetrics import spearman_corr
+
+    rows = [
+        (1.0, 3.0), (2.0, 2.0), (3.0, 1.0),
+        (None, 9.0), (4.0, None), (None, None),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = spearman_corr(df, "x", "y").collect()[0]
+    clean = spark.createDataFrame(rows[:3], "x double, y double")
+    want = spearman_corr(clean, "x", "y").collect()[0]
+    assert got["n"] == 3
+    assert (got["n"], got["rho"]) == (want["n"], want["rho"])
+
+
+def test_spearman_moment_products_exact_past_bigint(spark):
+    """Regression (ADVICE r10 medium): the per-row moment product
+    cnt·(2r)² must be computed in decimal, not bigint — with 3M rows
+    in 2 tie groups the bigint product wraps (cnt≈1.5e6, (2r)²≈2e13,
+    product ≈ 3e19 > int64 max) and silently corrupts rho. x == y
+    here, so the exact answer is rho = 1.0."""
+    from pyspark.sql import functions as F
+
+    from nyc_etl_pipeline_spark.operators.evalmetrics import spearman_corr
+
+    df = spark.range(3_000_000).select(
+        (F.col("id") % 2).cast("double").alias("x"),
+        (F.col("id") % 2).cast("double").alias("y"),
+    )
+    got = spearman_corr(df, "x", "y").collect()[0]
+    assert got["n"] == 3_000_000
+    assert got["rho"] == 1.0

@@ -479,3 +479,33 @@ def test_sparse_cosine_max_df_drops_stop_terms(spark):
               for r in sparse_cosine_pairs(docs, max_df=2, threshold=0.01).collect()}
     assert (1, 3) in uncapped and (2, 3) in uncapped
     assert capped == {(1, 2)}
+
+
+def test_sparse_cosine_tf_cache_single_slot(spark):
+    """Repeated calls must not accumulate persisted tf relations
+    (ADVICE r10): the module-level slot unpersists the previous
+    call's cache, so after N calls exactly one sparse-tf cache
+    entry is live — and the evicted call's result still collects
+    correctly (lazy recompute)."""
+    from nyc_etl_pipeline_spark.operators import retrieval
+    from nyc_etl_pipeline_spark.operators.retrieval import sparse_cosine_pairs
+
+    docs = spark.createDataFrame([
+        (1, "apple banana cherry apple banana"),
+        (2, "apple banana cherry apple grape"),
+        (3, "totally unrelated words about engines and pistons"),
+    ], "doc_id long, text string")
+    docs2 = spark.createDataFrame([
+        (7, "pear quince fig pear quince"),
+        (8, "pear quince fig pear melon"),
+        (9, "other things entirely like gears and sprockets"),
+    ], "doc_id long, text string")
+    first = sparse_cosine_pairs(docs, threshold=0.3)
+    first_tf = retrieval._SPARSE_TF_SLOT[0]
+    second = sparse_cosine_pairs(docs2, threshold=0.3)
+    assert len(retrieval._SPARSE_TF_SLOT) == 1
+    assert retrieval._SPARSE_TF_SLOT[0] is not first_tf
+    assert first_tf.storageLevel.useMemory is False  # unpersisted
+    assert retrieval._SPARSE_TF_SLOT[0].storageLevel.useMemory is True
+    # the evicted first result still computes (recomputes tf lazily)
+    assert first.count() == second.count() == 1
