@@ -617,3 +617,107 @@ def retrieval_eval(
             round_half_up(F.coalesce("__dcg", F.lit(0.0)) / idcg, 6),
         ).alias("ndcg_at_k"),
     )
+
+
+def retrieval_eval_graded(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    gain_col: str = "gain",
+) -> DataFrame:
+    """`retrieval_eval` with GRADED relevance — `relevant` carries a
+    per-(query, doc) gain (e.g. 2 = exact answer, 1 = partial) and
+    nDCG weights each hit by its gain:
+
+        DCG@k  = Σ_{hits, rank asc}  gain / log2(rank+1)
+        IDCG@k = Σ_{i=1..min(|rel|,k)}  gain_(i) / log2(i+1)
+                 (gain_(i) = i-th LARGEST gain in the truth set)
+
+    MRR and recall@k stay binary over the gain > 0 truth rows — the
+    standard graded-eval convention (a judged-but-irrelevant doc is
+    not a "hit"); rows with gain <= 0 or NULL are dropped up front
+    (they would contribute nothing to any metric).
+
+    Determinism: both folds are ORDERED (the q113 discipline) — DCG
+    by ascending rank, IDCG by descending gain (equal gains are
+    interchangeable terms, so tie order cannot move a digit); each
+    term is one division and one log2 (the bounded 1-ulp libm class).
+
+    Scale shape: same joins and per-query aggregates as
+    `retrieval_eval`, except IDCG's fold state is min(|rel|, k) gains
+    AFTER a per-query sort of the |rel| truth gains — per-query truth
+    sets are assumed bounded (they are human/LLM judgments, not the
+    corpus). Duplicate tolerance: (query, doc) truth rows collapse to
+    their MAX gain; repeated top-k ranks collapse to the first.
+    Returns (query, n_rel, hits_at_k, mrr, recall_at_k, ndcg_at_k),
+    metrics rounded 6.
+    """
+    q, d, r, g = query_col, id_col, rank_col, gain_col
+    topk = ranked.filter(F.col(r) <= k).groupBy(q, d).agg(F.min(r).alias(r))
+    rel = (
+        relevant.filter(F.col(g) > 0)
+        .groupBy(q, d)
+        .agg(F.max(F.col(g).cast("double")).alias(g))
+    )
+    rel_aggs = rel.groupBy(q).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel"),
+        F.sort_array(F.collect_list(F.col(g)), asc=False).alias("__gains"),
+    )
+    hit_aggs = (
+        topk.join(rel, on=[q, d])
+        .groupBy(q)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits_at_k"),
+            F.min(r).cast("bigint").alias("__first"),
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col(r).cast("bigint").alias("__r"), F.col(g).alias("__g"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + (
+                    x.getField("__g")
+                    / F.log2(x.getField("__r").cast("double") + 1.0)
+                ),
+            ).alias("__dcg"),
+        )
+    )
+    m = F.least(F.col("n_rel"), F.lit(k)).cast("int")
+    idcg = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("__gains"), 1, m),
+            F.sequence(F.lit(1), m),
+            lambda gv, i: gv / F.log2(i.cast("double") + 1.0),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    base = (
+        ranked.select(q)
+        .dropDuplicates()
+        .join(rel_aggs, on=q, how="left")
+        .join(hit_aggs, on=q, how="left")
+    )
+    return base.select(
+        q,
+        F.coalesce("n_rel", F.lit(0)).cast("bigint").alias("n_rel"),
+        F.coalesce("hits_at_k", F.lit(0)).cast("bigint").alias("hits_at_k"),
+        round_half_up(
+            F.when(F.col("__first").isNotNull(), F.lit(1.0) / F.col("__first"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("mrr"),
+        F.when(
+            F.coalesce("n_rel", F.lit(0)) > 0,
+            round_half_up(F.coalesce("hits_at_k", F.lit(0)) / F.col("n_rel"), 6),
+        ).alias("recall_at_k"),
+        F.when(
+            F.coalesce("n_rel", F.lit(0)) > 0,
+            round_half_up(F.coalesce("__dcg", F.lit(0.0)) / idcg, 6),
+        ).alias("ndcg_at_k"),
+    )

@@ -1802,3 +1802,78 @@ SPECS.append(
               "streaming-maintained incremental mart: merge(partials) == "
               "direct recompute, full value parity")
 )
+
+
+# --------------------------------------------------------------------------
+# q197 — maintainer COMPACTION lifecycle: maintain -> compact ->
+# continue maintaining -> replay -> merged result still equals the
+# direct recompute
+# --------------------------------------------------------------------------
+# q195 gates the maintainer itself; this gates the lifecycle a
+# long-running 100 TB mart actually lives (VERDICT r10 item 7):
+# streaming partials accumulate small files, a periodic
+# `Warehouse.compact` folds them, and BOTH the exactly-once replay
+# contract and value parity must survive the compaction —
+# specifically, compact must preserve the batch_id partition layout
+# (an unpartitioned rewrite would leave old rows in root files while
+# a post-compaction replay writes a fresh batch_id dir, double-
+# counting). The gate interleaves: batches 0-1, compact, batches 2-3,
+# then a REPLAY of batch 2 after compaction; the merged mart must
+# still equal the oracle's direct aggregate of the whole table.
+
+MART_LIFECYCLE_BATCHES = 4
+
+# sf_dir -> temp warehouse root (q187 memoization contract).
+_MART_LIFECYCLE_INDEX: dict[str, str] = {}
+
+
+def q197_mart_compaction_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type mart through maintain -> compact -> maintain ->
+    replay: one merge aggregation over the stored partials, with a
+    small-file compaction folded into the middle of the batch
+    history."""
+    import tempfile
+
+    from nyc_etl_pipeline_spark.io import Warehouse
+    from nyc_etl_pipeline_spark.streaming.sinks import (
+        mart_maintainer,
+        merged_mart,
+    )
+
+    keys, measures = ["event_type"], ["value"]
+    e = read_testdata(spark, sf_dir, "events")
+    nb = MART_LIFECYCLE_BATCHES
+    if sf_dir not in _MART_LIFECYCLE_INDEX:
+        root = tempfile.mkdtemp(prefix="mart_lifecycle_")
+        wh = Warehouse(spark, root)
+        write_batch = mart_maintainer(wh, "mart", keys, measures)
+        for b in (0, 1):
+            write_batch(
+                e.filter(F.pmod(F.col("user_id"), F.lit(nb)) == b), b
+            )
+        # fold the small-file history mid-stream; must keep batch_id
+        # partition dirs (the replay contract's load-bearing invariant)
+        wh.compact("mart", target_file_mb=512)
+        assert wh._partition_columns("mart") == ["batch_id"]
+        for b in (2, 3):
+            write_batch(
+                e.filter(F.pmod(F.col("user_id"), F.lit(nb)) == b), b
+            )
+        # retry replay AFTER the compaction: idempotent rewrite, and a
+        # pre-compaction batch replayed post-compaction (batch 1) must
+        # overwrite its compacted partition rather than double-count
+        write_batch(e.filter(F.pmod(F.col("user_id"), F.lit(nb)) == 2), 2)
+        write_batch(e.filter(F.pmod(F.col("user_id"), F.lit(nb)) == 1), 1)
+        _MART_LIFECYCLE_INDEX[sf_dir] = root
+    wh = Warehouse(spark, _MART_LIFECYCLE_INDEX[sf_dir])
+    return merged_mart(wh, "mart", keys, measures)
+
+
+SPECS.append(
+    QuerySpec("q197_mart_compaction_lifecycle", q197_mart_compaction_lifecycle,
+              _Q195_SQL,
+              "maintainer compaction lifecycle: maintain -> compact -> "
+              "maintain -> replay == direct recompute")
+)

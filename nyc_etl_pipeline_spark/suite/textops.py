@@ -1347,6 +1347,107 @@ LEFT JOIN hits USING (query_id)
 """
 
 
+# --------------------------------------------------------------------------
+# q198 — graded-relevance nDCG (VERDICT r10 stretch): q186's harness
+# with a 3-level gain (en = 2, de = 1, everything else 0 — judged but
+# irrelevant, exercising the gain > 0 truth filter). DCG weights each
+# top-k hit by its gain; IDCG is the gain-DESC ideal ordering. MRR and
+# recall stay binary over gain > 0 rows.
+# --------------------------------------------------------------------------
+
+
+def q198_graded_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded nDCG@k / MRR / recall@k of the per-source quality-score
+    ranking against a 3-level language-based gain
+    (evalmetrics.retrieval_eval_graded)."""
+    from pyspark.sql import Window as W
+
+    from nyc_etl_pipeline_spark.operators.evalmetrics import (
+        retrieval_eval_graded,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    scored = q19_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    base = docs.select("doc_id", "source", "lang").join(scored, "doc_id")
+    w = W.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = base.select(
+        F.col("source").alias("query_id"),
+        "doc_id",
+        F.row_number().over(w).alias("rank"),
+    )
+    relevant = base.select(
+        F.col("source").alias("query_id"),
+        "doc_id",
+        F.when(F.col("lang") == "en", 2.0)
+        .when(F.col("lang") == "de", 1.0)
+        .otherwise(0.0)
+        .alias("gain"),
+    )
+    return retrieval_eval_graded(ranked, relevant, k=RETR_EVAL_K)
+
+
+def _q198_sql() -> str:
+    gain = "CASE WHEN lang = 'en' THEN 2.0 WHEN lang = 'de' THEN 1.0 ELSE 0.0 END"
+    dcg = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(CAST(gain / log2(rank + 1.0) AS DOUBLE) ORDER BY rank)), "
+        "(acc, x) -> acc + x)"
+    )
+    idcg = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, least(n_rel, {RETR_EVAL_K}) + 1), "
+        f"i -> CAST(gains[i] / log2(i + 1.0) AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH q19 AS ({_Q19_SQL}),
+base AS (
+  SELECT d.doc_id, d.source, d.lang, q.quality_score
+  FROM q19 q JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT source AS query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY source ORDER BY quality_score DESC, doc_id ASC
+         ) AS rank
+  FROM base
+),
+relevant AS (
+  SELECT source AS query_id, doc_id, CAST({gain} AS DOUBLE) AS gain
+  FROM base
+  WHERE {gain} > 0
+),
+rel_n AS (
+  SELECT query_id, count(*) AS n_rel,
+         list(CAST(gain AS DOUBLE) ORDER BY gain DESC) AS gains
+  FROM relevant GROUP BY 1
+),
+hits AS (
+  SELECT r.query_id, count(*) AS hits_at_k, min(rank) AS first_rank,
+         {dcg} AS dcg
+  FROM ranked r JOIN relevant v USING (query_id, doc_id)
+  WHERE rank <= {RETR_EVAL_K}
+  GROUP BY 1
+),
+qs AS (SELECT DISTINCT query_id FROM ranked)
+SELECT qs.query_id,
+       CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel,
+       CAST(coalesce(hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       floor((CASE WHEN first_rank IS NOT NULL THEN 1.0 / first_rank ELSE 0.0 END)
+             * 1000000.0 + 0.5) / 1000000.0 AS mrr,
+       CASE WHEN coalesce(n_rel, 0) > 0 THEN
+         floor((coalesce(hits_at_k, 0) / n_rel) * 1000000.0 + 0.5) / 1000000.0
+       ELSE NULL END AS recall_at_k,
+       CASE WHEN coalesce(n_rel, 0) > 0 THEN
+         floor((coalesce(dcg, 0.0) / ({idcg})) * 1000000.0 + 0.5) / 1000000.0
+       ELSE NULL END AS ndcg_at_k
+FROM qs
+LEFT JOIN rel_n USING (query_id)
+LEFT JOIN hits USING (query_id)
+"""
+
+
 SPECS = [
     QuerySpec("q17_exact_dedup", q17_exact_dedup, _Q17_SQL,
               "exact dedup via md5 digest group-by"),
@@ -1404,4 +1505,7 @@ SPECS = [
               "MRR / recall@k / nDCG@k per query (rank-ordered log2 folds)"),
     QuerySpec("q189_grouped_calibration", q189_grouped_calibration, _Q189_SQL,
               "per-domain reliability bins + ECE (hash aggs only)"),
+    QuerySpec("q198_graded_retrieval_eval", q198_graded_retrieval_eval,
+              _q198_sql(),
+              "graded-relevance nDCG@k (gain-weighted DCG, gain-DESC ideal)"),
 ]

@@ -273,6 +273,48 @@ def test_ap_per_group_independence(spark):
     assert got == {"a": 1.0, "b": 0.5}
 
 
+def test_retrieval_eval_graded_hand_case(spark):
+    """Graded nDCG closed forms: a perfect gain-descending ranking
+    scores 1.0; swapping the top two grades gives the hand-computed
+    ratio; zero-gain truth rows are dropped (judged-but-irrelevant);
+    duplicate truth rows collapse to MAX gain."""
+    import math
+
+    from nyc_etl_pipeline_spark.operators.evalmetrics import (
+        retrieval_eval_graded,
+    )
+
+    ranked = spark.createDataFrame(
+        [
+            # qa: ranks gains 2,1 in ideal order -> ndcg 1
+            ("qa", "d1", 1), ("qa", "d2", 2), ("qa", "d3", 3),
+            # qb: gain-1 doc above gain-2 doc -> hand-computed ndcg
+            ("qb", "e1", 1), ("qb", "e2", 2), ("qb", "e3", 3),
+        ],
+        "query_id string, doc_id string, rank int",
+    )
+    relevant = spark.createDataFrame(
+        [
+            ("qa", "d1", 2.0), ("qa", "d2", 1.0), ("qa", "d3", 0.0),
+            ("qb", "e1", 1.0), ("qb", "e2", 2.0),
+            ("qb", "e2", 1.0),  # duplicate judgment: max gain wins
+        ],
+        "query_id string, doc_id string, gain double",
+    )
+    got = {
+        r["query_id"]: r
+        for r in retrieval_eval_graded(ranked, relevant, k=3).collect()
+    }
+    assert got["qa"]["n_rel"] == 2  # zero-gain d3 dropped
+    assert got["qa"]["ndcg_at_k"] == 1.0
+    assert got["qa"]["mrr"] == 1.0 and got["qa"]["recall_at_k"] == 1.0
+    dcg_b = 1.0 / math.log2(2.0) + 2.0 / math.log2(3.0)
+    idcg_b = 2.0 / math.log2(2.0) + 1.0 / math.log2(3.0)
+    want = math.floor(dcg_b / idcg_b * 1e6 + 0.5) / 1e6
+    assert got["qb"]["ndcg_at_k"] == want
+    assert got["qb"]["n_rel"] == 2 and got["qb"]["hits_at_k"] == 2
+
+
 # --------------------------------------------------------------------------
 # spearman_corr
 # --------------------------------------------------------------------------
