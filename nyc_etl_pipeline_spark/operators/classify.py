@@ -25,12 +25,14 @@ Cross-engine determinism, component by component:
   re-quantized to 6 dp, keeping every round's weights short exact
   decimals.
 
-Scale shape: per round ONE corpus-wide aggregate — dim dec_sums with
-map-side partial combine, no shuffle of the corpus, no join (the
-current weights are dim literals baked into the plan, the kmeans
-broadcast-free trick); only `dim` doubles ever reach the driver per
-round. Scoring is map-only. Feature extraction is one explode + one
-hash-grouped count, the same shape as every other text operator here.
+Scale shape: per round ONE corpus-wide aggregate — dim exact sums
+with map-side partial combine, no shuffle of the corpus; the current
+weights ride a ONE-ROW broadcast relation (not inlined literals — the
+round-invariant-codegen decision, see _sql_stage_softmax); only `dim`
+doubles ever reach the driver per round. Scoring is map-only (scores)
+or map + one-row broadcast (softmax). Feature extraction is one
+explode + one hash-grouped count, the same shape as every other text
+operator here.
 """
 
 from __future__ import annotations
@@ -41,7 +43,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nyc_etl_pipeline_spark.functions import (
-    dec_sum,
     md5_long,
     round_half_up,
     sql_md5_long,
@@ -197,28 +198,33 @@ def logreg_train_fixed(
     if n_rounds < 1:
         raise ValueError("n_rounds must be >= 1")
 
-    def g_expr(i: int, n) -> Column:
-        contrib = F.element_at(F.col("__x"), i) * F.col("__e")
-        if exact_decimal:
-            acc = dec_sum(round_half_up(contrib, 6)).cast("double")
-        else:
-            acc = F.sum(
-                F.floor(contrib * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
-            ).cast("double") / F.lit(1000000.0)
-        return (acc / n).alias(f"g{i}")
-
+    # Same per-round cost levers as softmax_train_fixed: weights as a
+    # one-row broadcast relation (round-invariant codegen — literal
+    # weights recompile the dim-wide gradient aggregate every round)
+    # and SQL-string expressions (one JVM-side parse, not ~dim py4j
+    # Column round-trips). Float ops bit-identical to the former
+    # Column form (D-suffixed double literals, same association).
     w = [0.0] * dim
+    spark = feats.sparkSession
     feats = feats.persist()
+    base = feats.select(
+        F.col(x_col).alias("__x"), F.col(label_col).alias("__y")
+    )
+    err = f"(__y - (1.0D / (1.0D + exp(-({_sql_margin('__x', '__wt', dim)})))))"
+    g_strs = [
+        f"{_sql_grad_acc(f'element_at(__x, {i}) * __e', exact_decimal)}"
+        f" / cast(count(1) as double) AS g{i}"
+        for i in range(1, dim + 1)
+    ]
     try:
         for _ in range(n_rounds):
-            err = (F.col(label_col) - _sigmoid(_margin(F.col(x_col), w))).alias(
-                "__e"
+            wdf = spark.createDataFrame(
+                [([float(v) for v in w],)], schema="__wt array<double>"
             )
-            scored = feats.select(F.col(x_col).alias("__x"), err)
-            n = F.count(F.lit(1)).cast("double")
-            grads = scored.agg(
-                *[g_expr(i, n) for i in range(1, dim + 1)]
-            ).collect()[0]
+            scored = base.crossJoin(F.broadcast(wdf)).selectExpr(
+                "__x", f"{err} AS __e"
+            )
+            grads = scored.selectExpr(*g_strs).collect()[0]
             w = [py_round6(w[i - 1] + lr * grads[f"g{i}"]) for i in range(1, dim + 1)]
     finally:
         feats.unpersist()
@@ -246,6 +252,40 @@ def _reserved_softmax_names(n_classes: int) -> set[str]:
     return (
         {f"__z{k}" for k in ks} | {f"__e{k}" for k in ks}
         | {f"__p{k}" for k in ks} | {"__m", "__d"}
+    )
+
+
+def _sql_margin(x_name: str, w_name: str, dim: int) -> str:
+    """w·x as a SQL string with the weights read from array column
+    `w_name`: flat left-associative chain within codegen width,
+    aggregate() fold above it — the string twin of `_margin`, same
+    association order, weights as attributes (see _sql_stage_softmax
+    for why literals are a per-round Janino recompile)."""
+    x = f"`{x_name}`"
+    if dim <= _MARGIN_FLAT_MAX_TERMS:
+        return " + ".join(
+            f"element_at({x}, {i}) * element_at({w_name}, {i})"
+            for i in range(1, dim + 1)
+        )
+    return (
+        f"aggregate(sequence(1, {dim}), 0.0D, (acc, i) -> "
+        f"acc + element_at({x}, i) * element_at({w_name}, i))"
+    )
+
+
+def _sql_grad_acc(contrib: str, exact_decimal: bool) -> str:
+    """The gradient accumulator as a SQL string — value-identical to
+    the former Column forms: bigint micro-units by default (floor-form
+    6 dp round then exact long sum), DECIMAL(28,6) via exact_decimal
+    (the dec_sum path). `D` suffixes keep every literal a double."""
+    if exact_decimal:
+        return (
+            f"cast(sum(cast(floor(({contrib}) * 1000000.0D + 0.5D)"
+            f" / 1000000.0D as decimal(28,6))) as double)"
+        )
+    return (
+        f"cast(sum(cast(floor(({contrib}) * 1000000.0D + 0.5D)"
+        f" as bigint)) as double) / 1000000.0D"
     )
 
 
@@ -298,21 +338,7 @@ def _sql_stage_softmax(
     clash = [c for c in df.columns if c in _reserved_softmax_names(K)]
     if clash:
         df = df.drop(*clash)
-    x = f"`{x_name}`"
-    if dim <= _MARGIN_FLAT_MAX_TERMS:
-        margins = [
-            " + ".join(
-                f"element_at({x}, {i}) * element_at({w}, {i})"
-                for i in range(1, dim + 1)
-            )
-            for w in wt_names
-        ]
-    else:
-        margins = [
-            f"aggregate(sequence(1, {dim}), 0.0D, (acc, i) -> "
-            f"acc + element_at({x}, i) * element_at({w}, i))"
-            for w in wt_names
-        ]
+    margins = [_sql_margin(x_name, w, dim) for w in wt_names]
     out = df.selectExpr(
         "*", *[f"({m}) AS __z{k}" for k, m in enumerate(margins)]
     )
@@ -389,25 +415,14 @@ def softmax_train_fixed(
     # parse (the py4j note in _sql_stage_softmax); float ops identical
     # to the former Column form: double literals (D suffix), same
     # parenthesization, same cast chain.
-    if exact_decimal:
-        def _acc(c: str) -> str:
-            return (
-                "cast(sum(cast(floor((" + c + ") * 1000000.0D + 0.5D)"
-                " / 1000000.0D as decimal(28,6))) as double)"
-            )
-    else:
-        def _acc(c: str) -> str:
-            return (
-                "cast(sum(cast(floor((" + c + ") * 1000000.0D + 0.5D)"
-                " as bigint)) as double) / 1000000.0D"
-            )
     g_strs = []
     for k in range(n_classes):
         err_k = f"((case when __y = {k} then 1.0D else 0.0D end) - __p{k})"
         for i in range(1, dim + 1):
             contrib = f"element_at(__x, {i}) * {err_k}"
             g_strs.append(
-                f"{_acc(contrib)} / cast(count(1) as double) AS g_{k}_{i}"
+                f"{_sql_grad_acc(contrib, exact_decimal)}"
+                f" / cast(count(1) as double) AS g_{k}_{i}"
             )
     try:
         for _ in range(n_rounds):

@@ -380,6 +380,7 @@ def sparse_cosine_pairs(
     text_col: str = "text",
     max_df: int | None = None,
     threshold: float = 0.3,
+    vocab_broadcast: bool = True,
 ) -> DataFrame:
     """All document pairs with TF-IDF cosine >= threshold, computed
     through the inverted index — the sparse-vector companion of the
@@ -400,7 +401,14 @@ def sparse_cosine_pairs(
     the retained vocabulary): the standard prefix/stopword cap that
     bounds per-term fan-out at max_df^2 and is how this survives a
     100 TB corpus (high-df terms carry near-zero idf anyway). None
-    keeps it exact.
+    keeps it exact. `vocab_broadcast` picks how idf reaches the
+    profile: True (default) broadcasts the (term, df) vocabulary —
+    zero shuffles of the profile, right while the retained vocabulary
+    fits a broadcast; False computes df as a count window over term —
+    one hash shuffle of the narrow profile whose term-partitioning
+    the postings self-join then REUSES — the form for Heaps-law
+    vocabularies (~n^0.7-1.0 distinct terms) that dwarf broadcast
+    limits. Both paths are value-identical (same float expression).
 
     Term frequencies are computed IN-ROW (sort the token array, keep
     run heads, count the run with a filter fold): a doc's duplicate
@@ -462,29 +470,51 @@ def sparse_cosine_pairs(
             pass  # a dead SparkSession's cache is already gone
     tf = tf.persist()
     _SPARSE_TF_SLOT.append(tf)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    if max_df is not None:
-        dfreq = dfreq.filter(F.col("df") <= max_df)
     n = df.agg(F.count(F.lit(1)).alias("__n"))
-    # dfreq (the retained-vocabulary table: term, df) is broadcast by
-    # HINT, not left to AQE: its static size estimate derives from the
-    # token stream, so the planner schedules a shuffle join — and AQE
-    # materializes the 600M-row term-exchange of the tf side IN
-    # PARALLEL with the (tiny) dfreq stage, so by the time runtime
-    # stats justify a broadcast the big shuffle is already paid (the
-    # r10 10M probe measured the norms branch at 214 s from exactly
-    # this). The broadcast is bounded by |retained vocabulary| rows of
-    # (string, long); a corpus whose post-cap vocabulary exceeds
-    # broadcast limits should pre-prune terms (min_df) first.
-    w = (
-        tf.join(F.broadcast(dfreq), "term")  # inner: capped terms drop here
-        .crossJoin(F.broadcast(n))
-        .select(
+    idf_w = (
+        F.col("tf")
+        * round_half_up(F.log(F.col("__n") / F.col("df")), 6)
+    ).alias("__w")
+    if vocab_broadcast:
+        # dfreq (the retained-vocabulary table: term, df) is broadcast
+        # by HINT, not left to AQE: its static size estimate derives
+        # from the token stream, so the planner schedules a shuffle
+        # join — and AQE materializes the 600M-row term-exchange of
+        # the tf side IN PARALLEL with the (tiny) dfreq stage, so by
+        # the time runtime stats justify a broadcast the big shuffle
+        # is already paid (the r10 10M probe measured the norms branch
+        # at 214 s from exactly this). The broadcast is bounded by
+        # |retained vocabulary| rows of (string, long).
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        if max_df is not None:
+            dfreq = dfreq.filter(F.col("df") <= max_df)
+        w = (
+            tf.join(F.broadcast(dfreq), "term")  # inner: caps drop here
+            .crossJoin(F.broadcast(n))
+            .select("__id", "term", idf_w)
+        )
+    else:
+        # HUGE-VOCAB path (vocab_broadcast=False): a Heaps-law corpus
+        # at 10M+ docs carries a retained vocabulary in the 10⁸ range
+        # — far past broadcast limits. Attach df as a COUNT WINDOW
+        # over term instead of a dfreq relation: ONE hash shuffle of
+        # the narrow (id, term, tf) profile, no second join, and the
+        # window's term-partitioning is exactly what the downstream
+        # postings SELF-JOIN needs, so that join reuses the exchange
+        # instead of adding two more. Identical float ops to the
+        # broadcast path (same tf·round6(ln(N/df)) expression), so
+        # the two paths are value-identical — pinned by pytest.
+        from pyspark.sql import Window as _W
+
+        dfed = tf.select(
             "__id",
             "term",
-            (F.col("tf") * round_half_up(F.log(F.col("__n") / F.col("df")), 6)).alias("__w"),
+            "tf",
+            F.count(F.lit(1)).over(_W.partitionBy("term")).alias("df"),
         )
-    )
+        if max_df is not None:
+            dfed = dfed.filter(F.col("df") <= max_df)
+        w = dfed.crossJoin(F.broadcast(n)).select("__id", "term", idf_w)
     # A document whose every retained term is corpus-universal (idf 0,
     # or w^2 entirely below the 6-dp decimal quantum) has a zero norm:
     # no direction, no cosine — it participates in NO pairs (and under

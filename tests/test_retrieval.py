@@ -481,6 +481,33 @@ def test_sparse_cosine_max_df_drops_stop_terms(spark):
     assert capped == {(1, 2)}
 
 
+def test_sparse_cosine_vocab_paths_value_identical(spark):
+    """The huge-vocab window path (vocab_broadcast=False) must produce
+    the identical pair set and cosines as the broadcast path — same
+    float expression, different plan shape."""
+    from pyspark.sql import functions as F
+
+    from nyc_etl_pipeline_spark.operators.retrieval import sparse_cosine_pairs
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("w"), F.pmod(F.xxhash64("id", F.lit(1)), F.lit(40))),
+            F.concat(F.lit("w"), F.pmod(F.xxhash64("id", F.lit(2)), F.lit(40))),
+            F.concat(F.lit("w"), F.pmod(F.xxhash64("id", F.lit(3)), F.lit(40))),
+            F.concat(F.lit("w"), F.pmod(F.xxhash64("id", F.lit(4)), F.lit(40))),
+            F.lit("common"),
+        ).alias("text"),
+    )
+    for cap in (None, 150):
+        a = sorted(map(tuple, sparse_cosine_pairs(
+            docs, max_df=cap, threshold=0.2).collect()))
+        b = sorted(map(tuple, sparse_cosine_pairs(
+            docs, max_df=cap, threshold=0.2, vocab_broadcast=False).collect()))
+        assert a == b and len(a) > 0
+
+
 def test_sparse_cosine_tf_cache_single_slot(spark):
     """Repeated calls must not accumulate persisted tf relations
     (ADVICE r10): the module-level slot unpersists the previous
