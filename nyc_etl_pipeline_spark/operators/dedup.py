@@ -193,16 +193,17 @@ def _covered_window_hits(
     id_col: str,
     text_col: str,
     min_occurrences: int,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared core of the exact-substring-dedup family: (wins, hits).
-
-    `wins` is every positional l-token window as (doc_id, __pos
-    [1-based], __h) — persisted, it feeds both the duplicated-hash
-    aggregate and the per-doc rollups. `hits` is the subset whose
-    window content occurs >= min_occurrences times ANYWHERE in the
-    corpus (a GLOBAL occurrence count, so a passage repeated within
-    one document is duplicated too — the suffix-array semantics,
-    unlike duplicated_passage_stats' cross-doc-only criterion)."""
+) -> DataFrame:
+    """Shared core of the exact-substring-dedup family: the HIT
+    windows — every positional l-token window (doc_id, __pos
+    [1-based]) whose content occurs >= min_occurrences times ANYWHERE
+    in the corpus (a GLOBAL occurrence count, so a passage repeated
+    within one document is duplicated too — the suffix-array
+    semantics, unlike duplicated_passage_stats' cross-doc-only
+    criterion). The window table is persisted for exactly its two
+    window-scale consumers (the occurrence aggregate and the hit
+    join-back); nothing else may aggregate it — per-doc window counts
+    are positional arithmetic (see substring_dedup_report)."""
     toks = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
     )
@@ -226,8 +227,7 @@ def _covered_window_hits(
         .filter(F.col("__n") >= min_occurrences)
         .select("__h")
     )
-    hits = wins.join(dup, on="__h").select("doc_id", "__pos")
-    return wins, hits
+    return wins.join(dup, on="__h").select("doc_id", "__pos")
 
 
 def _merged_spans(hits: DataFrame, l_tokens: int) -> DataFrame:
@@ -298,7 +298,7 @@ def duplicated_substring_spans(
     document length. Nothing is ever pairwise and no suffix array —
     O(corpus) rows end to end, where the SA construction itself is the
     scale bottleneck of the published implementation."""
-    _, hits = _covered_window_hits(df, l_tokens, id_col, text_col, min_occurrences)
+    hits = _covered_window_hits(df, l_tokens, id_col, text_col, min_occurrences)
     return _merged_spans(hits, l_tokens)
 
 
@@ -316,11 +316,8 @@ def substring_dedup_report(
     n_windows = 0). dup_tokens counts tokens inside merged covered
     runs; dup_ratio = dup_tokens / n_tokens rounded 4 (0.0 for empty
     docs)."""
-    wins, hits = _covered_window_hits(df, l_tokens, id_col, text_col, min_occurrences)
+    hits = _covered_window_hits(df, l_tokens, id_col, text_col, min_occurrences)
     spans = _merged_spans(hits, l_tokens)
-    per_doc_wins = wins.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_windows")
-    )
     per_doc_hits = hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_windows")
     )
@@ -329,20 +326,31 @@ def substring_dedup_report(
         F.sum("span_len").alias("dup_tokens"),
         F.max("span_len").alias("longest_run"),
     )
+    # n_windows is purely POSITIONAL — max(0, n_tokens - l + 1) — so
+    # it comes from the per-doc token count, NOT from aggregating the
+    # corpus-scale window table. The r11 20M/30M probes caught the
+    # aggregate form as a third window-scale consumer of the persisted
+    # `wins`: the moment `wins` stops fitting the storage fraction
+    # (just past 10M docs on one 96g JVM) every consumer re-reads it
+    # from disk, and this one was pure waste.
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        "n_windows",
+        F.greatest(F.lit(0), F.col("n_tokens") - F.lit(l_tokens) + 1).cast(
+            "bigint"
+        ),
     )
     z = F.lit(0)
     out = (
-        base.join(per_doc_wins, on="doc_id", how="left")
-        .join(per_doc_hits, on="doc_id", how="left")
+        base.join(per_doc_hits, on="doc_id", how="left")
         .join(per_doc_spans, on="doc_id", how="left")
     )
     return out.select(
         "doc_id",
         "n_tokens",
-        F.coalesce("n_windows", z).cast("bigint").alias("n_windows"),
+        "n_windows",
         F.coalesce("n_dup_windows", z).cast("bigint").alias("n_dup_windows"),
         F.coalesce("n_spans", z).cast("bigint").alias("n_spans"),
         F.coalesce("dup_tokens", z).cast("bigint").alias("dup_tokens"),
