@@ -460,16 +460,27 @@ def sparse_cosine_pairs(
             ).cast("bigint").alias("tf"),
         )
     )
-    # Evict BEFORE persisting the new tf: the cache manager keys on the
-    # canonicalized plan, so a same-corpus repeat call shares the cache
-    # entry — unpersisting the old handle afterwards would drop both.
-    while _SPARSE_TF_SLOT:
-        try:
-            _SPARSE_TF_SLOT.pop().unpersist()
-        except Exception:
-            pass  # a dead SparkSession's cache is already gone
-    tf = tf.persist()
-    _SPARSE_TF_SLOT.append(tf)
+    # Single-slot cache registry. A SAME-CORPUS repeat call reuses the
+    # slot's already-materialized tf (sameSemantics — without this,
+    # evicting and re-persisting an identical plan threw away the
+    # materialization each call and a best-of-2 bench run could never
+    # warm: q178 0.34 -> 2.2 s, caught in the r11 close-out bench). A
+    # DIFFERENT corpus evicts BEFORE persisting: the cache manager
+    # keys on the canonicalized plan, so unpersisting the old handle
+    # after persisting an identical one would drop both.
+    try:
+        if _SPARSE_TF_SLOT and _SPARSE_TF_SLOT[0].sameSemantics(tf):
+            tf = _SPARSE_TF_SLOT[0]
+        else:
+            while _SPARSE_TF_SLOT:
+                _SPARSE_TF_SLOT.pop().unpersist()
+            tf = tf.persist()
+            _SPARSE_TF_SLOT.append(tf)
+    except Exception:
+        # dead SparkSession in the slot: its cache is already gone
+        _SPARSE_TF_SLOT.clear()
+        tf = tf.persist()
+        _SPARSE_TF_SLOT.append(tf)
     n = df.agg(F.count(F.lit(1)).alias("__n"))
     idf_w = (
         F.col("tf")
