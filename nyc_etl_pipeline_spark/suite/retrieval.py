@@ -494,6 +494,24 @@ def q178_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q199_sparse_cosine_hugevocab(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q178's computation on the HUGE-VOCAB plan (r11): idf attached
+    as a count window over term instead of a broadcast vocabulary —
+    the form for Heaps-law vocabularies past broadcast limits. Same
+    float expression, same oracle SQL: the driver gate pins the two
+    plans value-identical, not just the pytest."""
+    from nyc_etl_pipeline_spark.operators.retrieval import sparse_cosine_pairs
+
+    return sparse_cosine_pairs(
+        read_testdata(spark, sf_dir, "documents"),
+        max_df=SPARSE_COS_MAX_DF,
+        threshold=SPARSE_COS_THRESHOLD,
+        vocab_broadcast=False,
+    )
+
+
 def _sparse_cos_sql() -> str:
     from nyc_etl_pipeline_spark.functions import sql_dec_sum, sql_round_half_up
 
