@@ -323,10 +323,13 @@ class Warehouse:
         guarantee is silently lost)."""
         return self.spark.table(self._catalog_name(table))
 
-    def _partition_columns(self, table: str) -> list[str]:
+    def partition_columns(self, table: str) -> list[str]:
         """Hive-style partition columns of a stored table, inferred
         from the directory layout (k=v levels), via the Hadoop FS API
-        so any URI scheme works. Empty list for unpartitioned tables."""
+        so any URI scheme works. Empty list for unpartitioned tables.
+        Public: callers gating on layout invariants (e.g. compact
+        preserving a maintainer's batch_id dirs) check this rather
+        than reaching into internals (ADVICE r11)."""
         cols: list[str] = []
         hpath, fs = self._fs(self.path(table))
         cur = hpath
@@ -392,7 +395,7 @@ class Warehouse:
         # the old rows still sit in the root — a replayed batch would
         # then double-count (breaking the streaming maintainers'
         # exactly-once-by-partition-rewrite contract).
-        part_cols = self._partition_columns(table)
+        part_cols = self.partition_columns(table)
         df = self.spark.read.format(self.table_format).load(path)
         if part_cols:
             # hash-distribute by the partition cols so every partition

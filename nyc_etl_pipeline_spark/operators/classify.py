@@ -330,14 +330,19 @@ def _sql_stage_softmax(
     aggregate() higher-order fold, identical association).
 
     Caller columns that collide with the staging's internal names
-    (__z{k}, __m, __e{k}, __d, __p{k}) are DROPPED at entry — with
-    them present, the layered select('*', alias) would produce
-    duplicate attributes and an ambiguous-reference
-    AnalysisException (ADVICE r10)."""
+    (__z{k}, __m, __e{k}, __d, __p{k}) raise a ValueError NAMING the
+    clash — with them present, the layered select('*', alias) would
+    produce duplicate attributes and an ambiguous-reference
+    AnalysisException (ADVICE r10); silently dropping them instead
+    lost caller data whenever such a column was also requested
+    downstream, e.g. via softmax_score's extra_cols (ADVICE r11)."""
     K = len(wt_names)
-    clash = [c for c in df.columns if c in _reserved_softmax_names(K)]
+    clash = sorted(c for c in df.columns if c in _reserved_softmax_names(K))
     if clash:
-        df = df.drop(*clash)
+        raise ValueError(
+            f"input columns collide with softmax staging names: {clash};"
+            " rename them before scoring/training"
+        )
     margins = [_sql_margin(x_name, w, dim) for w in wt_names]
     out = df.selectExpr(
         "*", *[f"({m}) AS __z{k}" for k, m in enumerate(margins)]
@@ -469,13 +474,18 @@ def softmax_score(
     (`_sql_stage_softmax`): no shuffle — each task streams its rows
     past the single broadcast row — and the generated source is
     weight-invariant, so rescoring with updated weights never
-    recompiles. Caller columns named __wt{k} are dropped (reserved,
-    same contract as the staging's __-names)."""
+    recompiles. Caller columns named __wt{k} raise a ValueError
+    (reserved, same contract as the staging's __-names — silently
+    dropping lost data when such a column was also in extra_cols,
+    ADVICE r11)."""
     K = len(weights)
     wt_names = [f"__wt{k}" for k in range(K)]
-    clash = [c for c in feats.columns if c in set(wt_names)]
+    clash = sorted(c for c in feats.columns if c in set(wt_names))
     if clash:
-        feats = feats.drop(*clash)
+        raise ValueError(
+            f"input columns collide with reserved weight names: {clash};"
+            " rename them before scoring"
+        )
     wdf = feats.sparkSession.createDataFrame(
         [tuple([float(v) for v in weights[k]] for k in range(K))],
         schema=", ".join(f"{w} array<double>" for w in wt_names),

@@ -77,7 +77,13 @@ def _bucketed_global_cum(
     INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND inside the offsets window,
     cached input only). Descending keeps NaN in bucket 0 (every
     `value < bound` is false), matching Spark's NaN-greatest desc
-    sort order."""
+    sort order — and routes NULL to a dedicated FINAL bucket,
+    matching desc's NULLS-LAST (ADVICE r11: `NULL < bound` is NULL →
+    otherwise(0) had parked NULLs in bucket 0, processed FIRST, so
+    ungrouped desc cumulative counts diverged from the grouped desc
+    window whenever NULL values were present; ascending needs no
+    special case — NULL lands in bucket 0 and asc order is
+    NULLS-FIRST, already the grouped placement)."""
     single = isinstance(tie_cols, str)
     cols = [tie_cols] if single else list(tie_cols)
     if bounds:
@@ -92,6 +98,10 @@ def _bucketed_global_cum(
             bucket = term if bucket is None else bucket + term
     else:
         bucket = F.lit(0)
+    if descending:
+        bucket = F.when(
+            F.col(value_col).isNull(), F.lit(len(bounds) + 1)
+        ).otherwise(bucket)
     bucketed = per_value.withColumn("__b", bucket)
     order = F.col(value_col).desc() if descending else F.col(value_col).asc()
     w_loc = (

@@ -16,6 +16,8 @@ keyed by (doc, term), a top-k TakeOrderedAndProject. No UDFs.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -368,10 +370,17 @@ def hybrid_search(
     )
 
 
-# Single-slot registry for sparse_cosine_pairs' persisted tf: the next
-# call evicts the previous call's cache (ADVICE r10 — unbounded
-# accumulation across a long session otherwise leans on LRU eviction).
-_SPARSE_TF_SLOT: list = []
+# Single-slot-PER-SESSION registry for sparse_cosine_pairs' persisted
+# tf: the next call on the same session evicts that session's previous
+# cache (ADVICE r10 — unbounded accumulation across a long session
+# otherwise leans on LRU eviction). Keyed by SparkSession and guarded
+# by a lock (ADVICE r11: a module-global single slot let concurrent
+# pipelines — or two live sessions — unpersist each other's live tf,
+# silently degrading to full recompute). Slots for stopped sessions
+# are pruned on each call, so the dict stays bounded by the number of
+# LIVE sessions.
+_SPARSE_TF_LOCK = threading.Lock()
+_SPARSE_TF_SLOT: dict = {}
 
 
 def sparse_cosine_pairs(
@@ -460,27 +469,42 @@ def sparse_cosine_pairs(
             ).cast("bigint").alias("tf"),
         )
     )
-    # Single-slot cache registry. A SAME-CORPUS repeat call reuses the
-    # slot's already-materialized tf (sameSemantics — without this,
-    # evicting and re-persisting an identical plan threw away the
+    # Single-slot-per-session cache registry. A SAME-CORPUS repeat call
+    # reuses the slot's already-materialized tf (sameSemantics — without
+    # this, evicting and re-persisting an identical plan threw away the
     # materialization each call and a best-of-2 bench run could never
     # warm: q178 0.34 -> 2.2 s, caught in the r11 close-out bench). A
     # DIFFERENT corpus evicts BEFORE persisting: the cache manager
     # keys on the canonicalized plan, so unpersisting the old handle
-    # after persisting an identical one would drop both.
-    try:
-        if _SPARSE_TF_SLOT and _SPARSE_TF_SLOT[0].sameSemantics(tf):
-            tf = _SPARSE_TF_SLOT[0]
+    # after persisting an identical one would drop both. Only the
+    # errors a dead session raises (py4j bridge / PySpark state) are
+    # swallowed — anything else propagates (ADVICE r11).
+    from py4j.protocol import Py4JError
+    from pyspark.errors import PySparkException
+
+    session = df.sparkSession
+    with _SPARSE_TF_LOCK:
+        for s in list(_SPARSE_TF_SLOT):
+            if s is not session and getattr(s._sc, "_jsc", None) is None:
+                _SPARSE_TF_SLOT.pop(s, None)  # stopped session: cache gone
+        prior = _SPARSE_TF_SLOT.get(session)
+        reuse = False
+        if prior is not None:
+            try:
+                reuse = prior.sameSemantics(tf)
+            except (Py4JError, PySparkException, RuntimeError):
+                _SPARSE_TF_SLOT.pop(session, None)
+                prior = None
+        if reuse:
+            tf = prior
         else:
-            while _SPARSE_TF_SLOT:
-                _SPARSE_TF_SLOT.pop().unpersist()
+            if prior is not None:
+                try:
+                    prior.unpersist()
+                except (Py4JError, PySparkException, RuntimeError):
+                    pass
             tf = tf.persist()
-            _SPARSE_TF_SLOT.append(tf)
-    except Exception:
-        # dead SparkSession in the slot: its cache is already gone
-        _SPARSE_TF_SLOT.clear()
-        tf = tf.persist()
-        _SPARSE_TF_SLOT.append(tf)
+            _SPARSE_TF_SLOT[session] = tf
     n = df.agg(F.count(F.lit(1)).alias("__n"))
     idf_w = (
         F.col("tf")

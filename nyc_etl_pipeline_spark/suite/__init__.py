@@ -52,8 +52,8 @@ _DRIVER_EVIDENCE: dict[str, int] = {
     "q89_xml_roundtrip": 8, "q90_activity_streaks": 8, "q91_latest_wins": 8,
     "q92_ratio_to_report": 8,
     # round-5 green rows (CORRECTNESS_r05.json)
-    "q51_contamination": 8, "q52_cc_twophase": 8, "q53_text_normalize": 8,
-    "q54_pii_redact": 8, "q55_funnel": 8, "q58_percentiles_sorted": 8,
+    "q51_contamination": 11, "q52_cc_twophase": 11, "q53_text_normalize": 11,
+    "q54_pii_redact": 11, "q55_funnel": 8, "q58_percentiles_sorted": 8,
     "q60_cohort_retention": 8, "q61_tpch_q3": 8, "q62_tpch_q5": 8,
     "q63_tpch_q10": 8, "q64_tpch_q18": 8, "q65_sequence_pack": 8,
     "q66_stratified_sample": 8, "q67_repetition_stats": 8,
@@ -93,24 +93,25 @@ _DRIVER_EVIDENCE: dict[str, int] = {
     # first driver evidence for q125_bpe_merges and q161_phrase_slop)
     "q02_weekly_sales_report": 10, "q03_clean_project": 10,
     "q04_dim_upsert_anti": 10, "q05_watermark_incremental": 10,
-    "q06_date_dim": 10, "q07_fact_datejoin": 10, "q08_top_customers": 7,
-    "q09_window_rank": 7, "q10_rollup": 7, "q11_semi_join": 7,
-    "q12_pivot_linestatus": 7, "q13_events_tumbling": 7,
-    "q14_events_sliding": 7, "q15_sessionize": 7, "q16_json_extract": 7,
-    "q17_exact_dedup": 7, "q18_ngram_jaccard_pairs": 7, "q19_text_quality": 7,
-    "q20_lang_id": 7, "q21_doc_fingerprint": 7, "q22_multimodal_bytes": 7,
-    "q23_minhash_lsh_pairs": 7, "q24_simhash_near_pairs": 7,
-    "q25_embedding_topk": 7, "q26_embedding_neardup": 7,
-    "q27_lsh_bucketed_pairs": 7, "q28_asof_join": 7, "q29_range_join": 7,
-    "q30_cube": 7, "q31_unpivot": 7, "q32_set_ops": 7, "q33_distinct_aggs": 7,
-    "q34_approx_aggs": 7, "q35_ivf_topk": 7, "q36_grouped_map_zscore": 7,
-    "q37_grouped_agg_geomean": 7, "q38_correlated_subquery": 7,
-    "q39_string_gauntlet": 7, "q40_datetime_gauntlet": 7,
-    "q41_neardup_clusters": 7, "q43_tpch_q1": 7, "q44_data_profile": 7,
-    "q45_array_ops": 7, "q46_udtf_word_counts": 7,
-    "q47_ngram_jaccard_capped": 7, "q48_incremental_dedup": 7,
-    "q49_outer_joins": 7, "q56_sq8_topk": 7, "q125_bpe_merges": 7,
-    "q161_phrase_slop": 7,
+    "q06_date_dim": 10, "q07_fact_datejoin": 10, "q08_top_customers": 11,
+    "q09_window_rank": 11, "q10_rollup": 11, "q11_semi_join": 11,
+    "q12_pivot_linestatus": 11, "q13_events_tumbling": 11,
+    "q14_events_sliding": 11, "q15_sessionize": 11, "q16_json_extract": 11,
+    "q17_exact_dedup": 11, "q18_ngram_jaccard_pairs": 11,
+    "q19_text_quality": 11, "q20_lang_id": 11, "q21_doc_fingerprint": 11,
+    "q22_multimodal_bytes": 11, "q23_minhash_lsh_pairs": 11,
+    "q24_simhash_near_pairs": 11, "q25_embedding_topk": 11,
+    "q26_embedding_neardup": 11, "q27_lsh_bucketed_pairs": 11,
+    "q28_asof_join": 11, "q29_range_join": 11, "q30_cube": 11,
+    "q31_unpivot": 11, "q32_set_ops": 11, "q33_distinct_aggs": 11,
+    "q34_approx_aggs": 11, "q35_ivf_topk": 11, "q36_grouped_map_zscore": 11,
+    "q37_grouped_agg_geomean": 11, "q38_correlated_subquery": 11,
+    "q39_string_gauntlet": 11, "q40_datetime_gauntlet": 11,
+    "q41_neardup_clusters": 11, "q43_tpch_q1": 11, "q44_data_profile": 11,
+    "q45_array_ops": 11, "q46_udtf_word_counts": 11,
+    "q47_ngram_jaccard_capped": 11, "q48_incremental_dedup": 11,
+    "q49_outer_joins": 11, "q56_sq8_topk": 11, "q125_bpe_merges": 11,
+    "q161_phrase_slop": 11,
     # round-8 green rows (CORRECTNESS_r08.json, 50/50 — first driver
     # evidence for the 13 r8 additions q162-q173)
     "q162_kcore": 8, "q163_label_prop": 8, "q164_dsir_importance": 8,
@@ -132,6 +133,10 @@ _DRIVER_EVIDENCE: dict[str, int] = {
     "q191_substring_removal": 10, "q192_maintained_mg": 10,
     "q193_avg_precision": 10, "q194_spearman": 10, "q195_maintained_mart": 10,
     "q196_global_auc": 10,
+    # round-11 green rows (CORRECTNESS_r11.json, 50/50 — first driver
+    # evidence for the 2 r11 additions q197/q198; the 48 re-greened
+    # oldest-evidence rows above moved from 7/8 to 11 in place)
+    "q197_mart_compaction_lifecycle": 11, "q198_graded_retrieval_eval": 11,
 }
 
 # Backwards-compatible view used by the window-invariant test and the

@@ -1856,7 +1856,13 @@ def q197_mart_compaction_lifecycle(
         # fold the small-file history mid-stream; must keep batch_id
         # partition dirs (the replay contract's load-bearing invariant)
         wh.compact("mart", target_file_mb=512)
-        assert wh._partition_columns("mart") == ["batch_id"]
+        # explicit raise, not `assert` (stripped under python -O) —
+        # this is the replay contract's load-bearing invariant
+        kept = wh.partition_columns("mart")
+        if kept != ["batch_id"]:
+            raise RuntimeError(
+                f"compact broke the mart's partition layout: {kept!r}"
+            )
         for b in (2, 3):
             write_batch(
                 e.filter(F.pmod(F.col("user_id"), F.lit(nb)) == b), b

@@ -556,6 +556,10 @@ SPECS = [
               "BM25 top-k retrieval (broadcast stats, filtered postings)"),
     QuerySpec("q178_sparse_cosine", q178_sparse_cosine, _sparse_cos_sql(),
               "TF-IDF cosine pairs via postings self-join (max_df-capped)"),
+    QuerySpec("q199_sparse_cosine_hugevocab", q199_sparse_cosine_hugevocab,
+              _sparse_cos_sql(),
+              "TF-IDF cosine pairs on the huge-vocab window-df plan "
+              "(vocab_broadcast=False; same oracle as q178)"),
     QuerySpec("q110_boolean_search", q110_boolean_search, _bool_sql(),
               "conjunctive boolean search via posting intersection"),
     QuerySpec("q111_weighted_sample", q111_weighted_sample, _wsample_sql(),

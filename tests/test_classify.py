@@ -217,3 +217,19 @@ def test_softmax_validates(spark):
         C.softmax_train_fixed(feats, dim=9, n_classes=1)
     with pytest.raises(ValueError):
         C.softmax_train_fixed(feats, dim=9, n_classes=3, n_rounds=0)
+
+
+def test_softmax_reserved_name_collision_raises(spark):
+    """A caller column colliding with the staging's reserved names
+    must raise a ValueError NAMING the column — silently dropping it
+    lost the data whenever the same column was requested via
+    extra_cols (ADVICE r11)."""
+    docs = _planted_3class(spark, n_per_class=5)
+    feats = C.hashed_tf_features(docs, n_buckets=8, label=F.col("y_true"))
+    w = C.softmax_train_fixed(feats, dim=9, n_classes=3, n_rounds=1)
+    staged_clash = feats.withColumn("__m", F.lit(1))
+    with pytest.raises(ValueError, match="__m"):
+        C.softmax_score(staged_clash, w)
+    wt_clash = feats.withColumn("__wt1", F.lit(1))
+    with pytest.raises(ValueError, match="__wt1"):
+        C.softmax_score(wt_clash, w, extra_cols=["__wt1"])

@@ -262,6 +262,21 @@ def test_ap_ungrouped_two_pass_equals_grouped_constant_key(spark):
         [(0.3, 0), (0.7, 0)], "s double, y int"
     )
     assert average_precision(nopos, "s", "y").collect()[0]["ap"] is None
+    # NULL scores (ADVICE r11): Spark's desc sort/window orders NULLS
+    # LAST, so the descending bucketed path must route NULL to the
+    # FINAL bucket — before the fix it landed in bucket 0, processed
+    # first, and every non-NULL term's cumN/cumP absorbed the NULL
+    # rows' counts
+    nrows = rows[:200] + [(None, 1), (None, 0), (None, 0)]
+    ndf = spark.createDataFrame(nrows, "s double, y int")
+    nung = average_precision(ndf, "s", "y").collect()[0]
+    ngrp = average_precision(
+        ndf.withColumn("g", F.lit("k")), "s", "y", ["g"]
+    ).collect()[0]
+    assert (nung["n_pos"], nung["n_neg"], nung["ap"]) == (
+        ngrp["n_pos"], ngrp["n_neg"], ngrp["ap"],
+    )
+    assert nung["ap"] is not None
 
 
 def test_ap_per_group_independence(spark):

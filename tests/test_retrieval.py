@@ -528,19 +528,35 @@ def test_sparse_cosine_tf_cache_single_slot(spark):
         (9, "other things entirely like gears and sprockets"),
     ], "doc_id long, text string")
     first = sparse_cosine_pairs(docs, threshold=0.3)
-    first_tf = retrieval._SPARSE_TF_SLOT[0]
+    first_tf = retrieval._SPARSE_TF_SLOT[spark]
     second = sparse_cosine_pairs(docs2, threshold=0.3)
-    assert len(retrieval._SPARSE_TF_SLOT) == 1
-    assert retrieval._SPARSE_TF_SLOT[0] is not first_tf
+    assert list(retrieval._SPARSE_TF_SLOT) == [spark]
+    assert retrieval._SPARSE_TF_SLOT[spark] is not first_tf
     assert first_tf.storageLevel.useMemory is False  # unpersisted
-    assert retrieval._SPARSE_TF_SLOT[0].storageLevel.useMemory is True
+    assert retrieval._SPARSE_TF_SLOT[spark].storageLevel.useMemory is True
     # the evicted first result still computes (recomputes tf lazily)
     assert first.count() == second.count() == 1
     # SAME-corpus repeat: the slot's materialized tf is REUSED, not
     # evicted-and-rebuilt (the r11 close-out bench caught the rebuild
     # as q178 0.34 -> 2.2 s: best-of-2 could never warm)
-    kept = retrieval._SPARSE_TF_SLOT[0]
+    kept = retrieval._SPARSE_TF_SLOT[spark]
     third = sparse_cosine_pairs(docs2, threshold=0.3)
-    assert retrieval._SPARSE_TF_SLOT[0] is kept
+    assert retrieval._SPARSE_TF_SLOT[spark] is kept
     assert kept.storageLevel.useMemory is True
     assert third.count() == 1
+    # a SECOND live session gets its own slot and must NOT evict the
+    # first session's live cache (ADVICE r11: the old module-global
+    # single slot silently degraded concurrent pipelines to full
+    # recompute)
+    other = spark.newSession()
+    docs3 = other.createDataFrame([
+        (11, "alpha beta gamma alpha beta"),
+        (12, "alpha beta gamma alpha delta"),
+        (13, "unrelated prose regarding turbines and flywheels"),
+    ], "doc_id long, text string")
+    fourth = sparse_cosine_pairs(docs3, threshold=0.3)
+    assert fourth.count() == 1
+    assert retrieval._SPARSE_TF_SLOT[spark] is kept
+    assert kept.storageLevel.useMemory is True
+    assert set(retrieval._SPARSE_TF_SLOT) == {spark, other}
+    retrieval._SPARSE_TF_SLOT.pop(other).unpersist()

@@ -242,7 +242,7 @@ def test_compact_preserves_partitions_and_replay_contract(spark, sf_dir, tmp_pat
     before = sorted(map(tuple, merged_sketch(wh, "cms").collect()))
 
     wh.compact("cms", target_file_mb=512)
-    assert wh._partition_columns("cms") == ["batch_id"]
+    assert wh.partition_columns("cms") == ["batch_id"]
     assert sorted(map(tuple, merged_sketch(wh, "cms").collect())) == before
 
     # the failure mode: replay batch 1 after compaction — partition
