@@ -37,6 +37,27 @@ from nyc_etl_pipeline_spark import get_spark, suite  # noqa: E402
 
 BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
+# Drift canaries (VERDICT r11 item 6): ten queries whose code and plans
+# have been untouched since the early rounds, spanning scan/agg, window,
+# sessionize, string, array, and TPC-H join families. Three straight
+# rounds spent effort proving uniform host-speed multipliers (r9 1.39x,
+# r10 cluster, r11 1.20x); the median of THESE queries' per-round ratio
+# IS that multiplier, so a real plan regression stands out on first
+# read as movement relative to canary_median, not relative to the wall
+# clock. Do not touch these queries' implementations without moving
+# them off this list.
+CANARIES = [
+    "q08_top_customers", "q09_window_rank", "q10_rollup",
+    "q13_events_tumbling", "q15_sessionize", "q39_string_gauntlet",
+    "q43_tpch_q1", "q45_array_ops", "q61_tpch_q3", "q102_tpch_q6",
+]
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,8 +78,15 @@ def main() -> None:
     for name in TESTDATA:
         read_testdata(spark, sf_dir, name).limit(1).count()
 
+    # iteration aid: comma-separated subset (canaries always included
+    # so canary_median stays well-defined); unset = full suite
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    only = set(filter(None, only_env.split(","))) | set(CANARIES) if only_env else None
+
     timings: dict[str, float] = {}
     for spec in suite.all_specs():
+        if only is not None and spec.name not in only:
+            continue
         best = None
         for _ in range(max(1, BENCH_RUNS)):
             t0 = time.perf_counter()
@@ -69,11 +97,19 @@ def main() -> None:
         timings[spec.name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    canary_median = round(
+        _median([timings[c] for c in CANARIES if c in timings]), 3
+    )
     full = {
         "metric": "suite_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # host-drift normalizer: median canary time this run; compare
+        # across BENCH_r{N}.json to separate host multipliers from
+        # plan regressions (ratio of canary_medians = the multiplier)
+        "canary_median": canary_median,
+        "canaries": CANARIES,
         "sf": sf,
         # methodology markers: per-query time is best of
         # `runs` executions. Numbers are NOT comparable to a
@@ -102,6 +138,7 @@ def main() -> None:
                 "runs": max(1, BENCH_RUNS),
                 "queries_n": len(timings),
                 "per_query_sec": round(total / max(1, len(timings)), 3),
+                "canary_median": canary_median,
             }
         )
     )

@@ -796,6 +796,86 @@ def q176_maintained_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q200 — band-index COMPACTION lifecycle: maintain -> compact ->
+# continue maintaining -> replay -> serving decisions unchanged
+# --------------------------------------------------------------------------
+# q197 gates the mart's compaction lifecycle; the MinHash band index
+# (q176's substrate) is the other maintained table that grows
+# corpus-shaped at 100 TB and therefore the one most likely to need
+# periodic small-file folding (VERDICT r11 item 4). Same interleave:
+# batches, compact mid-history (must preserve the batch_id partition
+# dirs the exactly-once replay contract rides on), more batches, then
+# a replay of one post-compaction AND one pre-compaction batch — and
+# the serving join against the compacted index must make decisions
+# byte-identical to the never-compacted q176/q127 chain (same oracle).
+
+BAND_LIFECYCLE_BATCHES = 4
+
+# sf_dir -> temp warehouse root (q187/q197 memoization contract).
+_COMPACT_BAND_INDEX: dict[str, str] = {}
+
+
+def q200_band_compaction_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q176's incremental near-dup decision, but with a small-file
+    compaction folded into the middle of the stored band index's batch
+    history: maintain -> compact -> maintain -> replay, then serve."""
+    import tempfile
+
+    from nyc_etl_pipeline_spark.io import Warehouse
+    from nyc_etl_pipeline_spark.streaming.sinks import band_index_maintainer
+
+    d = read_testdata(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < INCR_SPLIT)
+    batch = d.filter(F.col("doc_id") >= INCR_SPLIT)
+    nb = BAND_LIFECYCLE_BATCHES
+
+    if sf_dir not in _COMPACT_BAND_INDEX:
+        root = tempfile.mkdtemp(prefix="band_lifecycle_")
+        wh = Warehouse(spark, root)
+        write_batch = band_index_maintainer(
+            wh, "band_index", n=NGRAM_N,
+            num_hashes=MAINT_NEARDUP_HASHES, bands=MAINT_NEARDUP_BANDS,
+        )
+
+        def part(b: int) -> DataFrame:
+            return corpus.filter(F.pmod(F.col("doc_id"), F.lit(nb)) == b)
+
+        write_batch(part(0), 0)
+        write_batch(part(1), 1)
+        # fold the small-file history mid-stream; must keep batch_id
+        # partition dirs (the replay contract's load-bearing invariant
+        # — explicit raise, not `assert`: q197's contract)
+        wh.compact("band_index", target_file_mb=512)
+        kept = wh.partition_columns("band_index")
+        if kept != ["batch_id"]:
+            raise RuntimeError(
+                f"compact broke the band index's partition layout: {kept!r}"
+            )
+        write_batch(part(2), 2)
+        write_batch(part(3), 3)
+        # retry replay AFTER the compaction: a post-compaction batch
+        # (idempotent rewrite) and a pre-compaction batch (must
+        # overwrite its compacted partition, not double-count)
+        write_batch(part(2), 2)
+        write_batch(part(1), 1)
+        _COMPACT_BAND_INDEX[sf_dir] = root
+    wh = Warehouse(spark, _COMPACT_BAND_INDEX[sf_dir])
+
+    survivors = D.incremental_neardup_dedup_indexed(
+        batch,
+        corpus_docs=corpus,
+        corpus_index=wh.read("band_index"),
+        n=NGRAM_N,
+        num_hashes=MAINT_NEARDUP_HASHES,
+        bands=MAINT_NEARDUP_BANDS,
+        threshold=JACCARD_THRESHOLD,
+    )
+    return survivors.select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
 # q155 — feature hashing (hashing-trick vectorizer) bucket profile
 # --------------------------------------------------------------------------
 
@@ -1476,6 +1556,10 @@ SPECS = [
     QuerySpec("q176_maintained_neardup", q176_maintained_neardup,
               _q127_sql(MAINT_NEARDUP_HASHES, MAINT_NEARDUP_BANDS),
               "q127's decision via the streaming-maintained stored band index"),
+    QuerySpec("q200_band_compaction_lifecycle", q200_band_compaction_lifecycle,
+              _q127_sql(MAINT_NEARDUP_HASHES, MAINT_NEARDUP_BANDS),
+              "band-index compaction lifecycle: maintain -> compact -> "
+              "maintain -> replay, serving decisions unchanged"),
     QuerySpec("q128_containment_pairs", q128_containment_pairs, _Q128_SQL,
               "asymmetric n-gram containment (quote/subset detection)"),
     QuerySpec("q23_minhash_lsh_pairs", q23_minhash_lsh_pairs, _q23_sql(),
