@@ -85,6 +85,18 @@ def main() -> None:
         "average_precision grouped",
         lambda: f"{average_precision(df, 'score', 'y', ['source']).count():,} groups",
     )
+    # r11 rework under load: descending two-pass bucketed cumulative
+    # counts + per-bucket DESC-sorted term arrays concatenated in
+    # bucket order — the only serialized stage is the final fold over
+    # <=10k terms (score resolution), never the shuffle/sort/cum pass
+    timed(
+        "average_precision ungrouped (two-pass desc bucketed)",
+        lambda: "ap %.4f" % average_precision(df, "score", "y").first()["ap"],
+    )
+    timed(
+        "spearman ungrouped (decimal-factor moments)",
+        lambda: "rho %.4f" % spearman_corr(df, "score", "score2").first()["rho"],
+    )
     timed(
         "spearman grouped (score vs score2)",
         lambda: f"{spearman_corr(df, 'score', 'score2', ['source']).count():,} groups",
@@ -104,6 +116,17 @@ def main() -> None:
     timed(
         "average_precision with a 99%-dominant group",
         lambda: f"{average_precision(dom, 'score', 'y', ['source']).count():,} groups",
+    )
+    # the documented escape hatch for that skew: compute the dominant
+    # group ALONE through the ungrouped two-pass path (module
+    # docstring's contract — range-buckets the score axis instead of
+    # partitioning by group)
+    timed(
+        "average_precision ungrouped over the dominant group alone",
+        lambda: "ap %.4f"
+        % average_precision(
+            dom.filter(F.col("source") == "src_big"), "score", "y"
+        ).first()["ap"],
     )
     dom.unpersist()
 
