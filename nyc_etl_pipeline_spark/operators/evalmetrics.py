@@ -217,6 +217,102 @@ def roc_auc(
     )
 
 
+def roc_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Per-group ROC curve POINTS — the curve `roc_auc` integrates:
+    one row per distinct score (threshold), descending, with
+
+        tpr(s) = |positives with score >= s| / n⁺
+        fpr(s) = |negatives with score >= s| / n⁻
+
+    (the ">= threshold s" operating point — each distinct score is a
+    deployable cutoff, ties enter together, so the point set is
+    well-defined for any tie structure and the step curve through the
+    points has area exactly equal to `roc_auc`'s tie-averaged value).
+
+    Exactness: rows collapse to (group, score) → (tie_count,
+    pos_count) first, cumulative TP and N come from ONE cumulative
+    window over distinct scores in descending order (cumFP = cumN −
+    cumTP), and the only float ops are the two final divisions by the
+    group's constant totals — order-free, rounded half-up to 6 dp,
+    fully oracle-replicable. Groups lacking positives (tpr undefined)
+    or negatives (fpr undefined) yield NULL for that coordinate,
+    mirroring roc_auc's NULL contract.
+
+    Scale shape / skew bound: same contract as `roc_auc` — grouped,
+    the cumulative window serializes |distinct scores in the group|
+    through one task (bounded by score resolution, not corpus size);
+    UNGROUPED (`group_cols=None`), the cumulative pass is the shared
+    two-pass range-bucketed `_bucketed_global_cum` (descending — NULL
+    scores route to the final bucket, the NULLS-LAST placement), so
+    no stage is single-partition. Output volume is |distinct scores|
+    per group — resolution-bounded by the same argument.
+
+    Returns (group..., score, n_pos, n_neg, tpr, fpr), descending
+    points implied by score order.
+    """
+    gcols = group_cols or []
+    lab = F.col(label_col).cast("bigint")
+    per_score = df.groupBy(*gcols, F.col(score_col).alias("score")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__tie"),
+        F.sum(lab).cast("bigint").alias("__pos"),
+    )
+    if gcols:
+        w_cum = (
+            W.partitionBy(*[F.col(c) for c in gcols])
+            .orderBy(F.col("score").desc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cum = per_score.select(
+            *gcols,
+            "score",
+            "__tie",
+            "__pos",
+            F.sum("__tie").over(w_cum).alias("__cn"),
+            F.sum("__pos").over(w_cum).alias("__cp"),
+        )
+    else:
+        bounds = _quantile_bounds(df, score_col, num_buckets)
+        cum = _bucketed_global_cum(
+            per_score, "score", ["__tie", "__pos"], bounds, descending=True
+        ).select(
+            "score",
+            "__tie",
+            "__pos",
+            F.col("__cum___tie").alias("__cn"),
+            F.col("__cum___pos").alias("__cp"),
+        )
+    totals = per_score.groupBy(*gcols).agg(
+        F.sum("__pos").cast("bigint").alias("n_pos"),
+        (F.sum("__tie") - F.sum("__pos")).cast("bigint").alias("n_neg"),
+    )
+    if gcols:
+        joined = cum.join(totals, on=gcols)
+    else:
+        joined = cum.crossJoin(F.broadcast(totals))
+    return joined.select(
+        *gcols,
+        "score",
+        "n_pos",
+        "n_neg",
+        F.when(
+            F.col("n_pos") > 0,
+            round_half_up(F.col("__cp") / F.col("n_pos"), 6),
+        ).alias("tpr"),
+        F.when(
+            F.col("n_neg") > 0,
+            round_half_up(
+                (F.col("__cn") - F.col("__cp")) / F.col("n_neg"), 6
+            ),
+        ).alias("fpr"),
+    )
+
+
 def average_precision(
     df: DataFrame,
     score_col: str,

@@ -1066,6 +1066,58 @@ FROM agg
 """
 
 
+def q201_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROC curve q184 integrates: per-source (threshold, tpr, fpr)
+    points of the stopword-ratio score against the 'is English' label,
+    one row per distinct score descending — ties enter an operating
+    point together, so the point set is exact for any tie structure
+    and the step-curve area equals q184's tie-averaged AUC. Cumulative
+    TP/N ride one desc window over DISTINCT scores per source
+    (resolution-bounded, the roc_auc skew contract); the only float
+    ops are the two final divisions by per-source totals."""
+    from nyc_etl_pipeline_spark.operators.evalmetrics import roc_curve
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    scored = q19_text_quality(spark, sf_dir).select("doc_id", "stopword_ratio")
+    base = docs.select(
+        "doc_id", "source", (F.col("lang") == "en").cast("int").alias("y")
+    ).join(scored, "doc_id")
+    return roc_curve(base, "stopword_ratio", "y", ["source"])
+
+
+_Q201_SQL = f"""
+WITH q19 AS ({_Q19_SQL}),
+s AS (
+  SELECT d.source, q.stopword_ratio AS sc,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM q19 q JOIN documents d USING (doc_id)
+),
+per AS (
+  SELECT source, sc, count(*) AS tie, sum(y) AS pos FROM s GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, sc,
+         sum(tie) OVER (PARTITION BY source ORDER BY sc DESC) AS cn,
+         sum(pos) OVER (PARTITION BY source ORDER BY sc DESC) AS cp
+  FROM per
+),
+tot AS (
+  SELECT source, sum(pos) AS n_pos, sum(tie) - sum(pos) AS n_neg
+  FROM per GROUP BY 1
+)
+SELECT c.source, c.sc AS score,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CASE WHEN n_pos > 0 THEN
+         {sql_round_half_up('CAST(cp AS DOUBLE) / n_pos', 6)}
+       ELSE NULL END AS tpr,
+       CASE WHEN n_neg > 0 THEN
+         {sql_round_half_up('CAST(cn - cp AS DOUBLE) / n_neg', 6)}
+       ELSE NULL END AS fpr
+FROM cum c JOIN tot USING (source)
+"""
+
+
 def q185_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability-diagram bins + ECE for the heuristic quality score
     read as P(is English): per fixed-width bin, exact counts, decimal-
@@ -1572,6 +1624,8 @@ SPECS = [
               "hashing-trick vectorizer bucket profile (md5 buckets, integer-only)"),
     QuerySpec("q160_source_overlap", q160_source_overlap, _Q160_SQL,
               "source-level shingle-set overlap matrix (corpus composition)"),
+    QuerySpec("q201_roc_curve", q201_roc_curve, _Q201_SQL,
+              "per-source ROC curve points (desc distinct-score cumulative)"),
     QuerySpec("q184_roc_auc", q184_roc_auc, _Q184_SQL,
               "per-source rank-statistic ROC-AUC (exact average-rank ties)"),
     QuerySpec("q185_calibration", q185_calibration, _Q185_SQL,

@@ -158,6 +158,84 @@ def test_retrieval_eval_duplicate_tolerance(spark):
 
 
 # --------------------------------------------------------------------------
+# roc_curve
+# --------------------------------------------------------------------------
+
+def test_roc_curve_closed_form(spark):
+    from nyc_etl_pipeline_spark.operators.evalmetrics import roc_curve
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "s double, y int"
+    )
+    pts = {r["score"]: (r["tpr"], r["fpr"]) for r in roc_curve(df, "s", "y").collect()}
+    assert pts == {
+        0.9: (0.5, 0.0), 0.8: (1.0, 0.0), 0.2: (1.0, 0.5), 0.1: (1.0, 1.0)
+    }
+    # ties enter one operating point together
+    tied = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)], "s double, y int"
+    )
+    got = roc_curve(tied, "s", "y").collect()
+    assert len(got) == 1 and (got[0]["tpr"], got[0]["fpr"]) == (1.0, 1.0)
+    # single-class input: the undefined coordinate is NULL
+    onec = spark.createDataFrame([(0.3, 1), (0.7, 1)], "s double, y int")
+    for r in roc_curve(onec, "s", "y").collect():
+        assert r["fpr"] is None and r["tpr"] is not None
+
+
+def test_roc_curve_step_area_equals_roc_auc(spark):
+    """The step curve through the (fpr, tpr) points, integrated by the
+    trapezoid rule (ties form one step, so trapezoids == tie-averaged
+    ranks), must reproduce roc_auc's Mann-Whitney value."""
+    import math
+    import random
+
+    from nyc_etl_pipeline_spark.operators.evalmetrics import roc_curve
+
+    rng = random.Random(13)
+    rows = [(round(rng.random(), 1), rng.randint(0, 1)) for _ in range(400)]
+    rows.append((rows[0][0], 1 - rows[0][1]))
+    df = spark.createDataFrame(rows, "s double, y int")
+    pts = sorted(
+        (r["fpr"], r["tpr"]) for r in roc_curve(df, "s", "y").collect()
+    )
+    area = 0.0
+    last_f, last_t = 0.0, 0.0
+    for f, t in pts:
+        area += (f - last_f) * (t + last_t) / 2.0
+        last_f, last_t = f, t
+    want = _auc(spark, rows)["auc"]
+    assert abs(area - want) < 5e-6  # 6-dp rounded coordinates
+
+
+def test_roc_curve_ungrouped_two_pass_equals_grouped_constant_key(spark):
+    import random
+
+    from nyc_etl_pipeline_spark.operators.evalmetrics import roc_curve
+
+    rng = random.Random(19)
+    rows = [(round(rng.random(), 2), rng.randint(0, 1)) for _ in range(600)]
+    rows += [(None, 1), (None, 0)]  # NULL scores: desc NULLS-LAST contract
+    df = spark.createDataFrame(rows, "s double, y int")
+    def key(t):  # None-safe sort (the NULL-score row)
+        return tuple((v is None, v) for v in t)
+
+    ung = sorted(
+        map(tuple, roc_curve(df, "s", "y", num_buckets=7).collect()), key=key
+    )
+    grp = sorted(
+        (
+            tuple(r)[1:]  # strip the constant key
+            for r in roc_curve(
+                df.withColumn("g", F.lit("k")), "s", "y", ["g"]
+            ).collect()
+        ),
+        key=key,
+    )
+    assert ung == grp
+
+
+# --------------------------------------------------------------------------
 # average_precision
 # --------------------------------------------------------------------------
 
