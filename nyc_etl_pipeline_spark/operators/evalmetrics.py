@@ -827,3 +827,127 @@ def retrieval_eval_graded(
             round_half_up(F.coalesce("__dcg", F.lit(0.0)) / idcg, 6),
         ).alias("ndcg_at_k"),
     )
+
+
+def topk_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    ks: list[int],
+    group_cols: list[str] | None = None,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Head-of-ranking calibration: for each requested k, over the
+    top-k highest-scored rows per group, the mean confidence vs the
+    empirical precision and their gap — "is the model calibrated where
+    it is most confident", the region q185/q189's fixed-width bins
+    average away (a scorer can carry near-zero ECE overall yet be
+    badly over-confident in its head, which is exactly the slice a
+    selection pipeline keeps).
+
+    Top-k under ties is "AT LEAST k": the cut is the shortest
+    descending distinct-score prefix whose cumulative row count
+    reaches k — the boundary tie group enters WHOLE, so the selection
+    is deterministic for any tie structure (no within-tie row order
+    exists on either engine) and the reported n is the actual prefix
+    size (>= k). Groups with fewer than k rows emit NO row for that k
+    (there is no top-k); NULL scores are dropped up front (a NULL
+    cannot be ranked "top" — the spearman exclusion contract, not
+    roc_auc's distinct-value-group one).
+
+    Exactness: rows collapse to (group, score) -> (tie_count,
+    pos_count, decimal score mass) first; cumulative rows/positives/
+    mass ride ONE cumulative pass over distinct scores descending;
+    the boundary row per (group, k) is the min-cum qualifying row
+    (cum is strictly increasing over a group's distinct scores, so
+    min_by is unambiguous); conf/precision/gap are the only float
+    divisions, over exact decimal/bigint prefixes, rounded half-up 6.
+
+    Scale shape / skew bound: the grouped cumulative window
+    serializes |distinct scores in the group| through one task
+    (resolution-bounded — the roc_auc contract); ungrouped uses the
+    shared two-pass range-bucketed `_bucketed_global_cum`
+    (descending), so no stage is single-partition. The k list is a
+    bounded literal relation broadcast into a nested-loop prefix
+    probe (|distinct scores| x |ks| candidate rows, collapsed by one
+    hash aggregate) — ks is driver-provided and small by contract.
+
+    Returns (group..., k, threshold, n, n_pos, conf, precision, gap),
+    one row per (group, k) with group size >= k; `threshold` is the
+    boundary score (the cutoff that admits the prefix).
+    """
+    if not ks:
+        raise ValueError("topk_calibration: ks must be non-empty")
+    ks_int = sorted({int(k) for k in ks})
+    if ks_int[0] <= 0:
+        raise ValueError(f"topk_calibration: ks must be positive, got {ks}")
+    gcols = group_cols or []
+    lab = F.col(label_col).cast("bigint")
+    per_score = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(*gcols, F.col(score_col).alias("__s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__tie"),
+            F.sum(lab).cast("bigint").alias("__pos"),
+        )
+        # decimal score mass of the tie group: one double->decimal
+        # value cast per DISTINCT score (Spark and DuckDB agree on
+        # that cast — the dec_sum contract), times the exact count
+        .withColumn(
+            "__mass", F.col("__s").cast("decimal(28,6)") * F.col("__tie")
+        )
+    )
+    if gcols:
+        w_cum = (
+            W.partitionBy(*[F.col(c) for c in gcols])
+            .orderBy(F.col("__s").desc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cum = per_score.select(
+            *gcols,
+            "__s",
+            F.sum("__tie").over(w_cum).alias("__cn"),
+            F.sum("__pos").over(w_cum).alias("__cp"),
+            F.sum("__mass").over(w_cum).alias("__cs"),
+        )
+    else:
+        bounds = _quantile_bounds(df, score_col, num_buckets)
+        cum = _bucketed_global_cum(
+            per_score,
+            "__s",
+            ["__tie", "__pos", "__mass"],
+            bounds,
+            descending=True,
+        ).select(
+            "__s",
+            F.col("__cum___tie").alias("__cn"),
+            F.col("__cum___pos").alias("__cp"),
+            F.col("__cum___mass").alias("__cs"),
+        )
+    ks_df = df.sparkSession.createDataFrame(
+        [(k,) for k in ks_int], "k bigint"
+    )
+    # bounded nested-loop prefix probe: every distinct score that
+    # covers k rows qualifies; the hash aggregate keeps the shortest
+    sel = (
+        cum.join(F.broadcast(ks_df), F.col("__cn") >= F.col("k"))
+        .groupBy(*gcols, "k")
+        .agg(
+            F.min_by("__s", "__cn").alias("threshold"),
+            F.min("__cn").alias("n"),
+            F.min_by("__cp", "__cn").alias("__cp"),
+            F.min_by("__cs", "__cn").alias("__cs"),
+        )
+    )
+    conf = F.col("__cs").cast("double") / F.col("n")
+    prec = F.col("__cp") / F.col("n")
+    return sel.select(
+        *gcols,
+        "k",
+        "threshold",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("__cp").cast("bigint").alias("n_pos"),
+        round_half_up(conf, 6).alias("conf"),
+        round_half_up(prec, 6).alias("precision"),
+        round_half_up(conf - prec, 6).alias("gap"),
+    )

@@ -1212,6 +1212,73 @@ FROM fin f JOIN totals t USING (source)
 """
 
 
+_TOPK_KS = [5, 25, 250]
+
+
+def q202_topk_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-of-ranking calibration per source: at each top-k cutoff of
+    the quality score (at-least-k semantics — the boundary tie group
+    enters whole), mean confidence vs empirical precision against the
+    'is English' label — the over-confidence q189's fixed-width bins
+    average away in exactly the slice a selection pipeline keeps.
+    Cumulative rows/positives/decimal score mass ride one desc window
+    over DISTINCT scores per source (resolution-bounded, the roc_auc
+    skew contract); the k list is a broadcast literal relation and
+    the only float ops are the final per-(source, k) divisions."""
+    from nyc_etl_pipeline_spark.operators.evalmetrics import topk_calibration
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    scored = q19_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    base = docs.select(
+        "doc_id", "source", (F.col("lang") == "en").cast("int").alias("y")
+    ).join(scored, "doc_id")
+    return topk_calibration(
+        base, "quality_score", "y", ks=_TOPK_KS, group_cols=["source"]
+    )
+
+
+_Q202_SQL = f"""
+WITH q19 AS ({_Q19_SQL}),
+s AS (
+  SELECT d.source, q.quality_score AS sc,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM q19 q JOIN documents d USING (doc_id)
+  WHERE q.quality_score IS NOT NULL
+),
+per AS (
+  SELECT source, sc, count(*) AS tie, sum(y) AS pos,
+         sum(CAST(sc AS DECIMAL(28,6))) AS mass
+  FROM s GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, sc,
+         sum(tie) OVER w AS cn,
+         sum(pos) OVER w AS cp,
+         sum(mass) OVER w AS cs
+  FROM per
+  WINDOW w AS (PARTITION BY source ORDER BY sc DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ks AS (SELECT * FROM (VALUES {", ".join(f"({k})" for k in _TOPK_KS)}) t(k)),
+sel AS (
+  SELECT source, k,
+         arg_min(sc, cn) AS threshold,
+         min(cn) AS n,
+         arg_min(cp, cn) AS cp,
+         arg_min(cs, cn) AS cs
+  FROM cum CROSS JOIN ks
+  WHERE cn >= k
+  GROUP BY 1, 2
+)
+SELECT source, CAST(k AS BIGINT) AS k, threshold,
+       CAST(n AS BIGINT) AS n, CAST(cp AS BIGINT) AS n_pos,
+       {sql_round_half_up('CAST(cs AS DOUBLE) / n', 6)} AS conf,
+       {sql_round_half_up('CAST(cp AS DOUBLE) / n', 6)} AS precision,
+       {sql_round_half_up('CAST(cs AS DOUBLE) / n - CAST(cp AS DOUBLE) / n', 6)} AS gap
+FROM sel
+"""
+
+
 # --------------------------------------------------------------------------
 # q193 — average precision (step-interpolated PR-AUC) per source
 # --------------------------------------------------------------------------
@@ -1643,6 +1710,9 @@ SPECS = [
               "MRR / recall@k / nDCG@k per query (rank-ordered log2 folds)"),
     QuerySpec("q189_grouped_calibration", q189_grouped_calibration, _Q189_SQL,
               "per-domain reliability bins + ECE (hash aggs only)"),
+    QuerySpec("q202_topk_calibration", q202_topk_calibration, _Q202_SQL,
+              "per-source top-k head calibration (at-least-k tie cut, "
+              "decimal prefix masses)"),
     QuerySpec("q198_graded_retrieval_eval", q198_graded_retrieval_eval,
               _q198_sql(),
               "graded-relevance nDCG@k (gain-weighted DCG, gain-DESC ideal)"),

@@ -579,3 +579,103 @@ def test_spearman_moment_products_exact_past_bigint(spark):
     got = spearman_corr(df, "x", "y").collect()[0]
     assert got["n"] == 3_000_000
     assert got["rho"] == 1.0
+
+
+# --------------------------------------------------------------------------
+# topk_calibration
+# --------------------------------------------------------------------------
+
+
+def test_topk_calibration_closed_form(spark):
+    from nyc_etl_pipeline_spark.operators.evalmetrics import topk_calibration
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 0), (0.7, 1), (0.6, 1)], "s double, y int"
+    )
+    got = {
+        r["k"]: r
+        for r in topk_calibration(df, "s", "y", ks=[1, 2, 3, 10]).collect()
+    }
+    # k=10: 4 rows < 10 -> no row (at-least-k has no cut)
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["threshold"], got[1]["n"], got[1]["n_pos"]) == (0.9, 1, 1)
+    assert (got[1]["conf"], got[1]["precision"], got[1]["gap"]) == (
+        0.9,
+        1.0,
+        -0.1,
+    )
+    assert (got[2]["n"], got[2]["conf"], got[2]["precision"]) == (2, 0.85, 0.5)
+    assert got[2]["gap"] == 0.35
+    assert (got[3]["n"], got[3]["n_pos"], got[3]["threshold"]) == (3, 2, 0.7)
+    assert (got[3]["conf"], got[3]["precision"], got[3]["gap"]) == (
+        0.8,
+        0.666667,
+        0.133333,
+    )
+
+
+def test_topk_calibration_boundary_tie_group_enters_whole(spark):
+    from nyc_etl_pipeline_spark.operators.evalmetrics import topk_calibration
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.5, 1), (0.5, 1), (0.5, 0), (0.5, 0)], "s double, y int"
+    )
+    [r] = topk_calibration(df, "s", "y", ks=[2]).collect()
+    # the cut covering k=2 lands inside the 0.5 tie group -> all 4 enter
+    assert (r["threshold"], r["n"], r["n_pos"]) == (0.5, 5, 3)
+    assert (r["conf"], r["precision"]) == (0.58, 0.6)
+
+
+def test_topk_calibration_grouped_and_small_groups(spark):
+    from nyc_etl_pipeline_spark.operators.evalmetrics import topk_calibration
+
+    rows = [("a", 0.1 * i, i % 2) for i in range(1, 9)]  # 8 rows
+    rows += [("b", 0.7, 1), ("b", 0.3, 0)]  # 2 rows
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    got = topk_calibration(df, "s", "y", ks=[2, 5], group_cols=["g"]).collect()
+    keys = {(r["g"], r["k"]) for r in got}
+    # group b has only 2 rows -> no k=5 row
+    assert keys == {("a", 2), ("a", 5), ("b", 2)}
+    by = {(r["g"], r["k"]): r for r in got}
+    assert by[("b", 2)]["n"] == 2 and by[("b", 2)]["precision"] == 0.5
+    assert by[("a", 5)]["n"] == 5  # distinct scores, no ties
+    assert by[("a", 5)]["threshold"] == 0.4
+
+
+def test_topk_calibration_ungrouped_two_pass_equals_grouped_constant_key(spark):
+    import random
+
+    from nyc_etl_pipeline_spark.operators.evalmetrics import topk_calibration
+
+    rng = random.Random(23)
+    rows = [(round(rng.random(), 2), rng.randint(0, 1)) for _ in range(600)]
+    rows += [(None, 1), (None, 0)]  # NULL scores: dropped by contract
+    df = spark.createDataFrame(rows, "s double, y int")
+    ks = [1, 7, 50, 300, 600]
+    ung = sorted(
+        map(
+            tuple,
+            topk_calibration(df, "s", "y", ks=ks, num_buckets=7).collect(),
+        )
+    )
+    grp = sorted(
+        tuple(r)[1:]  # strip the constant key
+        for r in topk_calibration(
+            df.withColumn("g", F.lit("k")), "s", "y", ks=ks, group_cols=["g"]
+        ).collect()
+    )
+    assert ung == grp
+    # 602 raw rows but 2 NULL scores dropped -> k=600 still lands
+    assert {t[0] for t in ung} == set(ks)
+
+
+def test_topk_calibration_rejects_bad_ks(spark):
+    import pytest as _pytest
+
+    from nyc_etl_pipeline_spark.operators.evalmetrics import topk_calibration
+
+    df = spark.createDataFrame([(0.5, 1)], "s double, y int")
+    with _pytest.raises(ValueError):
+        topk_calibration(df, "s", "y", ks=[])
+    with _pytest.raises(ValueError):
+        topk_calibration(df, "s", "y", ks=[0, 3])
