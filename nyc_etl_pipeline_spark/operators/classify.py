@@ -206,7 +206,9 @@ def logreg_train_fixed(
     # Column form (D-suffixed double literals, same association).
     w = [0.0] * dim
     spark = feats.sparkSession
-    feats = feats.persist()
+    managed = not _caller_cached(feats)
+    if managed:
+        feats = feats.persist()
     base = feats.select(
         F.col(x_col).alias("__x"), F.col(label_col).alias("__y")
     )
@@ -227,7 +229,8 @@ def logreg_train_fixed(
             grads = scored.selectExpr(*g_strs).collect()[0]
             w = [py_round6(w[i - 1] + lr * grads[f"g{i}"]) for i in range(1, dim + 1)]
     finally:
-        feats.unpersist()
+        if managed:
+            feats.unpersist()
     return w
 
 
@@ -245,6 +248,20 @@ def logreg_score(
         *[F.col(c) for c in (extra_cols or [])],
         round_half_up(_sigmoid(_margin(F.col(x_col), weights)), 6).alias("score"),
     )
+
+
+def _caller_cached(df: DataFrame) -> bool:
+    """True when the plan is already in the cache manager — i.e. the
+    CALLER persisted the feature table. The trainers only manage (and
+    therefore only drop) a cache THEY created: persist() is not
+    reference-counted, so an unconditional finally-unpersist silently
+    evicted a caller's pre-cached feats — the next consumer (scoring,
+    a second training run) re-paid the full feature build (~300 s at
+    10M docs; found by the r12 probe, which pre-cached features
+    outside the timed region and still measured build-dominated
+    calls)."""
+    lvl = df.storageLevel
+    return bool(lvl.useMemory or lvl.useDisk or lvl.useOffHeap)
 
 
 def _reserved_softmax_names(n_classes: int) -> set[str]:
@@ -412,7 +429,9 @@ def softmax_train_fixed(
 
     W = [[0.0] * dim for _ in range(n_classes)]
     spark = feats.sparkSession
-    feats = feats.persist()
+    managed = not _caller_cached(feats)
+    if managed:
+        feats = feats.persist()
     base = feats.select(
         F.col(x_col).alias("__x"), F.col(label_col).alias("__y")
     )
@@ -454,7 +473,8 @@ def softmax_train_fixed(
                 for k in range(n_classes)
             ]
     finally:
-        feats.unpersist()
+        if managed:
+            feats.unpersist()
     return W
 
 

@@ -233,3 +233,40 @@ def test_softmax_reserved_name_collision_raises(spark):
     wt_clash = feats.withColumn("__wt1", F.lit(1))
     with pytest.raises(ValueError, match="__wt1"):
         C.softmax_score(wt_clash, w, extra_cols=["__wt1"])
+
+
+def test_train_preserves_caller_cache(spark):
+    """The trainers only manage a cache THEY created: persist is not
+    reference-counted, so the former unconditional finally-unpersist
+    evicted a caller's pre-cached feature table and the next consumer
+    re-paid the full feature build (r12 probe finding)."""
+    from nyc_etl_pipeline_spark.operators.classify import (
+        hashed_tf_features,
+        logreg_train_fixed,
+        softmax_train_fixed,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 3} w2") for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    feats = hashed_tf_features(
+        docs, n_buckets=8, label=(F.col("doc_id") % 2 == 0).cast("int")
+    )
+    # caller-cached input: still cached after training
+    cached = feats.persist()
+    cached.count()
+    logreg_train_fixed(cached, dim=9, n_rounds=1)
+    lvl = cached.storageLevel
+    assert lvl.useMemory or lvl.useDisk, "train evicted the caller's cache"
+    softmax_train_fixed(
+        cached.withColumn("y", F.col("doc_id") % 3),
+        dim=9, n_classes=3, n_rounds=1, label_col="y",
+    )
+    lvl = cached.storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    cached.unpersist()
+    # unmanaged input: training leaves no cache entry behind
+    logreg_train_fixed(feats, dim=9, n_rounds=1)
+    lvl = feats.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
