@@ -951,3 +951,149 @@ def topk_calibration(
         round_half_up(prec, 6).alias("precision"),
         round_half_up(conf - prec, 6).alias("gap"),
     )
+
+
+def multiclass_eval(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-class confusion summary for a multiclass classifier:
+    support, predicted count, true positives, precision, recall, F1 —
+    the table q190's softmax (or any argmax scorer) is actually judged
+    by. One row per (group, class) over the UNION of observed true and
+    predicted classes, so a class the model never predicts (recall
+    hole) and a class it hallucinates (precision hole) both appear.
+
+    Exactness: everything is bigint counts off ONE hash aggregate of
+    (group, label, pred) cells; the three final divisions are the only
+    float ops. precision is NULL when the class is never predicted and
+    recall is NULL when it has no true rows (no 0-division convention
+    smuggled in); F1 uses the 2*tp/(n_true+n_pred) identity, which is
+    always defined on the union class set and equals the harmonic mean
+    whenever both marginals are positive. Rows with a NULL label or
+    prediction are dropped up front (the spearman_corr exclusion
+    contract — NULL is "unlabeled", not a class).
+
+    Scale shape: one shuffle to (group, label, pred) cells — at most
+    K^2 rows per group regardless of input rows (map-side partial
+    aggregation does the data-sized work) — then two K-bounded
+    re-aggregations and a K-bounded outer join. Nothing downstream of
+    the first aggregate is data-sized, so the plan survives any row
+    count; skew rides the hash aggregate, not a window.
+    """
+    gcols = group_cols or []
+    cells = (
+        df.filter(F.col(pred_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(
+            *gcols,
+            F.col(label_col).alias("__t"),
+            F.col(pred_col).alias("__p"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    by_true = cells.groupBy(*gcols, F.col("__t").alias("class")).agg(
+        F.sum("__n").alias("__n_true"),
+        F.sum(F.when(F.col("__p") == F.col("__t"), F.col("__n"))).alias("__tp"),
+    )
+    by_pred = cells.groupBy(*gcols, F.col("__p").alias("class")).agg(
+        F.sum("__n").alias("__n_pred")
+    )
+    joined = by_true.join(by_pred, [*gcols, "class"], "full_outer")
+    n_true = F.coalesce(F.col("__n_true"), F.lit(0)).cast("bigint")
+    n_pred = F.coalesce(F.col("__n_pred"), F.lit(0)).cast("bigint")
+    tp = F.coalesce(F.col("__tp"), F.lit(0)).cast("bigint")
+    return joined.select(
+        *gcols,
+        "class",
+        n_true.alias("n_true"),
+        n_pred.alias("n_pred"),
+        tp.alias("tp"),
+        F.when(
+            n_pred > 0, round_half_up(tp / n_pred, 6)
+        ).alias("precision"),
+        F.when(n_true > 0, round_half_up(tp / n_true, 6)).alias("recall"),
+        round_half_up(tp * 2 / (n_true + n_pred), 6).alias("f1"),
+    )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cohen's kappa between two categorical columns — raw agreement
+    corrected for the agreement two independent raters with the same
+    marginals would reach by chance. The honesty check multiclass_eval
+    lacks: a majority-class predictor scores high accuracy but kappa
+    ~0. Returns one row per group: (group..., n, po, pe, kappa).
+
+    Exactness: kappa = (n*agree - pe_num) / (n*n - pe_num) with
+    pe_num = sum_c n_a(c)*n_b(c) — a single integer-arithmetic
+    identity, so the one float division IS the metric (po/pe are
+    reported as separately-rounded diagnostics, not inputs to kappa).
+    Marginal products are decimal(38,0) via decimal(19,0) factor casts
+    — bigint products wrap silently past ~3e9 rows per group (the
+    spearman_corr moment-product lesson, applied at birth rather than
+    patched later). kappa is NULL when pe = 1 (both raters constant
+    and identical — the 0/0 case, reported rather than invented).
+    Rows where either column is NULL are dropped up front (NULL is
+    "unrated", not a category — the multiclass_eval contract).
+
+    Scale shape: one count aggregate for (n, agree), two K-bounded
+    marginal aggregates joined on class, one K-bounded sum — identical
+    shuffle budget to multiclass_eval; nothing pairwise, nothing
+    windowed, no stage downstream of the first aggregates is
+    data-sized.
+    """
+    gcols = group_cols or []
+    base = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    gb = lambda *cs: base.groupBy(*cs) if cs else base.groupBy()  # noqa: E731
+    totals = gb(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum((F.col(col_a) == F.col(col_b)).cast("bigint"))
+        .cast("bigint")
+        .alias("__agree"),
+    )
+    m_a = base.groupBy(*gcols, F.col(col_a).alias("__c")).agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("__na")
+    )
+    m_b = base.groupBy(*gcols, F.col(col_b).alias("__c")).agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("__nb")
+    )
+    pe_num = (
+        m_a.join(m_b, [*gcols, "__c"])
+        .groupBy(*gcols)
+        .agg(
+            F.sum(
+                (F.col("__na") * F.col("__nb")).cast("decimal(38,0)")
+            ).alias("__pe_num")
+        )
+    )
+    if gcols:
+        fin = totals.join(pe_num, gcols, "left")
+    else:
+        fin = totals.crossJoin(F.broadcast(pe_num))
+    # inner-join marginals can only drop the pe contribution of classes
+    # one side never uses (product 0); a missing row means NO class was
+    # shared, so pe_num is 0, not NULL
+    pe_n = F.coalesce(F.col("__pe_num"), F.lit(0).cast("decimal(38,0)"))
+    n_dec = F.col("__n").cast("decimal(19,0)")
+    denom = (n_dec * n_dec).cast("decimal(38,0)") - pe_n
+    numer = (n_dec * F.col("__agree").cast("decimal(19,0)")).cast(
+        "decimal(38,0)"
+    ) - pe_n
+    return fin.select(
+        *gcols,
+        F.col("__n").alias("n"),
+        round_half_up(F.col("__agree") / F.col("__n"), 6).alias("po"),
+        round_half_up(
+            pe_n.cast("double") / (n_dec * n_dec).cast("double"), 6
+        ).alias("pe"),
+        F.when(
+            denom != 0,
+            round_half_up(numer.cast("double") / denom.cast("double"), 6),
+        ).alias("kappa"),
+    )

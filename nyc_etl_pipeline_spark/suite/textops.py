@@ -1280,6 +1280,127 @@ FROM sel
 
 
 # --------------------------------------------------------------------------
+# q203/q204 — multiclass confusion summary + Cohen's kappa
+# --------------------------------------------------------------------------
+# The multiclass half of the eval family: q184/q193/q201/q202 score a
+# RANKER; these score an argmax CLASSIFIER. The heuristic lang-id
+# (q20) against the declared language is a genuine multiclass problem
+# with real confusions (short docs fall to 'und'), grouped by source.
+
+
+def q203_multiclass_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, class) confusion summary of the marker-count
+    lang-id against the declared language: support, predicted count,
+    true positives, precision/recall/F1 over the UNION of observed
+    true and predicted classes — 'und' appears as a predicted-only
+    class (precision hole) wherever no doc declares it. All counts
+    ride one (source, label, pred) hash aggregate (<= K^2 rows per
+    source); F1 is the 2*tp/(n_true+n_pred) identity, defined on the
+    whole union set."""
+    from nyc_etl_pipeline_spark.operators.evalmetrics import multiclass_eval
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    pred = q20_lang_id(spark, sf_dir)
+    base = docs.select("doc_id", "source").join(pred, "doc_id")
+    return multiclass_eval(base, "lang_pred", "lang_declared", ["source"])
+
+
+_Q203_SQL = f"""
+WITH lp AS ({{lang_id_sql}}),
+s AS (
+  SELECT d.source, lp.lang_declared AS t, lp.lang_pred AS p
+  FROM lp JOIN documents d USING (doc_id)
+),
+cells AS (SELECT source, t, p, count(*) AS n FROM s GROUP BY 1, 2, 3),
+by_true AS (
+  SELECT source, t AS class, sum(n) AS n_true,
+         coalesce(sum(CASE WHEN p = t THEN n END), 0) AS tp
+  FROM cells GROUP BY 1, 2
+),
+by_pred AS (
+  SELECT source, p AS class, sum(n) AS n_pred FROM cells GROUP BY 1, 2
+),
+j AS (
+  SELECT coalesce(bt.source, bp.source) AS source,
+         coalesce(bt.class, bp.class) AS class,
+         coalesce(bt.n_true, 0) AS n_true,
+         coalesce(bp.n_pred, 0) AS n_pred,
+         coalesce(bt.tp, 0) AS tp
+  FROM by_true bt
+  FULL OUTER JOIN by_pred bp
+    ON bt.source = bp.source AND bt.class = bp.class
+)
+SELECT source, class,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(tp AS BIGINT) AS tp,
+       CASE WHEN n_pred > 0 THEN
+         {sql_round_half_up('tp * 1.0 / n_pred', 6)} END AS precision,
+       CASE WHEN n_true > 0 THEN
+         {sql_round_half_up('tp * 1.0 / n_true', 6)} END AS recall,
+       {sql_round_half_up('tp * 2.0 / (n_true + n_pred)', 6)} AS f1
+FROM j
+"""
+
+
+def q204_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Cohen's kappa between the lang-id prediction and the
+    declared language — chance-corrected agreement, the honesty check
+    on q203's raw accuracy (a majority-class guesser scores high po
+    but kappa ~0). Integer-identity form: kappa =
+    (n*agree - sum_c na_c*nb_c) / (n^2 - sum_c na_c*nb_c), marginal
+    products in decimal(38,0) so the identity survives group sizes
+    past bigint's ~3e9-row product wrap."""
+    from nyc_etl_pipeline_spark.operators.evalmetrics import cohen_kappa
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    pred = q20_lang_id(spark, sf_dir)
+    base = docs.select("doc_id", "source").join(pred, "doc_id")
+    return cohen_kappa(base, "lang_pred", "lang_declared", ["source"])
+
+
+_Q204_SQL = f"""
+WITH lp AS ({{lang_id_sql}}),
+s AS (
+  SELECT d.source, lp.lang_pred AS a, lp.lang_declared AS b
+  FROM lp JOIN documents d USING (doc_id)
+),
+tot AS (
+  SELECT source, count(*) AS n,
+         sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+  FROM s GROUP BY 1
+),
+ma AS (SELECT source, a AS c, count(*) AS na FROM s GROUP BY 1, 2),
+mb AS (SELECT source, b AS c, count(*) AS nb FROM s GROUP BY 1, 2),
+pe AS (
+  SELECT source, sum(CAST(na AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))) AS pe_num
+  FROM ma JOIN mb USING (source, c) GROUP BY 1
+),
+fin AS (
+  SELECT t.source, t.n, t.agree,
+         coalesce(p.pe_num, CAST(0 AS DECIMAL(38,0))) AS pe_num
+  FROM tot t LEFT JOIN pe p USING (source)
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       {sql_round_half_up('agree * 1.0 / n', 6)} AS po,
+       {sql_round_half_up('CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))', 6)} AS pe,
+       CASE WHEN CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) - pe_num <> 0 THEN
+         {sql_round_half_up('CAST(CAST(n AS DECIMAL(19,0)) * CAST(agree AS DECIMAL(19,0)) - pe_num AS DOUBLE) / CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) - pe_num AS DOUBLE)', 6)}
+       END AS kappa
+FROM fin
+"""
+
+
+def _q203_sql() -> str:
+    # .replace, not .format — the spliced lang-id SQL carries braces
+    return _Q203_SQL.replace("{lang_id_sql}", _lang_id_sql())
+
+
+def _q204_sql() -> str:
+    return _Q204_SQL.replace("{lang_id_sql}", _lang_id_sql())
+
+
+# --------------------------------------------------------------------------
 # q193 — average precision (step-interpolated PR-AUC) per source
 # --------------------------------------------------------------------------
 # The imbalanced-class companion of q184: same (stopword-ratio score,
@@ -1716,4 +1837,10 @@ SPECS = [
     QuerySpec("q198_graded_retrieval_eval", q198_graded_retrieval_eval,
               _q198_sql(),
               "graded-relevance nDCG@k (gain-weighted DCG, gain-DESC ideal)"),
+    QuerySpec("q203_multiclass_eval", q203_multiclass_eval, _q203_sql(),
+              "per-(source, class) confusion summary: precision/recall/F1 "
+              "over the union class set"),
+    QuerySpec("q204_cohen_kappa", q204_cohen_kappa, _q204_sql(),
+              "per-source Cohen's kappa (chance-corrected agreement, "
+              "decimal marginal products)"),
 ]

@@ -679,3 +679,107 @@ def test_topk_calibration_rejects_bad_ks(spark):
         topk_calibration(df, "s", "y", ks=[])
     with _pytest.raises(ValueError):
         topk_calibration(df, "s", "y", ks=[0, 3])
+
+
+# --------------------------------------------------------------------------
+# multiclass_eval + cohen_kappa
+# --------------------------------------------------------------------------
+
+
+def test_multiclass_eval_hand_case(spark):
+    from nyc_etl_pipeline_spark.operators.evalmetrics import multiclass_eval
+
+    # true: a a a b b c ; pred: a a b b c c
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),
+        ("b", "b"), ("b", "c"), ("c", "c"),
+    ]
+    df = spark.createDataFrame(rows, "t string, p string")
+    out = {r["class"]: r for r in multiclass_eval(df, "p", "t").collect()}
+    assert set(out) == {"a", "b", "c"}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a["n_true"], a["n_pred"], a["tp"]) == (3, 2, 2)
+    assert a["precision"] == 1.0 and a["recall"] == round(2 / 3, 6)
+    assert a["f1"] == 0.8  # 2*2/(3+2)
+    assert (b["n_true"], b["n_pred"], b["tp"]) == (2, 2, 1)
+    assert b["precision"] == 0.5 and b["recall"] == 0.5 and b["f1"] == 0.5
+    assert (c["n_true"], c["n_pred"], c["tp"]) == (1, 2, 1)
+    assert c["precision"] == 0.5 and c["recall"] == 1.0
+    assert c["f1"] == round(2 / 3, 6)
+
+
+def test_multiclass_eval_union_classes_and_nulls(spark):
+    from nyc_etl_pipeline_spark.operators.evalmetrics import multiclass_eval
+
+    rows = [
+        ("a", "a"), ("a", "hallucinated"),  # predicted-only class
+        ("never_predicted", "a"),           # true-only class
+        (None, "a"), ("a", None),           # dropped up front
+    ]
+    df = spark.createDataFrame(rows, "t string, p string")
+    out = {r["class"]: r for r in multiclass_eval(df, "p", "t").collect()}
+    assert set(out) == {"a", "hallucinated", "never_predicted"}
+    h = out["hallucinated"]
+    assert (h["n_true"], h["n_pred"], h["tp"]) == (0, 1, 0)
+    assert h["precision"] == 0.0 and h["recall"] is None and h["f1"] == 0.0
+    n = out["never_predicted"]
+    assert (n["n_true"], n["n_pred"], n["tp"]) == (1, 0, 0)
+    assert n["precision"] is None and n["recall"] == 0.0 and n["f1"] == 0.0
+
+
+def test_multiclass_eval_grouped_independence(spark):
+    from nyc_etl_pipeline_spark.operators.evalmetrics import multiclass_eval
+
+    rows = [("g1", "a", "a"), ("g1", "a", "b"), ("g2", "a", "a")]
+    df = spark.createDataFrame(rows, "g string, t string, p string")
+    out = multiclass_eval(df, "p", "t", ["g"]).collect()
+    g2 = [r for r in out if r["g"] == "g2"]
+    assert len(g2) == 1 and g2[0]["f1"] == 1.0
+    g1a = [r for r in out if r["g"] == "g1" and r["class"] == "a"][0]
+    assert (g1a["n_true"], g1a["n_pred"], g1a["tp"]) == (2, 1, 1)
+
+
+def _kappa(spark, rows, schema="a string, b string"):
+    from nyc_etl_pipeline_spark.operators.evalmetrics import cohen_kappa
+
+    return cohen_kappa(spark.createDataFrame(rows, schema), "a", "b").collect()[0]
+
+
+def test_cohen_kappa_closed_forms(spark):
+    # perfect agreement over 2 balanced classes: po=1, pe=0.5, kappa=1
+    r = _kappa(spark, [("x", "x"), ("y", "y")] * 5)
+    assert (r["po"], r["pe"], r["kappa"]) == (1.0, 0.5, 1.0)
+    # chance-level: every combination once -> po=0.5, pe=0.5, kappa=0
+    r = _kappa(spark, [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")])
+    assert (r["po"], r["pe"], r["kappa"]) == (0.5, 0.5, 0.0)
+    # both raters constant and identical -> pe=1 -> kappa NULL (0/0)
+    r = _kappa(spark, [("x", "x")] * 4)
+    assert r["po"] == 1.0 and r["pe"] == 1.0 and r["kappa"] is None
+    # textbook 2x2: 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    r = _kappa(spark, rows)
+    # po = 35/50 = .7 ; pe = (25*30 + 25*20)/2500 = .5 ; kappa = .4
+    assert (r["po"], r["pe"], r["kappa"]) == (0.7, 0.5, 0.4)
+
+
+def test_cohen_kappa_nulls_and_groups(spark):
+    from nyc_etl_pipeline_spark.operators.evalmetrics import cohen_kappa
+
+    rows = [
+        ("g1", "x", "x"), ("g1", "x", "y"), ("g1", None, "x"),
+        ("g2", "x", "x"), ("g2", "y", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    out = {r["g"]: r for r in cohen_kappa(df, "a", "b", ["g"]).collect()}
+    assert out["g1"]["n"] == 2  # NULL row dropped
+    assert out["g2"]["n"] == 1 and out["g2"]["kappa"] is None
+
+
+def test_cohen_kappa_disjoint_label_sets(spark):
+    # raters never use the same class: pe_num has NO shared class rows
+    # (inner marginal join is empty) -> pe = 0, kappa = po = 0
+    r = _kappa(spark, [("x", "p"), ("y", "q")])
+    assert (r["po"], r["pe"], r["kappa"]) == (0.0, 0.0, 0.0)
