@@ -402,6 +402,88 @@ FROM top t
 
 
 # --------------------------------------------------------------------------
+# q205 — maintained-CMS COMPACTION lifecycle: maintain -> compact ->
+# continue maintaining -> replay -> estimates byte-identical
+# --------------------------------------------------------------------------
+# q197 gates the mart's compaction lifecycle and q200 the band
+# index's; the count-min sketch is the third maintained table whose
+# partition history grows with batch count (VERDICT r11 stretch).
+# Because CMS partials merge by cell-wise integer addition and the
+# bucket hash is md5-deterministic, the maintained+compacted+replayed
+# sketch must equal the ONE-PASS whole-corpus sketch cell-for-cell —
+# so q124's oracle gates this lifecycle UNCHANGED: any double-count
+# from a broken replay, or a dropped partition from a broken compact,
+# shifts an estimate and hash-mismatches.
+
+CMS_LIFECYCLE_BATCHES = 4
+
+# sf_dir -> temp warehouse root (q187/q197/q200 memoization contract).
+_COMPACT_CMS: dict[str, str] = {}
+
+
+def q205_cms_compaction_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q124's heavy-hitter estimates, but read from a sketch
+    maintained across 4 batches with a small-file compaction folded
+    mid-history and two batches replayed after it: maintain(0,1) ->
+    compact (must preserve batch_id partition dirs — the exactly-once
+    replay contract) -> maintain(2,3) -> replay batch 2 (post-
+    compaction, idempotent rewrite) and batch 1 (pre-compaction, must
+    overwrite its compacted partition, not double-count)."""
+    import tempfile
+
+    from nyc_etl_pipeline_spark.io import Warehouse
+    from nyc_etl_pipeline_spark.operators import sketches as SKC
+    from nyc_etl_pipeline_spark.streaming.sinks import (
+        merged_sketch,
+        sketch_maintainer,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    nb = CMS_LIFECYCLE_BATCHES
+
+    if sf_dir not in _COMPACT_CMS:
+        root = tempfile.mkdtemp(prefix="cms_lifecycle_")
+        wh = Warehouse(spark, root)
+        write_batch = sketch_maintainer(wh, "cms", token_col="token")
+
+        def part(b: int) -> DataFrame:
+            return toks.filter(F.pmod(F.col("doc_id"), F.lit(nb)) == b)
+
+        write_batch(part(0), 0)
+        write_batch(part(1), 1)
+        wh.compact("cms", target_file_mb=512)
+        kept = wh.partition_columns("cms")
+        if kept != ["batch_id"]:
+            raise RuntimeError(
+                f"compact broke the CMS partition layout: {kept!r}"
+            )
+        write_batch(part(2), 2)
+        write_batch(part(3), 3)
+        write_batch(part(2), 2)  # post-compaction replay
+        write_batch(part(1), 1)  # pre-compaction replay
+        _COMPACT_CMS[sf_dir] = root
+    wh = Warehouse(spark, _COMPACT_CMS[sf_dir])
+
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    top = exact.orderBy(F.desc("true_count"), F.asc("token")).limit(CMS_TOP_K)
+    est = SKC.cms_estimate(
+        merged_sketch(wh, "cms").select("row_i", "bucket", "cnt"),
+        top.select("token"),
+    )
+    return top.join(est, on="token").select(
+        "token",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("true_count")).alias("no_underestimate"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q166 — exact heavy hitters via two-pass Misra-Gries candidates
 # --------------------------------------------------------------------------
 
@@ -817,6 +899,10 @@ SPECS = [
               "deterministic per-key top-N sample (portable md5 priority)"),
     QuerySpec("q82_chunk_windows", q82_chunk_windows, _Q82_SQL,
               "fixed-stride context-window chunking (sequence+posexplode, no UDF)"),
+    QuerySpec("q205_cms_compaction_lifecycle", q205_cms_compaction_lifecycle,
+              _q124_sql(),
+              "maintained CMS compaction lifecycle: maintain -> compact -> "
+              "replay, estimates == one-pass sketch"),
     QuerySpec("q124_cms_heavy_hitters", q124_cms_heavy_hitters, _q124_sql(),
               "count-min-sketch point estimates gated against exact counts"),
     QuerySpec("q166_heavy_hitters", q166_heavy_hitters, _Q166_SQL,
