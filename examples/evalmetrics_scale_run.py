@@ -28,6 +28,7 @@ from nyc_etl_pipeline_spark import get_spark
 from nyc_etl_pipeline_spark.operators.evalmetrics import (
     average_precision,
     calibration_report,
+    kendall_tau,
     roc_auc,
     spearman_corr,
 )
@@ -105,6 +106,18 @@ def main() -> None:
         "calibration_report grouped",
         lambda: f"{calibration_report(df, 'score', 'y', group_cols=['source']).count():,} bins",
     )
+    # r12: distributed Knight kendall — cell collapse bounds every
+    # stage at distinct (score, score2) cells; within-bucket Fenwick
+    # kernels are the only Python stage and see cells, not rows
+    timed(
+        "kendall_tau ungrouped (bucketed dominance + Fenwick kernels)",
+        lambda: "tau %.4f"
+        % kendall_tau(df, "score", "score2").first()["tau"],
+    )
+    timed(
+        "kendall_tau grouped (score vs score2)",
+        lambda: f"{kendall_tau(df, 'score', 'score2', ['source']).count():,} groups",
+    )
     df.unpersist()
 
     dom = synth_scores(spark, n_rows, dominant=True).persist()
@@ -127,6 +140,13 @@ def main() -> None:
         % average_precision(
             dom.filter(F.col("source") == "src_big"), "score", "y"
         ).first()["ap"],
+    )
+    timed(
+        "kendall_tau ungrouped over the dominant group alone",
+        lambda: "tau %.4f"
+        % kendall_tau(
+            dom.filter(F.col("source") == "src_big"), "score", "score2"
+        ).first()["tau"],
     )
     dom.unpersist()
 

@@ -1472,6 +1472,76 @@ FROM totals t LEFT JOIN folds f USING (source)
 # average-rank doubling path is under the gate.
 
 
+def q206_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Kendall tau-b between the composite quality score
+    and the raw stopword ratio — the pairwise-concordance companion
+    of q194's Spearman over the same base. The operator is the
+    distributed Knight decomposition (cell collapse -> x-range-bucket
+    -> cross-bucket dominance from one cumulative pass + within-bucket
+    Fenwick kernels); the oracle is the definitional pairwise join
+    over distinct cells, tractable at oracle scale only. Concordant/
+    discordant counts are gated as exact integers (bigint here; the
+    operator carries decimal(38,0) for 100 TB group sizes), tau as the
+    one float combination."""
+    from nyc_etl_pipeline_spark.operators.evalmetrics import kendall_tau
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    scored = q19_text_quality(spark, sf_dir).select(
+        "doc_id", "quality_score", "stopword_ratio"
+    )
+    base = docs.select("doc_id", "source").join(scored, "doc_id")
+    out = kendall_tau(base, "quality_score", "stopword_ratio", ["source"])
+    return out.select(
+        "source",
+        "n",
+        F.col("concordant").cast("bigint").alias("concordant"),
+        F.col("discordant").cast("bigint").alias("discordant"),
+        "tau",
+    )
+
+
+_Q206_SQL = f"""
+WITH q19 AS ({{q19_sql}}),
+s AS (
+  SELECT d.source, q.quality_score AS x, q.stopword_ratio AS y
+  FROM q19 q JOIN documents d USING (doc_id)
+),
+cells AS (SELECT source, x, y, count(*) AS n FROM s GROUP BY 1, 2, 3),
+cd AS (
+  SELECT a.source,
+         coalesce(sum(CASE WHEN a.y < b.y
+           THEN CAST(a.n AS DECIMAL(19,0)) * CAST(b.n AS DECIMAL(19,0)) END), 0) AS c,
+         coalesce(sum(CASE WHEN a.y > b.y
+           THEN CAST(a.n AS DECIMAL(19,0)) * CAST(b.n AS DECIMAL(19,0)) END), 0) AS d
+  FROM cells a JOIN cells b ON a.source = b.source AND a.x < b.x
+  GROUP BY 1
+),
+mx AS (SELECT source, x, sum(n) AS t FROM cells GROUP BY 1, 2),
+my AS (SELECT source, y, sum(n) AS t FROM cells GROUP BY 1, 2),
+ties AS (
+  SELECT tot.source, tot.n,
+         (CAST(tot.n AS DECIMAL(19,0)) * (tot.n - 1)) / 2 AS n0,
+         tx.t_x, ty.t_y
+  FROM (SELECT source, sum(n) AS n FROM cells GROUP BY 1) tot
+  JOIN (SELECT source, sum((CAST(t AS DECIMAL(19,0)) * (t - 1)) / 2) AS t_x
+        FROM mx GROUP BY 1) tx USING (source)
+  JOIN (SELECT source, sum((CAST(t AS DECIMAL(19,0)) * (t - 1)) / 2) AS t_y
+        FROM my GROUP BY 1) ty USING (source)
+)
+SELECT t.source, CAST(t.n AS BIGINT) AS n,
+       CAST(coalesce(cd.c, 0) AS BIGINT) AS concordant,
+       CAST(coalesce(cd.d, 0) AS BIGINT) AS discordant,
+       CASE WHEN t.n0 - t.t_x > 0 AND t.n0 - t.t_y > 0 THEN
+         {sql_round_half_up('CAST(coalesce(cd.c, 0) - coalesce(cd.d, 0) AS DOUBLE) / sqrt(CAST(t.n0 - t.t_x AS DOUBLE) * CAST(t.n0 - t.t_y AS DOUBLE))', 6)}
+       END AS tau
+FROM ties t LEFT JOIN cd USING (source)
+"""
+
+
+def _q206_sql() -> str:
+    return _Q206_SQL.replace("{q19_sql}", _Q19_SQL)
+
+
 def q194_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Spearman rho between the composite quality score
     and the raw stopword ratio (evalmetrics.spearman_corr: exact
@@ -1843,4 +1913,7 @@ SPECS = [
     QuerySpec("q204_cohen_kappa", q204_cohen_kappa, _q204_sql(),
               "per-source Cohen's kappa (chance-corrected agreement, "
               "decimal marginal products)"),
+    QuerySpec("q206_kendall_tau", q206_kendall_tau, _q206_sql(),
+              "per-source exact Kendall tau-b (distributed Knight: "
+              "bucketed dominance + Fenwick kernels)"),
 ]

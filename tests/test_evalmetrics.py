@@ -783,3 +783,144 @@ def test_cohen_kappa_disjoint_label_sets(spark):
     # (inner marginal join is empty) -> pe = 0, kappa = po = 0
     r = _kappa(spark, [("x", "p"), ("y", "q")])
     assert (r["po"], r["pe"], r["kappa"]) == (0.0, 0.0, 0.0)
+
+
+# --------------------------------------------------------------------------
+# kendall_tau — distributed Knight decomposition
+# --------------------------------------------------------------------------
+
+
+def _brute_kendall(rows):
+    import itertools
+    import math
+
+    C = D = tx = ty = 0
+    n = len(rows)
+    for (x1, y1), (x2, y2) in itertools.combinations(rows, 2):
+        if x1 == x2:
+            tx += 1
+        if y1 == y2:
+            ty += 1
+        if x1 != x2 and y1 != y2:
+            if (x1 < x2) == (y1 < y2):
+                C += 1
+            else:
+                D += 1
+    n0 = n * (n - 1) // 2
+    fx, fy = n0 - tx, n0 - ty
+    tau = (
+        math.floor((C - D) / math.sqrt(fx * fy) * 1e6 + 0.5) / 1e6
+        if fx > 0 and fy > 0
+        else None
+    )
+    return C, D, tau
+
+
+def test_kendall_matches_bruteforce_with_ties(spark):
+    import random
+
+    from nyc_etl_pipeline_spark.operators.evalmetrics import kendall_tau
+
+    rng = random.Random(11)
+    # 1-dp rounding forces heavy tie structure in BOTH axes
+    rows = [
+        (round(rng.random(), 1), round(rng.random(), 1)) for _ in range(400)
+    ]
+    C, D, tau = _brute_kendall(rows)
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = kendall_tau(df, "x", "y").collect()[0]
+    assert (int(r["concordant"]), int(r["discordant"]), r["tau"]) == (C, D, tau)
+    assert r["n"] == len(rows)
+
+
+def test_kendall_grouped_independence(spark):
+    import random
+
+    from nyc_etl_pipeline_spark.operators.evalmetrics import kendall_tau
+
+    rng = random.Random(13)
+    rows = [
+        (
+            "g" + str(rng.randint(0, 2)),
+            round(rng.random(), 1),
+            round(rng.random(), 1),
+        )
+        for _ in range(250)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in kendall_tau(df, "x", "y", ["g"]).collect()}
+    for g in {r[0] for r in rows}:
+        sub = [(x, y) for gg, x, y in rows if gg == g]
+        C, D, tau = _brute_kendall(sub)
+        r = out[g]
+        assert (int(r["concordant"]), int(r["discordant"]), r["tau"]) == (
+            C,
+            D,
+            tau,
+        ), g
+
+
+def test_kendall_closed_forms(spark):
+    from nyc_etl_pipeline_spark.operators.evalmetrics import kendall_tau
+
+    def one(rows):
+        df = spark.createDataFrame(rows, "x double, y double")
+        return kendall_tau(df, "x", "y").collect()[0]
+
+    # perfect agreement
+    r = one([(1.0, 10.0), (2.0, 20.0), (3.0, 30.0), (4.0, 40.0)])
+    assert (int(r["concordant"]), int(r["discordant"]), r["tau"]) == (6, 0, 1.0)
+    # perfect reversal
+    r = one([(1.0, 40.0), (2.0, 30.0), (3.0, 20.0), (4.0, 10.0)])
+    assert (int(r["concordant"]), int(r["discordant"]), r["tau"]) == (0, 6, -1.0)
+    # constant x -> no orderable pairs -> NULL tau
+    r = one([(5.0, 1.0), (5.0, 2.0), (5.0, 3.0)])
+    assert r["tau"] is None and int(r["concordant"]) == 0
+    # NULL rows dropped up front (spearman exclusion contract)
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (None, 9.0), (3.0, None)],
+        "x double, y double",
+    )
+    r = kendall_tau(df, "x", "y").collect()[0]
+    assert r["n"] == 2 and r["tau"] == 1.0
+
+
+def test_kendall_ungrouped_equals_grouped_constant_key(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nyc_etl_pipeline_spark.operators.evalmetrics import kendall_tau
+
+    rng = random.Random(17)
+    rows = [
+        (round(rng.random(), 1), round(rng.random(), 1)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    ung = kendall_tau(df, "x", "y").collect()[0]
+    grp = (
+        kendall_tau(df.withColumn("k", F.lit("all")), "x", "y", ["k"])
+        .collect()[0]
+    )
+    assert (
+        ung["n"],
+        int(ung["concordant"]),
+        int(ung["discordant"]),
+        ung["tau"],
+    ) == (grp["n"], int(grp["concordant"]), int(grp["discordant"]), grp["tau"])
+
+
+def test_kendall_duplicate_heavy_cells(spark):
+    # many duplicate rows: cell collapse must weight pairs by count
+    # products, and the within-bucket kernel must mix tied-x queries
+    # with BIT updates correctly
+    from nyc_etl_pipeline_spark.operators.evalmetrics import kendall_tau
+
+    rows = (
+        [(1.0, 1.0)] * 30 + [(1.0, 2.0)] * 20 + [(2.0, 1.0)] * 10
+        + [(2.0, 2.0)] * 40
+    )
+    C, D, tau = _brute_kendall(rows)
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = kendall_tau(df, "x", "y").collect()[0]
+    assert (int(r["concordant"]), int(r["discordant"]), r["tau"]) == (C, D, tau)
