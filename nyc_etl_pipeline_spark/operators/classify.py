@@ -38,6 +38,7 @@ operator here.
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -165,6 +166,43 @@ def _sigmoid(z: Column) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+@contextmanager
+def _jit_safe_codegen(spark):
+    """Scope spark.sql.codegen.hugeMethodLimit down to HotSpot's
+    -XX:DontCompileHugeMethods ceiling (8000 bytecode bytes) for the
+    duration of a training loop.
+
+    Why: whole-stage codegen fuses the staging projection + the
+    dim-wide (or K*dim-wide) gradient aggregate into ONE generated
+    method whose bytecode size grows with expression count. Spark only
+    abandons codegen past hugeMethodLimit (default 65535 — the JVM's
+    hard classfile limit), but HotSpot refuses to JIT any method past
+    ~8000 bytes — so there is a width VALLEY (generated method in
+    8k..64k) where the hot loop runs as INTERPRETED BYTECODE. Measured
+    at 10M docs x dim 65 (r12 codegen probe, isolated process,
+    burned-in best-of-2): logreg 1-round 35.8 s with codegen on vs
+    3.1 s with it off — 11.5x — while softmax (5x wider) reads 10.8
+    vs 9.0 s (its subtree already splits/falls back). Lowering
+    hugeMethodLimit to the JIT ceiling makes Spark itself deactivate
+    codegen exactly for the subtrees the JVM would never JIT —
+    per-subtree (concurrent narrow queries keep codegen), and
+    value-identical (same expressions, interpreted-expression path).
+    """
+    key = "spark.sql.codegen.hugeMethodLimit"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "8000")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def logreg_train_fixed(
     feats: DataFrame,
     dim: int,
@@ -219,15 +257,19 @@ def logreg_train_fixed(
         for i in range(1, dim + 1)
     ]
     try:
-        for _ in range(n_rounds):
-            wdf = spark.createDataFrame(
-                [([float(v) for v in w],)], schema="__wt array<double>"
-            )
-            scored = base.crossJoin(F.broadcast(wdf)).selectExpr(
-                "__x", f"{err} AS __e"
-            )
-            grads = scored.selectExpr(*g_strs).collect()[0]
-            w = [py_round6(w[i - 1] + lr * grads[f"g{i}"]) for i in range(1, dim + 1)]
+        with _jit_safe_codegen(spark):
+            for _ in range(n_rounds):
+                wdf = spark.createDataFrame(
+                    [([float(v) for v in w],)], schema="__wt array<double>"
+                )
+                scored = base.crossJoin(F.broadcast(wdf)).selectExpr(
+                    "__x", f"{err} AS __e"
+                )
+                grads = scored.selectExpr(*g_strs).collect()[0]
+                w = [
+                    py_round6(w[i - 1] + lr * grads[f"g{i}"])
+                    for i in range(1, dim + 1)
+                ]
     finally:
         if managed:
             feats.unpersist()
@@ -449,29 +491,35 @@ def softmax_train_fixed(
                 f" / cast(count(1) as double) AS g_{k}_{i}"
             )
     try:
-        for _ in range(n_rounds):
-            # one-row weight relation: K array columns, broadcast —
-            # round-invariant codegen (see _sql_stage_softmax).
-            wdf = spark.createDataFrame(
-                [tuple([float(v) for v in W[k]] for k in range(n_classes))],
-                schema=", ".join(
-                    f"__wt{k} array<double>" for k in range(n_classes)
-                ),
-            )
-            scored = _sql_stage_softmax(
-                base.crossJoin(F.broadcast(wdf)),
-                "__x",
-                [f"__wt{k}" for k in range(n_classes)],
-                dim,
-            )
-            row = scored.selectExpr(*g_strs).collect()[0]
-            W = [
-                [
-                    py_round6(W[k][i - 1] + lr * row[f"g_{k}_{i}"])
-                    for i in range(1, dim + 1)
+        with _jit_safe_codegen(spark):
+            for _ in range(n_rounds):
+                # one-row weight relation: K array columns, broadcast —
+                # round-invariant codegen (see _sql_stage_softmax).
+                wdf = spark.createDataFrame(
+                    [
+                        tuple(
+                            [float(v) for v in W[k]]
+                            for k in range(n_classes)
+                        )
+                    ],
+                    schema=", ".join(
+                        f"__wt{k} array<double>" for k in range(n_classes)
+                    ),
+                )
+                scored = _sql_stage_softmax(
+                    base.crossJoin(F.broadcast(wdf)),
+                    "__x",
+                    [f"__wt{k}" for k in range(n_classes)],
+                    dim,
+                )
+                row = scored.selectExpr(*g_strs).collect()[0]
+                W = [
+                    [
+                        py_round6(W[k][i - 1] + lr * row[f"g_{k}_{i}"])
+                        for i in range(1, dim + 1)
+                    ]
+                    for k in range(n_classes)
                 ]
-                for k in range(n_classes)
-            ]
     finally:
         if managed:
             feats.unpersist()

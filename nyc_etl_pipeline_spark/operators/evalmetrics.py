@@ -258,9 +258,17 @@ def roc_curve(
     """
     gcols = group_cols or []
     lab = F.col(label_col).cast("bigint")
-    per_score = df.groupBy(*gcols, F.col(score_col).alias("score")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__tie"),
-        F.sum(lab).cast("bigint").alias("__pos"),
+    # the per-score table feeds the cumulative pass AND the totals —
+    # lazily localCheckpoint-ed so the corpus-scale aggregate runs
+    # once and both branches read the resolution-bounded blocks (the
+    # kendall_tau lineage-truncation lesson)
+    per_score = (
+        df.groupBy(*gcols, F.col(score_col).alias("score"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__tie"),
+            F.sum(lab).cast("bigint").alias("__pos"),
+        )
+        .localCheckpoint(eager=False)
     )
     if gcols:
         w_cum = (
@@ -277,7 +285,12 @@ def roc_curve(
             F.sum("__pos").over(w_cum).alias("__cp"),
         )
     else:
-        bounds = _quantile_bounds(df, score_col, num_buckets)
+        # bounds probed on the checkpointed per-score table, not the
+        # raw input: one fewer corpus pass, and the local windows run
+        # over DISTINCT scores — balancing by distinct-value count is
+        # the balance that actually matters there (boundaries never
+        # affect values, only balance)
+        bounds = _quantile_bounds(per_score, "score", num_buckets)
         cum = _bucketed_global_cum(
             per_score, "score", ["__tie", "__pos"], bounds, descending=True
         ).select(
@@ -981,7 +994,10 @@ def multiclass_eval(
     aggregation does the data-sized work) — then two K-bounded
     re-aggregations and a K-bounded outer join. Nothing downstream of
     the first aggregate is data-sized, so the plan survives any row
-    count; skew rides the hash aggregate, not a window.
+    count; skew rides the hash aggregate, not a window. The cell
+    table is lazily localCheckpoint-ed: it feeds two branches, and
+    without lineage truncation each would re-analyze and re-shuffle
+    the corpus (the kendall_tau lesson).
     """
     gcols = group_cols or []
     cells = (
@@ -992,6 +1008,7 @@ def multiclass_eval(
             F.col(pred_col).alias("__p"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        .localCheckpoint(eager=False)
     )
     by_true = cells.groupBy(*gcols, F.col("__t").alias("class")).agg(
         F.sum("__n").alias("__n_true"),
@@ -1042,26 +1059,37 @@ def cohen_kappa(
     Rows where either column is NULL are dropped up front (NULL is
     "unrated", not a category — the multiclass_eval contract).
 
-    Scale shape: one count aggregate for (n, agree), two K-bounded
-    marginal aggregates joined on class, one K-bounded sum — identical
-    shuffle budget to multiclass_eval; nothing pairwise, nothing
-    windowed, no stage downstream of the first aggregates is
-    data-sized.
+    Scale shape: ONE data-sized shuffle — rows collapse to
+    (group, a, b) cells (<= K^2 per group), and totals, both
+    marginals, and the pe sum are all K-bounded re-aggregations of
+    that one cell table. The cell table is lazily localCheckpoint-ed:
+    it feeds three branches, and Catalyst plans are trees — without
+    lineage truncation each branch would re-analyze AND re-shuffle
+    the corpus (the kendall_tau lesson; here it also turns three
+    corpus-scale aggregates into one).
     """
     gcols = group_cols or []
     base = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
-    gb = lambda *cs: base.groupBy(*cs) if cs else base.groupBy()  # noqa: E731
+    cells = (
+        base.groupBy(*gcols, F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cn"))
+        .localCheckpoint(eager=False)
+    )
+    gb = lambda *cs: cells.groupBy(*cs) if cs else cells.groupBy()  # noqa: E731
     totals = gb(*gcols).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n"),
-        F.sum((F.col(col_a) == F.col(col_b)).cast("bigint"))
+        F.sum("__cn").cast("bigint").alias("__n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__cn"))),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("__agree"),
     )
-    m_a = base.groupBy(*gcols, F.col(col_a).alias("__c")).agg(
-        F.count(F.lit(1)).cast("decimal(19,0)").alias("__na")
+    m_a = cells.groupBy(*gcols, F.col("__a").alias("__c")).agg(
+        F.sum("__cn").cast("decimal(19,0)").alias("__na")
     )
-    m_b = base.groupBy(*gcols, F.col(col_b).alias("__c")).agg(
-        F.count(F.lit(1)).cast("decimal(19,0)").alias("__nb")
+    m_b = cells.groupBy(*gcols, F.col("__b").alias("__c")).agg(
+        F.sum("__cn").cast("decimal(19,0)").alias("__nb")
     )
     pe_num = (
         m_a.join(m_b, [*gcols, "__c"])
