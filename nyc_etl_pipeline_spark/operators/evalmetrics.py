@@ -189,7 +189,15 @@ def roc_auc(
         )
         cum = per_score.withColumn("__cum", F.sum("__tie").over(w_cum))
     else:
-        bounds = _quantile_bounds(df, score_col, num_buckets)
+        # the two-pass helper references per_score twice (local pass +
+        # offsets) — lazily localCheckpoint so the corpus-scale
+        # aggregate runs once and both passes read the resolution-
+        # bounded blocks; the quantile probe (an action) materializes
+        # it and runs over DISTINCT scores, which is the balance the
+        # local windows actually need (the kendall_tau lineage lesson;
+        # boundaries never affect values)
+        per_score = per_score.localCheckpoint(eager=False)
+        bounds = _quantile_bounds(per_score, "__s", num_buckets)
         cum = _bucketed_global_cum(per_score, "__s", "__tie", bounds)
     stats = cum.select(
         *gcols,
@@ -394,7 +402,12 @@ def average_precision(
             F.sum("__pos").over(w_cum).alias("__cp"),
         )
     else:
-        bounds = _quantile_bounds(df, score_col, num_buckets)
+        # three consumers (quantile probe, two-pass cum, totals) —
+        # checkpoint so the corpus-scale aggregate runs once (the
+        # kendall_tau lineage lesson; r12 probe read 42.8 s for
+        # ungrouped AP at 10M vs roc_auc's 8.0 from exactly this)
+        per_score = per_score.localCheckpoint(eager=False)
+        bounds = _quantile_bounds(per_score, "__s", num_buckets)
         cum = _bucketed_global_cum(
             per_score, "__s", ["__tie", "__pos"], bounds, descending=True
         ).select(
@@ -437,8 +450,10 @@ def average_precision(
         )
     # ungrouped: per-bucket DESC-sorted term arrays (parallel), then
     # ONE bucket-ordered concatenation folded left-to-right — the
-    # exact term sequence of the grouped sort_array fold
-    counts = cum.agg(
+    # exact term sequence of the grouped sort_array fold. Totals come
+    # straight off the checkpointed per-score table (same sums, no
+    # window/offsets traversal).
+    counts = per_score.agg(
         F.sum("__pos").cast("bigint").alias("n_pos"),
         (F.sum("__tie") - F.sum("__pos")).cast("bigint").alias("n_neg"),
     )
@@ -612,8 +627,14 @@ def spearman_corr(
             )
         # ungrouped: the two-pass range-bucketed global rank — the
         # roc_auc escape hatch, shared helper; never a
-        # single-partition window over the distinct values
-        cum = _bucketed_global_cum(per, f"__v_{alias}", "__t", _quantile_bounds(df, col, None))
+        # single-partition window over the distinct values. The
+        # marginal's distinct-value aggregate feeds the quantile
+        # probe + both helper passes — checkpoint so it runs once
+        # (the kendall_tau lineage lesson).
+        per = per.localCheckpoint(eager=False)
+        cum = _bucketed_global_cum(
+            per, f"__v_{alias}", "__t", _quantile_bounds(per, f"__v_{alias}", None)
+        )
         return cum.select(
             f"__v_{alias}",
             (2 * F.col("__cum") - F.col("__t") + 1).alias(f"__2r_{alias}"),
