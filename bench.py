@@ -121,10 +121,15 @@ def main() -> None:
     full_line = json.dumps(full)
     print(full_line)
     # Durable copy of the per-query map (stdout tail may truncate it).
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full_latest.json"),
-        "w",
-    ) as f:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_full_latest.json"), "w") as f:
+        f.write(full_line + "\n")
+    # ALSO keep a per-core-count copy: the driver benches at two CPU
+    # counts and the second run used to clobber the first's per-query
+    # data in BENCH_full_latest.json, which is why PERF_r{11,12}'s
+    # per_query and scaling blocks came back empty (VERDICT r12 item 3).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "all")
+    with open(os.path.join(here, f"BENCH_full_{cpus}c.json"), "w") as f:
         f.write(full_line + "\n")
     # The driver records only a ~2000-char stdout tail: end with a
     # compact summary line that always fits and parses on its own.

@@ -3,9 +3,10 @@ queries run ~2.5-3x their isolated times; canary q10_rollup 0.94 s
 isolated vs 6.29 s inside the 204-query bench).
 
 Runs the suite once in bench order (1 run per query), recording per
-query: elapsed, JVM code-cache / metaspace / heap usage, persistent-RDD
-count, storage memory, and the count of live localCheckpoint blocks —
-then prints a table to correlate the slowdown with an accumulator.
+query: elapsed, JVM code-cache / metaspace / USED heap, persistent-RDD
+count (localCheckpoint RDDs and persist() caches both register there),
+and storage memory — then prints a table to correlate the slowdown
+with an accumulator.
 
 Usage: SPARK_GRAFT_SF_DIR=... python examples/r12_degradation_probe.py
 """
@@ -56,7 +57,10 @@ def main() -> None:
         pools = jvm_pools(spark)
         code = sum(v for k, v in pools.items() if "CodeHeap" in k or "Code Cache" in k)
         meta = pools.get("Metaspace", 0)
-        heap_used = sc._jvm.java.lang.Runtime.getRuntime().totalMemory() // (1024 * 1024)
+        rt = sc._jvm.java.lang.Runtime.getRuntime()
+        # USED heap (total-free): committed heap plateaus at -Xmx and
+        # carries no correlation signal (ADVICE r12)
+        heap_used = (rt.totalMemory() - rt.freeMemory()) // (1024 * 1024)
         n_rdd = sc._jsc.sc().getPersistentRDDs().size()
         sinfo = sc._jsc.sc().getRDDStorageInfo()
         stor_mb = sum(sinfo[i].memSize() for i in range(len(sinfo))) // (1024 * 1024)

@@ -50,9 +50,16 @@ def main() -> None:
             plan = f"ERROR: {exc}"
         with open(os.path.join(out_dir, f"{spec.name}_{suffix}.txt"), "w") as f:
             f.write(plan)
-        n_exch = len(re.findall(r"\bExchange\b", plan))
-        joins = sorted(set(re.findall(r"(\w*Join\w*)\s", plan)))
-        pyn = len(re.findall(r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|MapInArrow", plan))
+        # count only the numbered detail headers — formatted explain
+        # lists every operator twice (tree + detail), so a bare \bExchange\b
+        # count is exactly 2x the true node count (ADVICE r12)
+        n_exch = len(re.findall(r"^\(\d+\) [\w$]*Exchange", plan, re.M))
+        joins = sorted(set(re.findall(r"^\(\d+\) ([\w$]*Join[\w$]*)", plan, re.M)))
+        pyn = len(re.findall(
+            r"^\(\d+\) [\w$]*(?:BatchEvalPython|ArrowEvalPython|MapInPandas|"
+            r"FlatMapGroupsInPandas|MapInArrow)",
+            plan, re.M,
+        ))
         summary.append((spec.name, n_exch, pyn, ",".join(joins)[:60]))
         print(f"{spec.name}: exchanges={n_exch} py_nodes={pyn} joins={joins}")
     print(f"wrote {len(summary)} plans to {out_dir}")

@@ -22,6 +22,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nyc_etl_pipeline_spark.hygiene import (
+    register_checkpointed,
+    release_checkpoint_now,
+    scratch_persist,
+)
 from nyc_etl_pipeline_spark.functions import md5_long, round_half_up
 from nyc_etl_pipeline_spark.operators.text import tokens
 
@@ -165,7 +170,7 @@ def duplicated_passage_stats(
     wins = (
         toks.select("doc_id", F.explode(positional_windows(F.col("__t"), k)).alias("__w"))
         .select("doc_id", md5_long("__w").alias("__h"))
-        .persist()
+        .transform(scratch_persist)
     )
     dup = (
         wins.groupBy("__h")
@@ -219,7 +224,7 @@ def _covered_window_hits(
             (F.col("__p0") + 1).alias("__pos"),
             md5_long("__w").alias("__h"),
         )
-        .persist()
+        .transform(scratch_persist)
     )
     dup = (
         wins.groupBy("__h")
@@ -472,7 +477,7 @@ def ngram_jaccard_pairs(
     # degrading downstream join choice. The cache entry outlives the
     # result until LRU eviction; long sweeps can clearCache() between
     # corpus passes (see release_caches).
-    sh = sh.persist()
+    sh = sh.transform(scratch_persist)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
 
     a = sh.select(F.col("__id").alias("a_id"), "__sh")
@@ -527,7 +532,7 @@ def jaccard_prefix_filter_pairs(
     # feeds: doc-freq, rarity ranking, sizes, and both exact-verify
     # sides — persist or the shingle generation re-runs 5x (persist,
     # not checkpoint: see ngram_jaccard_pairs' measurement).
-    sh = sh.persist()
+    sh = sh.transform(scratch_persist)
     freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     from pyspark.sql.window import Window
@@ -600,7 +605,7 @@ def ngram_containment_pairs(
         sh = sh.join(freq.filter(F.col("__df") <= max_doc_freq), on="__sh", how="inner").select(
             "__id", "__sh"
         )
-    sh = sh.persist()  # sizes + both join sides (see ngram_jaccard_pairs)
+    sh = sh.transform(scratch_persist)  # sizes + both join sides (see ngram_jaccard_pairs)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     a = sh.select(F.col("__id").alias("a_id"), "__sh")
     b = sh.select(F.col("__id").alias("b_id"), "__sh")
@@ -632,11 +637,20 @@ def _minhash_signature_cols(num_hashes: int) -> list[Column]:
     mh_i = min((a_i * h + b_i) mod p). h is the non-negative md5_long
     shingle hash, so plain `%` matches across engines; a_i*h + b_i
     stays under 2^62 (a_i < 2^31, h mod p < 2^31) — no overflow."""
+    # Expressions are built as SQL strings parsed in ONE py4j call
+    # each: the previous nested-Column form cost ~7 py4j round-trips
+    # per hash — ~0.85 s of DRIVER time to construct 128 aggregates,
+    # paid on EVERY plan build (r13 build-time profile; the bench pays
+    # it twice per query). Same operators, same integer arithmetic,
+    # value-identical — pmod(a*pmod(__sh,p)+b, p) over non-negative
+    # md5_long input.
+    p = MERSENNE31
     cols = []
-    h = F.pmod(F.col("__sh"), F.lit(MERSENNE31))
     for i in range(num_hashes):
         a, b = minhash_base_coeffs(i)
-        cols.append(F.min(F.pmod(a * h + b, F.lit(MERSENNE31))).alias(f"mh_{i}"))
+        cols.append(
+            F.expr(f"min(pmod({a} * pmod(__sh, {p}) + {b}, {p}))").alias(f"mh_{i}")
+        )
     return cols
 
 
@@ -680,21 +694,23 @@ def _melt_bands(sig: DataFrame, bands: int, rows: int) -> DataFrame:
     sql_md5_long). The key only needs equality semantics; a 2^-60
     cross-band collision merely adds a candidate pair that exact
     Jaccard verification then rejects, so output is unaffected."""
-    band_cols = [
-        md5_long(
-            F.concat_ws(",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
-        ).alias(f"band_{b}")
+    # SQL-string construction for the same reason as
+    # _minhash_signature_cols: the nested-Column band builder cost
+    # ~0.9 s of driver time per plan build at 32 bands. `CAST(conv(
+    # substring(md5(x),1,15),16,10) AS BIGINT)` is md5_long verbatim.
+    band_exprs = [
+        "CAST(conv(substring(md5(concat_ws(',', {cols})), 1, 15), 16, 10)"
+        " AS BIGINT) AS band_{b}".format(
+            cols=", ".join(f"mh_{b * rows + r}" for r in range(rows)), b=b
+        )
         for b in range(bands)
     ]
-    banded = sig.select("__id", *band_cols)
-    return banded.select(
-        "__id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_key"))
-                for b in range(bands)
-            ])
-        ).alias("bk"),
+    banded = sig.selectExpr("__id", *band_exprs)
+    structs = ", ".join(
+        f"named_struct('band_idx', {b}, 'band_key', band_{b})" for b in range(bands)
+    )
+    return banded.selectExpr(
+        "__id", f"explode(array({structs})) AS bk"
     ).select("__id", "bk.band_idx", "bk.band_key")
 
 
@@ -774,7 +790,7 @@ def incremental_neardup_dedup(
             "ids must be disjoint (re-ingestions need a fresh id or an "
             "upstream exact-dedup pass)"
         )
-    new_sh = _shingle_table(new_docs, id_col, text_col, n).persist()
+    new_sh = _shingle_table(new_docs, id_col, text_col, n).transform(scratch_persist)
     cor_sh = _shingle_table(corpus, id_col, text_col, n)
     # nb feeds BOTH candidate joins (vs-corpus and within-batch) but
     # must NOT be persisted: the signature agg's shuffle is shared
@@ -801,7 +817,7 @@ def incremental_neardup_dedup(
     # cands feeds three consumers (two id prunes + the verify join):
     # persist the pair list (candidate-fan-out-sized, tiny next to the
     # shingle tables) so the band joins run once.
-    cands = vs_corpus.unionByName(within).dropDuplicates().persist()
+    cands = vs_corpus.unionByName(within).dropDuplicates().transform(scratch_persist)
 
     # Explicit semi-join prune BEFORE the collect_set aggregate: only
     # candidate ids' shingle arrays are ever materialized. Without
@@ -1001,7 +1017,7 @@ def incremental_neardup_dedup_indexed(
             "corpus index; ids must be disjoint (re-ingestions need a fresh "
             "id or an upstream exact-dedup pass)"
         )
-    new_sh = _shingle_table(new_docs, id_col, text_col, n).persist()
+    new_sh = _shingle_table(new_docs, id_col, text_col, n).transform(scratch_persist)
     nb = minhash_band_table(new_docs, id_col, text_col, n, num_hashes, bands, sh=new_sh)
     cb = corpus_index.select(id_col, "band_idx", "band_key")
 
@@ -1018,7 +1034,7 @@ def incremental_neardup_dedup_indexed(
         .filter(F.col("other_id") < F.col("new_id"))
         .select("new_id", "other_id")
     )
-    cands = vs_corpus.unionByName(within).dropDuplicates().persist()
+    cands = vs_corpus.unionByName(within).dropDuplicates().transform(scratch_persist)
 
     cand_new_ids = cands.select(F.col("new_id").alias("__id")).dropDuplicates()
     cand_other_ids = cands.select(F.col("other_id").alias("__id")).dropDuplicates()
@@ -1079,7 +1095,7 @@ def minhash_lsh_pairs(
     # under memory pressure; long-lived sessions issuing many of these
     # should call spark.catalog.clearCache() between corpus-scale dedup
     # passes (persist, not checkpoint — see ngram_jaccard_pairs).
-    sh_cached = _shingle_table(df, id_col, text_col, n).persist()
+    sh_cached = _shingle_table(df, id_col, text_col, n).transform(scratch_persist)
     sig = _minhash_sig_table(sh_cached, num_hashes, "__id")
     melted = _melt_bands(sig, bands, rows)
 
@@ -1090,7 +1106,7 @@ def minhash_lsh_pairs(
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .dropDuplicates()
-        .persist()  # three consumers: id prune x2 + the verify join
+        .transform(scratch_persist)  # three consumers: id prune x2 + the verify join
     )
 
     # exact verification: recompute Jaccard only for candidate pairs.
@@ -1144,29 +1160,41 @@ def neardup_clusters(
     )
     edges = edges.localCheckpoint()
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")).localCheckpoint()
+    prev_ck = labels  # the checkpoint handle backing `labels`
     while True:
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        # carry the previous label through the round: the fixpoint
+        # probe then counts changed rows off the new table's OWN
+        # checkpoint blocks instead of re-joining old vs new label
+        # tables (one node-sized join per round removed — §2.4; the
+        # count's input was already materialized by the eager
+        # checkpoint, so the probe is a block scan)
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                F.col("label").alias("__old"),
             )
             .localCheckpoint()
         )
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), on="node")
-            .filter(F.col("o.label") != F.col("n.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+        # the fixpoint count was this round's action: the PREVIOUS
+        # label table's checkpoint blocks are now provably dead
+        release_checkpoint_now(prev_ck)
+        prev_ck = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    # edges fed only the loop (the returned plan reads the final eager
+    # label checkpoint); the final labels live until the caller's
+    # action -> epoch-released
+    release_checkpoint_now(edges)
+    register_checkpointed(prev_ck)
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_rep"))
 
 
@@ -1291,9 +1319,13 @@ def neardup_clusters_twophase(
             .localCheckpoint()  # truncate per-round lineage
         )
         if e2.exceptAll(e).union(e.exceptAll(e2)).isEmpty():
+            release_checkpoint_now(e)
             e = e2
             converged = True
             break
+        # the fixpoint probe was this round's action: the previous
+        # edge table's checkpoint blocks are now provably dead
+        release_checkpoint_now(e)
         e = e2
     if not converged:
         # Returning labels from a non-fixpoint edge set would be
@@ -1304,6 +1336,8 @@ def neardup_clusters_twophase(
             f"large-star/small-star did not converge in {max_rounds} rounds"
         )
     # at fixpoint: stars rooted at component minima -> rep = min neighbor
+    # (the final edge checkpoint feeds the returned plan -> epoch-released)
+    register_checkpointed(e)
     rep = e.groupBy(F.col("v").alias("node")).agg(F.min("u").alias("rep"))
     return (
         nodes.select(F.col(id_col).alias("node"))
@@ -1415,7 +1449,7 @@ def simhash_near_pairs(
     # DELIBERATE leak-until-eviction — same contract as
     # minhash_lsh_pairs' sh_cached (persist, not checkpoint: the r7
     # checkpoint experiment made THIS query 4x slower, 1.9->7.5 s).
-    sig = simhash_blocks(df, id_col, text_col, n_blocks).persist()
+    sig = simhash_blocks(df, id_col, text_col, n_blocks).transform(scratch_persist)
     blk_arr = F.array(*[F.col(f"__blk{b}") for b in range(n_blocks)])
     blocks = sig.select(
         F.col(id_col).alias("__id"),

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from nyc_etl_pipeline_spark.hygiene import scratch_checkpoint
+
 from nyc_etl_pipeline_spark.functions import dec_sum, round_half_up
 
 
@@ -196,7 +198,7 @@ def roc_auc(
         # it and runs over DISTINCT scores, which is the balance the
         # local windows actually need (the kendall_tau lineage lesson;
         # boundaries never affect values)
-        per_score = per_score.localCheckpoint(eager=False)
+        per_score = per_score.transform(scratch_checkpoint)
         bounds = _quantile_bounds(per_score, "__s", num_buckets)
         cum = _bucketed_global_cum(per_score, "__s", "__tie", bounds)
     stats = cum.select(
@@ -276,7 +278,7 @@ def roc_curve(
             F.count(F.lit(1)).cast("bigint").alias("__tie"),
             F.sum(lab).cast("bigint").alias("__pos"),
         )
-        .localCheckpoint(eager=False)
+        .transform(scratch_checkpoint)
     )
     if gcols:
         w_cum = (
@@ -406,7 +408,7 @@ def average_precision(
         # checkpoint so the corpus-scale aggregate runs once (the
         # kendall_tau lineage lesson; r12 probe read 42.8 s for
         # ungrouped AP at 10M vs roc_auc's 8.0 from exactly this)
-        per_score = per_score.localCheckpoint(eager=False)
+        per_score = per_score.transform(scratch_checkpoint)
         bounds = _quantile_bounds(per_score, "__s", num_buckets)
         cum = _bucketed_global_cum(
             per_score, "__s", ["__tie", "__pos"], bounds, descending=True
@@ -631,7 +633,7 @@ def spearman_corr(
         # marginal's distinct-value aggregate feeds the quantile
         # probe + both helper passes — checkpoint so it runs once
         # (the kendall_tau lineage lesson).
-        per = per.localCheckpoint(eager=False)
+        per = per.transform(scratch_checkpoint)
         cum = _bucketed_global_cum(
             per, f"__v_{alias}", "__t", _quantile_bounds(per, f"__v_{alias}", None)
         )
@@ -1029,7 +1031,7 @@ def multiclass_eval(
             F.col(pred_col).alias("__p"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
-        .localCheckpoint(eager=False)
+        .transform(scratch_checkpoint)
     )
     by_true = cells.groupBy(*gcols, F.col("__t").alias("class")).agg(
         F.sum("__n").alias("__n_true"),
@@ -1094,7 +1096,7 @@ def cohen_kappa(
     cells = (
         base.groupBy(*gcols, F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("__cn"))
-        .localCheckpoint(eager=False)
+        .transform(scratch_checkpoint)
     )
     gb = lambda *cs: cells.groupBy(*cs) if cs else cells.groupBy()  # noqa: E731
     totals = gb(*gcols).agg(
@@ -1228,7 +1230,7 @@ def kendall_tau(
             F.col(y_col).cast("double").alias("__y"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
-        .localCheckpoint(eager=False)
+        .transform(scratch_checkpoint)
     )
 
     def _pairs(c: F.Column) -> F.Column:

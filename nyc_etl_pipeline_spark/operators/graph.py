@@ -31,6 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nyc_etl_pipeline_spark.hygiene import (
+    register_checkpointed,
+    release_checkpoint_now,
+    scratch_persist,
+)
+
 PR_SCALE = 10**12
 
 
@@ -54,11 +60,11 @@ def pagerank_fixedpoint(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .transform(scratch_persist)
     )
     n_nodes = nodes.count()  # scalar: needed to seed rank_0; node-cardinality
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    ew = e.join(F.broadcast(outw), on="src").persist()
+    ew = e.join(F.broadcast(outw), on="src").transform(scratch_persist)
     ew.count()  # materialize once; iterations reuse the cached edge table
     e.unpersist()
 
@@ -244,13 +250,14 @@ def kcore_peel(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if checkpoint:
-        e = e.persist()
+        e = e.transform(scratch_persist)
     alive = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
     if checkpoint:
         alive = alive.localCheckpoint(eager=True)
     for _ in range(n_rounds):
+        prev_alive = alive
         removed = alive.filter(F.col("deg") < k).select("node")
         # checkpoint=False keeps the full lazy plan — ONLY for
         # plan-shape tests (the self-referencing tree growth makes it
@@ -273,8 +280,14 @@ def kcore_peel(
         )
         if checkpoint:
             alive = alive.localCheckpoint(eager=True)
+            # the new eager checkpoint is materialized: the previous
+            # round's node table is provably dead — drop its blocks now
+            release_checkpoint_now(prev_alive)
     if checkpoint:
         e.unpersist()
+        # the final node-table checkpoint feeds the returned plan;
+        # released with the epoch sweep after the caller's action
+        register_checkpointed(alive)
     # deg > 0: a truncated (non-converged) peel can leave a survivor
     # with every neighbor removed; the edge-list formulation (and the
     # oracle's terminal per-src count) has no row for it
@@ -355,6 +368,7 @@ def label_propagation(
         .withColumn("label", F.col("node"))
     )
     for _ in range(n_rounds):
+        prev_labels = labels
         neigh = (
             e.join(labels, e.src == labels.node)
             .groupBy(F.col("dst").alias("nd"), "label")
@@ -374,8 +388,13 @@ def label_propagation(
         # checkpoint=False (plan-shape tests only) keeps the lazy plan
         if checkpoint:
             labels = labels.localCheckpoint(eager=True)
+            # previous round's label checkpoint is superseded — the new
+            # eager checkpoint no longer depends on it
+            release_checkpoint_now(prev_labels)
     if checkpoint:
         e.unpersist()
+        # final label checkpoint backs the returned plan -> epoch sweep
+        register_checkpointed(labels)
     return labels
 
 

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from nyc_etl_pipeline_spark.hygiene import scratch_persist
+
 
 def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -1433,14 +1435,14 @@ def kmeans_fixed(
     the sampled driver-side fit used for IVF index builds, a
     different job).
     """
-    from nyc_etl_pipeline_spark.functions import dec_sum, round_half_up
+    from nyc_etl_pipeline_spark.functions import round_half_up
 
     v = df.select(
         F.col(id_col).alias("__id"),
         F.transform(
             F.col(vec_col).cast("array<double>"), lambda x: round_half_up(x, 6)
         ).alias("__v"),
-    ).persist()
+    ).transform(scratch_persist)
     init = v.orderBy("__id").limit(k).collect()
     # fewer vectors than clusters: run with the clusters that exist
     # (the oracle's LIMIT k does the same); empty input returns empty
@@ -1467,7 +1469,14 @@ def kmeans_fixed(
     def _assign_jvm():
         alts = []
         for j in range(k):
-            arr = F.array(*[F.lit(x) for x in cents[j]])
+            # one-parse double-literal array: F.array(*[F.lit(x) ...])
+            # cost k*dim py4j round-trips PER ROUND of plan build
+            # (~0.3-0.4 s each at k=4, dim=64 — r13 build profile);
+            # repr() round-trips doubles exactly and the D suffix pins
+            # the literal type, so the expression is value-identical
+            arr = F.expr(
+                "array(" + ", ".join(f"{float(x)!r}D" for x in cents[j]) + ")"
+            )
             d = F.aggregate(
                 F.sequence(F.lit(1), F.lit(dim)), F.lit(0.0), _step(arr)
             )
@@ -1547,10 +1556,13 @@ def kmeans_fixed(
             assign.groupBy("cluster")
             .agg(
                 F.count(F.lit(1)).alias("__n"),
+                # dec_sum(element_at(__v, i)) / count(1), built as one
+                # parsed SQL string per dimension instead of ~8 py4j
+                # calls each (same expression, value-identical)
                 *[
-                    (
-                        dec_sum(F.element_at(F.col("__v"), i))
-                        / F.count(F.lit(1))
+                    F.expr(
+                        f"CAST(sum(CAST(element_at(__v, {i}) AS"
+                        " DECIMAL(28,6))) AS DOUBLE) / count(1)"
                     ).alias(f"c{i}")
                     for i in range(1, dim + 1)
                 ],

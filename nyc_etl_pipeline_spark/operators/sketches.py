@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nyc_etl_pipeline_spark.functions import md5_long, sql_md5_long
+from nyc_etl_pipeline_spark.hygiene import scratch_persist
 
 CMS_DEPTH = 4
 CMS_WIDTH = 256
@@ -446,7 +447,7 @@ def exact_heavy_hitters(
             "k_summary < k_threshold voids the MG superset guarantee"
         )
     toks = tokens.select(col)
-    summ = mg_partial_summaries(toks, col, k_summary).persist()
+    summ = mg_partial_summaries(toks, col, k_summary).transform(scratch_persist)
     # 0-partition input yields no sentinel rows at all -> sum is NULL
     n = (
         summ.filter(F.col(col).isNull()).agg(F.sum("weight")).first()[0]

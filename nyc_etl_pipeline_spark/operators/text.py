@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nyc_etl_pipeline_spark.hygiene import scratch_persist
+
 # Deterministic stopword/marker lists (shared with the DuckDB oracle
 # SQL in suite/textops.py — keep in sync).
 STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"]
@@ -200,7 +202,7 @@ def token_frequencies(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    freq = freq.persist()
+    freq = scratch_persist(freq)
     total = freq.agg(F.sum("freq").alias("__total"))
     top = freq.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(top_k)
     # single-partition OK: the window input is `top` (<= top_k rows from

@@ -15,6 +15,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from nyc_etl_pipeline_spark.hygiene import scratch_persist
+
 from nyc_etl_pipeline_spark.functions import round_half_up as R
 from nyc_etl_pipeline_spark.functions import sql_round_half_up
 from nyc_etl_pipeline_spark.io import read_testdata
@@ -354,7 +356,7 @@ def q124_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_etl_pipeline_spark.operators import sketches as SKC
 
     docs = read_testdata(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token")).persist()
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token")).transform(scratch_persist)
     exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
     top = exact.orderBy(F.desc("true_count"), F.asc("token")).limit(CMS_TOP_K)
     est = SKC.cms_estimate(SKC.cms_build(toks), top.select("token"))
