@@ -1369,12 +1369,16 @@ def _simhash_vote_table(
         md5_long("__tok", 1, 8).alias("__h_lo"),
         md5_long("__tok", 9, 8).alias("__h_hi"),
     )
+    # SQL-string construction (the _minhash_signature_cols lesson):
+    # 64 nested-Column vote aggregates cost ~6 py4j round-trips each
+    # per plan build; one parsed string each is value-identical
     votes = []
     for j in range(bits):
-        h = F.col("__h_lo") if j < 32 else F.col("__h_hi")
+        h = "__h_lo" if j < 32 else "__h_hi"
         votes.append(
-            F.sum(
-                F.when(F.shiftright(h, j % 32).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright({h}, {j % 32}) & 1) = 1"
+                " THEN 1 ELSE -1 END)"
             ).alias(f"__v{j}")
         )
     return exploded.groupBy("__id").agg(*votes)
@@ -1388,16 +1392,19 @@ def simhash_signatures(
     if bits > 64:
         raise ValueError("simhash supports at most 64 bits")
     agg = _simhash_vote_table(df, id_col, text_col, bits)
-    sig = None
-    for j in range(bits):
-        # two's-complement top bit: 1<<63 overflows signed 64-bit
-        bit_val = (1 << j) if j < 63 else -(1 << 63)
-        term = (
-            F.when(F.col(f"__v{j}") > 0, F.lit(bit_val).cast("bigint"))
-            .otherwise(F.lit(0).cast("bigint"))
+    # one parsed string (the _minhash_signature_cols lesson); the j=63
+    # term stays the two's-complement top bit: 1<<63 overflows signed
+    # 64-bit, so the literal is -(1<<63)
+    terms = " | ".join(
+        "(CASE WHEN __v{j} > 0 THEN CAST({v} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)".format(
+            j=j, v=(1 << j) if j < 63 else -(1 << 63)
         )
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return agg.select(F.col("__id").alias(id_col), sig.alias("simhash"))
+        for j in range(bits)
+    )
+    return agg.select(
+        F.col("__id").alias(id_col), F.expr(terms).alias("simhash")
+    )
 
 
 def simhash_blocks(
@@ -1411,12 +1418,15 @@ def simhash_blocks(
     Returns (id, __blk0..__blk{n-1})."""
     width = 64 // n_blocks
     agg = _simhash_vote_table(df, id_col, text_col, 64)
+    # one parsed string per block key (same 0 + CASE... chain the
+    # Column form built, value-identical; see _minhash_signature_cols)
     block_cols = []
     for b in range(n_blocks):
-        key = F.lit(0)
-        for i in range(width):
-            key = key + F.when(F.col(f"__v{b * width + i}") > 0, F.lit(1 << i)).otherwise(0)
-        block_cols.append(key.cast("bigint").alias(f"__blk{b}"))
+        terms = " + ".join(
+            f"(CASE WHEN __v{b * width + i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(width)
+        )
+        block_cols.append(F.expr(f"CAST(0 + {terms} AS BIGINT)").alias(f"__blk{b}"))
     return agg.select(F.col("__id").alias(id_col), *block_cols)
 
 

@@ -1260,40 +1260,49 @@ def kendall_tau(
         )
 
     # --- x-range buckets (literal bounds; equal x never splits) -----
+    # bucket/mass/cum expressions build as parsed SQL strings — the
+    # nested-Column comprehensions cost ~6-10 py4j round-trips per
+    # bucket per site (~0.7 s of driver time per plan build at the
+    # default 32 buckets); same operators, value-identical (the
+    # _minhash_signature_cols lesson)
     bounds = _quantile_bounds(cells, "__x", num_buckets)
-    bucket = None
-    for b in bounds:
-        term = F.when(F.col("__x") > F.lit(float(b)), 1).otherwise(0)
-        bucket = term if bucket is None else bucket + term
+    if bounds:
+        bucket = F.expr(
+            " + ".join(
+                f"(CASE WHEN __x > {float(b)!r}D THEN 1 ELSE 0 END)"
+                for b in bounds
+            )
+        )
+    else:
+        bucket = F.lit(0)
     n_b = len(bounds) + 1
-    cells_q = cells.withColumn("__q", bucket if bucket is not None else F.lit(0))
+    cells_q = cells.withColumn("__q", bucket)
 
     # --- cross-bucket dominance via per-(group, y) bucket masses ----
     mass_cols = [f"__m{i}" for i in range(n_b)]
     per_y = gb(cells_q, *gcols, "__y").agg(
         *[
-            F.coalesce(
-                F.sum(F.when(F.col("__q") == i, F.col("__n"))), F.lit(0)
-            )
-            .cast("bigint")
-            .alias(mass_cols[i])
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN __q = {i} THEN __n END), 0)"
+                " AS BIGINT)"
+            ).alias(mass_cols[i])
             for i in range(n_b)
         ]
     )
     if gcols:
-        w_cum = (
-            W.partitionBy(*[F.col(c) for c in gcols])
-            .orderBy(F.col("__y").asc())
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        over = (
+            "OVER (PARTITION BY " + ", ".join(gcols)
+            + " ORDER BY __y ASC ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW)"
         )
-        cum = per_y.select(
+        cum = per_y.selectExpr(
             *gcols,
             "__y",
-            *[F.col(c) for c in mass_cols],
-            *[F.sum(c).over(w_cum).alias(f"__cum_{c}") for c in mass_cols],
+            *mass_cols,
+            *[f"sum({c}) {over} AS __cum_{c}" for c in mass_cols],
         )
-        tot_b = per_y.groupBy(*gcols).agg(
-            *[F.sum(c).alias(f"__tot_{c}") for c in mass_cols]
+        tot_b = gb(per_y, *gcols).agg(
+            *[F.expr(f"sum({c})").alias(f"__tot_{c}") for c in mass_cols]
         )
         cum = cum.join(tot_b, gcols)
     else:
@@ -1308,17 +1317,15 @@ def kendall_tau(
     # per distinct y: arrays over buckets of (mass strictly above y,
     # mass strictly below y); the cell's prefix over buckets < q is a
     # bounded fold
-    gt_arr = F.array(
-        *[
-            (F.col(f"__tot_{c}") - F.col(f"__cum_{c}")).cast("bigint")
-            for c in mass_cols
-        ]
+    gt_arr = F.expr(
+        "array("
+        + ", ".join(f"CAST(__tot_{c} - __cum_{c} AS BIGINT)" for c in mass_cols)
+        + ")"
     )
-    lt_arr = F.array(
-        *[
-            (F.col(f"__cum_{c}") - F.col(c)).cast("bigint")
-            for c in mass_cols
-        ]
+    lt_arr = F.expr(
+        "array("
+        + ", ".join(f"CAST(__cum_{c} - {c} AS BIGINT)" for c in mass_cols)
+        + ")"
     )
     y_rows = cum.select(
         *gcols, "__y", gt_arr.alias("__gt"), lt_arr.alias("__lt")
